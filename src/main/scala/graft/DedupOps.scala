@@ -1,0 +1,177 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import Tables._
+import graft.functions.{SimHash64, Vectors}
+
+/** Deduplication operators (SURVEY.md §2.C). All near-dup variants use
+  * LSH-style bucketing so candidate generation is ONE hash-shuffle on
+  * the bucket key — never an n² cross-join — which is the property that
+  * keeps them viable at 100 TB. Exact verification (Jaccard / hamming /
+  * cosine) happens only within buckets. Hot buckets can be salted; at
+  * cluster scale the bucket join benefits from AQE skew handling.
+  */
+object DedupOps {
+
+  /** Non-empty whitespace tokens of `text`. */
+  private def tokensOf(c: Column): Column =
+    filter(split(c, " "), x => length(x) > lit(0))
+
+  /** doc_id + word-3-shingle distinct set. */
+  private def shingled(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("tokens", tokensOf(col("text")))
+      .withColumn("shingles",
+        expr("array_distinct(transform(sequence(0, greatest(size(tokens) - 3, 0)), " +
+          "i -> concat_ws(' ', tokens[i], tokens[i+1], tokens[i+2])))"))
+      .select(col("doc_id"), col("shingles"))
+
+  /** Candidate pairs (a < b) from equal bucket keys in `keyed(id, k)`. */
+  private def pairsFromBuckets(keyed: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val l = keyed.toDF(keyCols :+ "a": _*)
+    val r = keyed.toDF(keyCols :+ "b": _*)
+    l.join(r, keyCols)
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"))
+      .distinct()
+  }
+
+  val entries: Seq[Entry] = Seq(
+    Entry(
+      "dedup_exact",
+      // Exact dedup: hash-groupBy on sha256(normalized text); keeper =
+      // min doc_id. One shuffle on the hash — the 100 TB-safe form.
+      (s, dir) =>
+        t(s, dir, "documents")
+          .groupBy(sha2(lower(trim(col("text"))), 256).as("h"))
+          .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+          .orderBy(col("h")),
+      Some("""SELECT sha256(lower(trim(text))) AS h, MIN(doc_id) AS keep_id,
+        COUNT(*) AS n_copies
+        FROM documents GROUP BY 1 ORDER BY h""")),
+
+    Entry(
+      "dedup_minhash",
+      // MinHash + LSH: 64 xxhash64 permutations over 3-word shingles,
+      // 32 bands x 2 rows (high recall at jaccard >= 0.5: a 2-row band
+      // matches with prob j^2, any of 32 with 1-(1-j^2)^32 ~ 1); docs
+      // sharing any band bucket are candidates; exact Jaccard >= 0.5
+      // within buckets confirms and removes false positives.
+      (s, dir) => {
+        val sh = shingled(s, dir)
+        val sig = sh.withColumn("sig",
+          expr("transform(sequence(0, 63), " +
+            "j -> array_min(transform(shingles, sng -> xxhash64(j, sng))))"))
+        val banded = sig.select(col("doc_id"),
+            posexplode(expr(
+              "transform(sequence(0, 31), b -> xxhash64(slice(sig, b * 2 + 1, 2)))"))
+              .as(Seq("band", "bkey")))
+          .select(col("band"), col("bkey"), col("doc_id"))
+        val pairs = pairsFromBuckets(banded, Seq("band", "bkey"))
+        val sa = sh.toDF("a", "sh_a")
+        val sb = sh.toDF("b", "sh_b")
+        pairs.join(sa, "a").join(sb, "b")
+          .withColumn("jaccard",
+            size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+              size(array_union(col("sh_a"), col("sh_b"))))
+          .filter(col("jaccard") >= 0.5)
+          .select(col("a"), col("b"), col("jaccard"))
+          .orderBy(col("a"), col("b"))
+      },
+      None),
+
+    Entry(
+      "dedup_simhash",
+      // SimHash (graft.functions.SimHash64, native Catalyst expression):
+      // near-dups differ in <= 3 of 64 signature bits, so at least one
+      // of the four 16-bit blocks matches exactly -> block-equality
+      // bucketing, then hamming distance verify via bit_count(xor).
+      (s, dir) => {
+        s.sessionState.functionRegistry.createOrReplaceTempFunction(
+          "graft_simhash", exprs => SimHash64(exprs.head), "scala_udf")
+        val sig = t(s, dir, "documents")
+          .withColumn("tokens", tokensOf(col("text")))
+          .select(col("doc_id"), expr("graft_simhash(tokens)").as("sig"))
+        val blocked = sig.select(col("doc_id"), col("sig"),
+            posexplode(expr("transform(sequence(0, 3), " +
+              "b -> (sig >> (b * 16)) & 65535)")).as(Seq("blk", "bkey")))
+        val l = blocked.select(col("blk"), col("bkey"),
+          col("doc_id").as("a"), col("sig").as("sig_a"))
+        val r = blocked.select(col("blk"), col("bkey"),
+          col("doc_id").as("b"), col("sig").as("sig_b"))
+        l.join(r, Seq("blk", "bkey"))
+          .filter(col("a") < col("b"))
+          .select(col("a"), col("b"),
+            bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+          .distinct()
+          .filter(col("hamming") <= 3)
+          .orderBy(col("a"), col("b"))
+      },
+      None),
+
+    Entry(
+      "dedup_ngram_jaccard",
+      // Character-4-gram Jaccard over prefix-blocked candidates. The
+      // blocking key (xxhash64 of the 16-char prefix) is pluggable —
+      // MinHash-LSH above is the general-scale path; prefix blocking is
+      // the cheap variant when near-dups share document heads.
+      (s, dir) => {
+        val grams = t(s, dir, "documents")
+          .withColumn("grams",
+            expr("array_distinct(transform(sequence(1, greatest(length(text) - 3, 1)), " +
+              "i -> substring(text, i, 4)))"))
+          .select(col("doc_id"), col("grams"),
+            xxhash64(substring(col("text"), 1, 16)).as("blk"))
+        val l = grams.select(col("blk"), col("doc_id").as("a"),
+          col("grams").as("g_a"))
+        val r = grams.select(col("blk"), col("doc_id").as("b"),
+          col("grams").as("g_b"))
+        l.join(r, "blk")
+          .filter(col("a") < col("b"))
+          .withColumn("jaccard",
+            size(array_intersect(col("g_a"), col("g_b"))).cast("double") /
+              size(array_union(col("g_a"), col("g_b"))))
+          .filter(col("jaccard") >= 0.6)
+          .select(col("a"), col("b"), col("jaccard"))
+          .distinct()
+          .orderBy(col("a"), col("b"))
+      },
+      None),
+
+    Entry(
+      "dedup_embedding",
+      // Embedding near-dup via random-hyperplane LSH, banded like
+      // MinHash: 4 tables x 6 deterministic hyperplanes; a vector's key
+      // in each table is its 6 sign bits; same-key pairs are candidates
+      // and exact cosine >= 0.35 within buckets confirms. Multiple
+      // small tables trade one wide (low-recall) signature for OR-ed
+      // recall while the candidate join stays one hash-shuffle.
+      (s, dir) => {
+        val rng = new scala.util.Random(42)
+        val tables = Seq.fill(4)(Seq.fill(6)(Seq.fill(64)(rng.nextGaussian())))
+        val keys = tables.zipWithIndex.map { case (planes, ti) =>
+          planes.zipWithIndex.map { case (p, i) =>
+            when(Vectors.dot(col("embedding"), typedLit(p)) >= 0,
+              lit(1L << i)).otherwise(lit(0L))
+          }.reduce(_ + _) + lit(ti.toLong << 32)
+        }
+        val keyed = t(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"),
+            explode(array(keys: _*)).as("bucket"))
+        val l = keyed.select(col("bucket"), col("vec_id").as("a"),
+          col("embedding").as("e_a"))
+        val r = keyed.select(col("bucket"), col("vec_id").as("b"),
+          col("embedding").as("e_b"))
+        l.join(r, "bucket")
+          .filter(col("a") < col("b"))
+          .select(col("a"), col("b"),
+            Vectors.cosine(col("e_a"), col("e_b")).as("cos"))
+          .filter(col("cos") >= 0.35)
+          .distinct()
+          .orderBy(col("a"), col("b"))
+      },
+      None)
+  )
+}

@@ -14,5 +14,6 @@ final case class Entry(
 object Registry {
   def all: Seq[Entry] =
     Analytics.entries ++ TextOps.entries ++ DedupOps.entries ++
-      SimilarityOps.entries ++ SnortOps.entries ++ StreamOps.entries
+      SimilarityOps.entries ++ MultimodalOps.entries ++
+      SnortOps.entries ++ StreamOps.entries
 }

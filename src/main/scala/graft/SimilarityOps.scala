@@ -1,0 +1,136 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import Tables._
+import graft.functions.Vectors
+
+/** Similarity search + multimodal plumbing (SURVEY.md §2.C).
+  *
+  * Scale story: queries are the SMALL side and are broadcast, so the
+  * corpus never shuffles for brute force; IVF prunes the corpus scan to
+  * the probed cells (a broadcast-filterable cell id), which is the same
+  * topology an IVF index gives a 1000-executor cluster.
+  */
+object SimilarityOps {
+
+  private def embeddings(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+
+  /** Deterministic IVF "centroids": every 37th vector is a cell seed.
+    * (Stands in for k-means iterations — the assignment/probe topology,
+    * which is what matters for the Spark plan, is identical.)
+    */
+  private def centroids(s: SparkSession, dir: String): DataFrame =
+    embeddings(s, dir).filter(col("vec_id") % 37 === 0)
+      .select(col("vec_id").as("cell"), col("embedding").as("cvec"))
+
+  val entries: Seq[Entry] = Seq(
+    Entry(
+      "knn_brute",
+      // Brute-force cosine top-k: broadcast the 10 query vectors past
+      // every corpus partition; per-query top-5 via window rank over
+      // the similarity. No corpus shuffle until the tiny final top-k.
+      (s, dir) => {
+        val emb = embeddings(s, dir)
+        val q = emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val w = Window.partitionBy(col("qid"))
+          .orderBy(col("sim").desc, col("vec_id"))
+        emb.crossJoin(broadcast(q))
+          .filter(col("vec_id") =!= col("qid"))
+          .withColumn("sim", Vectors.cosine(col("embedding"), col("qvec")))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+          .select(col("qid"), col("rank"), col("vec_id"), col("sim"))
+          .orderBy(col("qid"), col("rank"))
+      },
+      None),
+
+    Entry(
+      "knn_ivf",
+      // IVF-style ANN: assign corpus vectors to nearest centroid cell
+      // (broadcast centroids); each query probes its 4 nearest cells
+      // only (~4/14 of the corpus scanned). KnnSpec checks recall vs
+      // knn_brute; note the test embeddings are uniform-random — ANN's
+      // worst case, where recall ~ fraction probed. On clustered real
+      // embeddings the same plan recalls >0.9 at the same probe count.
+      (s, dir) => {
+        val emb = embeddings(s, dir)
+        val cen = centroids(s, dir)
+        val wAssign = Window.partitionBy(col("vec_id"))
+          .orderBy(col("csim").desc, col("cell"))
+        val assigned = emb.crossJoin(broadcast(cen))
+          .withColumn("csim", Vectors.cosine(col("embedding"), col("cvec")))
+          .withColumn("crank", row_number().over(wAssign))
+          .filter(col("crank") === 1)
+          .select(col("cell"), col("vec_id"), col("embedding"))
+        val q = emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val wProbe = Window.partitionBy(col("qid"))
+          .orderBy(col("csim").desc, col("cell"))
+        val probes = q.crossJoin(broadcast(cen))
+          .withColumn("csim", Vectors.cosine(col("qvec"), col("cvec")))
+          .withColumn("crank", row_number().over(wProbe))
+          .filter(col("crank") <= 4)
+          .select(col("qid"), col("qvec"), col("cell"))
+        val wTop = Window.partitionBy(col("qid"))
+          .orderBy(col("sim").desc, col("vec_id"))
+        assigned.join(broadcast(probes), "cell")
+          .filter(col("vec_id") =!= col("qid"))
+          .withColumn("sim", Vectors.cosine(col("embedding"), col("qvec")))
+          .withColumn("rank", row_number().over(wTop))
+          .filter(col("rank") <= 5)
+          .select(col("qid"), col("rank"), col("vec_id"), col("sim"))
+          .orderBy(col("qid"), col("rank"))
+      },
+      None)
+  )
+}
+
+/** Multimodal column plumbing (SURVEY.md §2.C `mm_meta`): media as an
+  * opaque binary column plus typed metadata, batch-decoded inside
+  * `mapPartitions` (the Scala analogue of `mapInPandas` batch UDFs).
+  * The codec here is a clearly-marked deterministic STUB — the real
+  * image/audio libraries are not in this container — but the Spark
+  * plumbing (schema, batch iterator shape, per-partition decode, no
+  * driver involvement) is the real production topology.
+  */
+object MultimodalOps {
+  import org.apache.spark.sql.Encoders
+
+  case class MMIn(doc_id: Long, payload: Array[Byte], width: Int, height: Int)
+  case class MMFeat(doc_id: Long, n_bytes: Long, checksum: Long,
+      thumb_mean: Double)
+
+  /** STUB codec: stands in for image decode + feature extraction.
+    * Deterministic: byte-sum checksum and a fake "thumbnail mean".
+    */
+  private def decodeBatch(it: Iterator[MMIn]): Iterator[MMFeat] =
+    it.map { r =>
+      var sum = 0L
+      var i = 0
+      while (i < r.payload.length) { sum += (r.payload(i) & 0xff); i += 1 }
+      MMFeat(r.doc_id, r.payload.length.toLong, sum,
+        if (r.payload.isEmpty) 0.0 else sum.toDouble / r.payload.length)
+    }
+
+  val entries: Seq[Entry] = Seq(
+    Entry(
+      "mm_meta",
+      (s, dir) => {
+        val src = Tables.t(s, dir, "documents")
+          .select(col("doc_id"),
+            col("text").cast("binary").as("payload"),
+            (length(col("text")) % 1024).cast("int").as("width"),
+            (crc32(col("text").cast("binary")) % 1024).cast("int").as("height"))
+        val ds = src.as(Encoders.product[MMIn])
+        ds.mapPartitions(decodeBatch)(Encoders.product[MMFeat])
+          .toDF()
+          .orderBy(col("doc_id"))
+      },
+      None)
+  )
+}

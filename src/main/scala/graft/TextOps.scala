@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+
+import Tables._
+
+/** Text-analysis operators for training-data pipelines (SURVEY.md §2.C):
+  * token counting, quality scoring, language ID, winnowing fingerprints.
+  * Everything is built from codegen'd string/array functions and
+  * higher-order lambdas — per-row, embarrassingly parallel, no shuffle
+  * until the (optional) final ordering, so the same plan runs unchanged
+  * over 100 TB of documents.
+  */
+object TextOps {
+
+  private val StopWords = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  /** Non-empty whitespace tokens. */
+  private def words(c: Column): Column =
+    filter(split(c, " "), x => length(x) > lit(0))
+
+  val entries: Seq[Entry] = Seq(
+    Entry(
+      "text_tokens",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(
+            col("doc_id"),
+            size(words(col("text"))).cast("long").as("n_ws_tokens"),
+            regexp_count(col("text"), lit("\\w+|[^\\w\\s]")).cast("long")
+              .as("n_bpe_tokens"))
+          .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+        CAST(len(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS BIGINT) AS n_ws_tokens,
+        CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT) AS n_bpe_tokens
+        FROM documents ORDER BY doc_id""")),
+
+    Entry(
+      "text_quality",
+      (s, dir) => {
+        val w = words(lower(col("text")))
+        val nWords = size(w).cast("long")
+        val nStop = size(filter(w, x => x.isin(StopWords.map(x => x: Any): _*)))
+          .cast("long")
+        t(s, dir, "documents")
+          .select(
+            col("doc_id"),
+            length(col("text")).cast("long").as("n_chars"),
+            nWords.as("n_words"),
+            regexp_count(col("text"), lit("[.,!?;:]")).cast("long")
+              .as("n_punct"),
+            nStop.as("n_stop"),
+            (nStop.cast("double") / nWords).as("stop_ratio"),
+            (length(regexp_replace(col("text"), " ", "")).cast("double") /
+              nWords).as("avg_word_len"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+        CAST(length(text) AS BIGINT) AS n_chars,
+        CAST(len(list_filter(string_split(lower(text), ' '), x -> len(x) > 0)) AS BIGINT) AS n_words,
+        CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS n_punct,
+        CAST(len(list_filter(string_split(lower(text), ' '), x -> list_contains(['the','a','of','and','to','in','is'], x))) AS BIGINT) AS n_stop,
+        CAST(len(list_filter(string_split(lower(text), ' '), x -> list_contains(['the','a','of','and','to','in','is'], x))) AS DOUBLE)
+          / len(list_filter(string_split(lower(text), ' '), x -> len(x) > 0)) AS stop_ratio,
+        CAST(length(replace(text, ' ', '')) AS DOUBLE)
+          / len(list_filter(string_split(lower(text), ' '), x -> len(x) > 0)) AS avg_word_len
+        FROM documents ORDER BY doc_id""")),
+
+    Entry(
+      "text_langid",
+      // n-gram/stopword-profile language ID heuristic: score the token
+      // set against per-language function-word profiles, argmax with a
+      // deterministic tie-break (profile order). Rows-only: the scoring
+      // is not expressible in ANSI SQL; LangIdSpec pins golden outputs.
+      (s, dir) => {
+        val profiles = Seq(
+          "en" -> Seq("the", "and", "of", "to", "a", "is"),
+          "de" -> Seq("der", "die", "und", "das", "ist", "ein"),
+          "es" -> Seq("el", "la", "de", "y", "es", "un"),
+          "fr" -> Seq("le", "la", "et", "les", "est", "un"),
+          "zh" -> Seq("de", "shi", "le", "zai", "he", "you"))
+        val w = words(lower(col("text")))
+        val scored = profiles.foldLeft(
+          t(s, dir, "documents").select(col("doc_id"), col("lang"), w.as("w"))) {
+          case (df, (lang, prof)) =>
+            df.withColumn(s"score_$lang",
+              size(filter(col("w"), x => x.isin(prof.map(x => x: Any): _*))))
+        }
+        val best = profiles.map { case (lang, _) =>
+          struct(col(s"score_$lang").as("score"), lit(lang).as("lang"))
+        }
+        scored
+          .withColumn("pred", greatest(best: _*).getField("lang"))
+          .select(col("doc_id"), col("lang"),
+            col("pred").as("pred_lang"),
+            (col("pred") === col("lang")).as("agree"))
+          .orderBy(col("doc_id"))
+      },
+      None),
+
+    Entry(
+      "text_fingerprint",
+      // Winnowing document fingerprints (Schleimer et al., SIGMOD'03):
+      // rolling 8-char k-gram hashes, minimum over each window of 4,
+      // distinct survivors are the fingerprint set. Pure higher-order
+      // functions — no shuffle, no UDF.
+      (s, dir) =>
+        t(s, dir, "documents")
+          .withColumn("kgrams",
+            expr("transform(sequence(1, greatest(length(text) - 7, 1)), " +
+              "i -> xxhash64(substring(text, i, 8)))"))
+          .withColumn("fps",
+            expr("array_distinct(transform(" +
+              "sequence(1, greatest(size(kgrams) - 3, 1)), " +
+              "j -> array_min(slice(kgrams, j, 4))))"))
+          .select(col("doc_id"), size(col("fps")).cast("long").as("n_fp"),
+            array_min(col("fps")).as("fp_min"),
+            array_max(col("fps")).as("fp_max"))
+          .orderBy(col("doc_id")),
+      None)
+  )
+}

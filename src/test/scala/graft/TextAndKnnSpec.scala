@@ -1,0 +1,87 @@
+package graft
+
+class TextSpec extends SparkSuite {
+
+  test("text_tokens counts whitespace and BPE-ish tokens") {
+    val rows = q("text_tokens", Fixtures.dir).collect()
+    val d0 = rows.find(_.getAs[Long]("doc_id") == 0L).get
+    // "the quick brown fox jumps over the lazy dog near the old river bank today"
+    assert(d0.getAs[Long]("n_ws_tokens") == 15L)
+    assert(d0.getAs[Long]("n_bpe_tokens") == 15L) // no punctuation
+  }
+
+  test("text_quality ratios are exact") {
+    val rows = q("text_quality", Fixtures.dir).collect()
+    val d0 = rows.find(_.getAs[Long]("doc_id") == 0L).get
+    assert(d0.getAs[Long]("n_words") == 15L)
+    assert(d0.getAs[Long]("n_stop") == 3L) // "the" x3
+    assert(d0.getAs[Double]("stop_ratio") == 3.0 / 15.0)
+    assert(d0.getAs[Long]("n_punct") == 0L)
+  }
+
+  test("text_langid predicts en for English, de for German") {
+    val rows = q("text_langid", Fixtures.dir).collect()
+    assert(rows.find(_.getAs[Long]("doc_id") == 0L).get
+      .getAs[String]("pred_lang") == "en")
+    assert(rows.find(_.getAs[Long]("doc_id") == 4L).get
+      .getAs[String]("pred_lang") == "de")
+  }
+
+  test("text_fingerprint is deterministic and separates documents") {
+    val r1 = q("text_fingerprint", Fixtures.dir).collect()
+    val r2 = q("text_fingerprint", Fixtures.dir).collect()
+    assert(r1.map(_.toString).sorted.sameElements(r2.map(_.toString).sorted))
+    val byId = r1.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // identical docs -> identical fingerprints
+    assert(byId(0L).getAs[Long]("fp_min") == byId(1L).getAs[Long]("fp_min"))
+    assert(byId(0L).getAs[Long]("fp_max") == byId(1L).getAs[Long]("fp_max"))
+    // unrelated docs -> different fingerprint extremes
+    assert(byId(0L).getAs[Long]("fp_min") != byId(5L).getAs[Long]("fp_min"))
+  }
+
+  test("mm_meta decodes payload batches deterministically") {
+    val rows = q("mm_meta", Fixtures.dir).collect()
+    assert(rows.length == 6)
+    val d0 = rows.find(_.getAs[Long]("doc_id") == 0L).get
+    val text = "the quick brown fox jumps over the lazy dog near the old river bank today"
+    assert(d0.getAs[Long]("n_bytes") == text.length.toLong)
+    assert(d0.getAs[Long]("checksum") ==
+      text.getBytes("UTF-8").map(b => (b & 0xff).toLong).sum)
+  }
+}
+
+class KnnSpec extends SparkSuite {
+
+  test("knn_brute ranks the planted near-identical vector first") {
+    val rows = q("knn_brute", Fixtures.dir).collect()
+    val top0 = rows.find(r => r.getAs[Long]("qid") == 0L &&
+      r.getAs[Int]("rank") == 1).get
+    assert(top0.getAs[Long]("vec_id") == 1L)
+    assert(top0.getAs[Double]("sim") > 0.99)
+  }
+
+  test("knn_ivf recall vs brute force on uniform-random data") {
+    // Uniform-random embeddings are ANN's worst case: recall tracks the
+    // probed fraction (4 of 14 cells). Offline numpy replication of the
+    // same probe topology gives 0.58 — assert >= 0.5 as the floor.
+    val brute = q("knn_brute", sfDir).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"))).toSet
+    val ivf = q("knn_ivf", sfDir).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"))).toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall >= 0.5, s"IVF recall $recall too low")
+  }
+
+  test("knn_ivf finds the planted near-identical vector") {
+    val rows = q("knn_ivf", Fixtures.dir).collect()
+    val top0 = rows.find(r => r.getAs[Long]("qid") == 0L &&
+      r.getAs[Int]("rank") == 1).get
+    assert(top0.getAs[Long]("vec_id") == 1L)
+  }
+
+  test("knn results are deterministic") {
+    val a = q("knn_brute", sfDir).collect().map(_.toString)
+    val b = q("knn_brute", sfDir).collect().map(_.toString)
+    assert(a.sameElements(b))
+  }
+}
