@@ -1,0 +1,141 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Net
+import graft.snort.{Maps, SnortStar}
+import graft.sources.{Unified2, Unified2Fixture}
+
+/** Charlotte-native surface (SURVEY.md §2.A): unified2 spool reading,
+  * rule-map enrichment, packet decode, Snorby star-schema output.
+  *
+  * The driver's test tables carry no unified2 files, so these entries
+  * materialize a deterministic fixture spool (public unified2 byte
+  * layout, see [[graft.sources.Unified2Fixture]]) and run the REAL
+  * pipeline over it; SnortSpec asserts the planted golden values.
+  * Oracle SQL is omitted (binary formats are outside DuckDB) except
+  * `inet_funcs`, which is arithmetic and fully oracled.
+  */
+object SnortOps {
+
+  /** Fixture spool + maps → enriched alerts (the full ingest path). */
+  def fixtureAlerts(s: SparkSession): DataFrame = {
+    val root = Unified2Fixture.defaultRoot()
+    val spool = Unified2Fixture.writeSpool(s"$root/spool")
+    val (sid, gen, cls) = Unified2Fixture.writeMaps(s"$root/maps")
+    val recs = Unified2.records(s, Seq(spool), "snort.log", "sensor1")
+    Maps.enrichClassifications(
+      Maps.enrichSignatures(Unified2.alerts(recs),
+        Maps.combinedSigMap(s, sid, gen)),
+      Maps.classMap(s, cls))
+  }
+
+  private def fixtureRecords(s: SparkSession): DataFrame = {
+    val spool = Unified2Fixture.writeSpool(
+      s"${Unified2Fixture.defaultRoot()}/spool")
+    Unified2.records(s, Seq(spool), "snort.log", "sensor1")
+  }
+
+  val entries: Seq[Entry] = Seq(
+    Entry("u2_parse", (s, _) =>
+      fixtureRecords(s).orderBy(col("src_file"), col("rec_index")),
+      None),
+
+    Entry("u2_events", (s, _) =>
+      Unified2.alerts(fixtureRecords(s))
+        .select(col("sensor"), col("sensor_id"), col("event_id"),
+          col("event_second"), col("event_microsecond"), col("event_ts"),
+          col("signature_id"), col("generator_id"), col("signature_revision"),
+          col("classification_id"), col("priority_id"),
+          Net.inet_ntoa(Net.bytesToU32(col("ip_source"))).as("src_ip"),
+          Net.inet_ntoa(Net.bytesToU32(col("ip_destination"))).as("dst_ip"),
+          col("sport_itype"), col("dport_icode"), col("protocol"),
+          size(col("packets")).as("n_packets"),
+          size(col("extra")).as("n_extra"))
+        .orderBy(col("event_id")),
+      None),
+
+    Entry("sigmap_parse", (s, _) => {
+      val (sid, _, _) = Unified2Fixture.writeMaps(
+        s"${Unified2Fixture.defaultRoot()}/maps")
+      Maps.sigMap(s, sid).orderBy(col("sid"))
+    }, None),
+
+    Entry("genmap_parse", (s, _) => {
+      val (_, gen, _) = Unified2Fixture.writeMaps(
+        s"${Unified2Fixture.defaultRoot()}/maps")
+      Maps.genMap(s, gen).orderBy(col("gid"), col("sid"))
+    }, None),
+
+    Entry("classmap_parse", (s, _) => {
+      val (_, _, cls) = Unified2Fixture.writeMaps(
+        s"${Unified2Fixture.defaultRoot()}/maps")
+      Maps.classMap(s, cls).orderBy(col("class_id"))
+    }, None),
+
+    Entry("sig_enrich", (s, _) =>
+      fixtureAlerts(s)
+        .select(col("event_id"), col("generator_id"), col("signature_id"),
+          col("sig_msg"), col("sig_rev"), col("sig_priority"))
+        .orderBy(col("event_id")),
+      None),
+
+    Entry("class_enrich", (s, _) =>
+      fixtureAlerts(s)
+        .select(col("event_id"), col("classification_id"), col("class_name"))
+        .orderBy(col("event_id")),
+      None),
+
+    Entry("packet_decode", (s, _) => {
+      SnortStar.registerFunctions(s)
+      fixtureRecords(s)
+        .filter(col("rec_type") === Unified2.Packet)
+        .withColumn("d", expr("graft_decode_packet(packet_data)"))
+        .select(col("event_id"), col("rec_index"), col("d.*"))
+        .withColumn("payload_hex", Net.hexlify(col("payload")))
+        .drop("payload")
+        .orderBy(col("event_id"), col("rec_index"))
+    }, None),
+
+    Entry("star_normalize", (s, _) => {
+      val star = SnortStar.normalize(fixtureAlerts(s))
+      star("event").orderBy(col("sid"), col("cid"))
+    }, None),
+
+    Entry("sensor_dim", (s, _) =>
+      SnortStar.sensors(fixtureAlerts(s)).orderBy(col("sensor_sid")),
+      None),
+
+    Entry("signature_dim", (s, _) =>
+      SnortStar.signatures(fixtureAlerts(s)).orderBy(col("sig_id")),
+      None),
+
+    Entry("u2_text", (s, _) =>
+      SnortStar.textFormat(fixtureAlerts(s)).orderBy(col("event_id")),
+      None),
+
+    Entry(
+      "inet_funcs",
+      // inet_ntoa/inet_aton roundtrip over synthetic u32 addresses
+      // derived from lineitem keys — DuckDB-oracled.
+      (s, dir) =>
+        Tables.t(s, dir, "lineitem")
+          .filter(col("l_linenumber") === 1)
+          .withColumn("x", (col("l_orderkey") * 2654435761L) % 4294967296L)
+          .withColumn("ip", Net.inet_ntoa(col("x")))
+          .withColumn("rt", Net.inet_aton(col("ip")))
+          .select(col("l_orderkey"), col("x"), col("ip"), col("rt"))
+          .orderBy(col("l_orderkey")),
+      Some("""SELECT l_orderkey, x,
+        CAST(x // 16777216 % 256 AS VARCHAR) || '.' ||
+          CAST(x // 65536 % 256 AS VARCHAR) || '.' ||
+          CAST(x // 256 % 256 AS VARCHAR) || '.' ||
+          CAST(x % 256 AS VARCHAR) AS ip,
+        x AS rt
+        FROM (SELECT l_orderkey,
+                (l_orderkey * 2654435761) % 4294967296 AS x
+              FROM lineitem WHERE l_linenumber = 1)
+        ORDER BY l_orderkey"""))
+  )
+}

@@ -1,0 +1,156 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.snort.SnortStar
+import graft.sources.{Unified2, Unified2Fixture}
+
+/** Golden tests for the charlotte-native pipeline: the fixture spool
+  * plants known field values (see Unified2Fixture); every stage must
+  * recover them exactly.
+  */
+class SnortSpec extends SparkSuite {
+
+  test("u2_parse recovers planted record structure") {
+    val recs = q("u2_parse", sfDir).collect()
+    // 6 events + 5 packets + 1 extra-data
+    assert(recs.length == 12)
+    assert(recs.count(_.getAs[Int]("rec_type") == Unified2.EventV2) == 6)
+    assert(recs.count(_.getAs[Int]("rec_type") == Unified2.Packet) == 5)
+    assert(recs.count(_.getAs[Int]("rec_type") == Unified2.ExtraData) == 1)
+    val e1 = recs.find(r => r.getAs[Int]("rec_type") == Unified2.EventV2 &&
+      r.getAs[Long]("event_id") == 1L).get
+    assert(e1.getAs[Long]("signature_id") == 1000001L)
+    assert(e1.getAs[Long]("generator_id") == 1L)
+    assert(e1.getAs[Long]("signature_revision") == 3L)
+    assert(e1.getAs[Long]("classification_id") == 2L)
+    assert(e1.getAs[Long]("priority_id") == 1L)
+    assert(e1.getAs[Int]("sport_itype") == 12345)
+    assert(e1.getAs[Int]("dport_icode") == 80)
+    assert(e1.getAs[Int]("protocol") == 6)
+    assert(e1.getAs[Long]("event_second") == 1700000000L)
+  }
+
+  test("u2_events assembles packets and extra data per alert") {
+    val ev = q("u2_events", sfDir).collect()
+    assert(ev.length == 6)
+    val byId = ev.map(r => r.getAs[Long]("event_id") -> r).toMap
+    assert(byId(1L).getAs[String]("src_ip") == "10.0.0.1")
+    assert(byId(1L).getAs[String]("dst_ip") == "192.168.1.10")
+    assert(byId(1L).getAs[Int]("n_packets") == 1)
+    assert(byId(4L).getAs[Int]("n_packets") == 2) // two-packet alert
+    assert(byId(5L).getAs[Int]("n_extra") == 1) // extra-data alert
+    assert(byId(6L).getAs[Int]("n_packets") == 0) // packet-less alert
+  }
+
+  test("map parsers recover sid/gen/class entries") {
+    val sig = q("sigmap_parse", sfDir).collect()
+    assert(sig.length == 3)
+    assert(sig.head.getAs[Long]("sid") == 1000001L)
+    assert(sig.head.getAs[String]("msg") == "WEB-MISC test http alert")
+    assert(sig.head.getSeq[String](sig.head.fieldIndex("refs")) ==
+      Seq("url,example.com"))
+    val gen = q("genmap_parse", sfDir).collect()
+    assert(gen.length == 2)
+    assert(gen.last.getAs[Long]("gid") == 116L)
+    val cls = q("classmap_parse", sfDir).collect()
+    assert(cls.length == 3)
+    assert(cls(1).getAs[Long]("class_id") == 2L)
+    assert(cls(1).getAs[String]("class_name") == "attempted-recon")
+    assert(cls(1).getAs[Long]("class_priority") == 2L)
+  }
+
+  test("sig_enrich applies map hits and Unknown Alert fallback") {
+    val rows = q("sig_enrich", sfDir).collect()
+    val byId = rows.map(r => r.getAs[Long]("event_id") -> r).toMap
+    assert(byId(1L).getAs[String]("sig_msg") == "WEB-MISC test http alert")
+    assert(byId(1L).getAs[Long]("sig_rev") == 3L)
+    // event 3 has unmapped sig 9999999 -> reference fallback values
+    assert(byId(3L).getAs[String]("sig_msg") == "Unknown Alert 1:9999999")
+    assert(byId(3L).getAs[Long]("sig_rev") == 0L)
+    assert(byId(3L).getAs[Long]("sig_priority") == 10L)
+  }
+
+  test("class_enrich applies names and unknown-classification fallback") {
+    val rows = q("class_enrich", sfDir).collect()
+    val byId = rows.map(r => r.getAs[Long]("event_id") -> r).toMap
+    assert(byId(1L).getAs[String]("class_name") == "attempted-recon")
+    // event 3 has class 0 (unmapped)
+    assert(byId(3L).getAs[String]("class_name") == "unknown-classification")
+  }
+
+  test("packet_decode extracts IP/TCP/UDP/ICMP headers") {
+    val rows = q("packet_decode", sfDir).collect()
+    assert(rows.length == 5)
+    val byEvent = rows.groupBy(_.getAs[Long]("event_id"))
+    val tcp = byEvent(1L).head
+    assert(tcp.getAs[Int]("ip_ver") == 4)
+    assert(tcp.getAs[Int]("ip_proto") == 6)
+    assert(tcp.getAs[String]("ip_src") == "10.0.0.1")
+    assert(tcp.getAs[String]("ip_dst") == "192.168.1.10")
+    assert(tcp.getAs[Int]("sport") == 12345)
+    assert(tcp.getAs[Int]("dport") == 80)
+    assert(tcp.getAs[Long]("tcp_seq") == 1000L)
+    assert(tcp.getAs[Long]("tcp_ack") == 2000L)
+    assert(tcp.getAs[Int]("tcp_flags") == 0x18)
+    assert(tcp.getAs[Int]("ip_ttl") == 64)
+    assert(new String(java.util.HexFormat.of()
+      .parseHex(tcp.getAs[String]("payload_hex"))) == "GET / HTTP/1.0")
+    val udp = byEvent(2L).head
+    assert(udp.getAs[Int]("ip_proto") == 17)
+    assert(udp.getAs[Int]("udp_len") == 20)
+    val icmp = byEvent(3L).head
+    assert(icmp.getAs[Int]("icmp_type") == 8)
+    assert(icmp.getAs[Int]("icmp_id") == 42)
+    assert(icmp.getAs[Int]("icmp_seq") == 7)
+  }
+
+  test("star_normalize assigns per-sensor consecutive cids, one per packet slot") {
+    val star = SnortStar.normalize(SnortOps.fixtureAlerts(spark))
+    val events = star("event").orderBy(col("cid")).collect()
+    // 6 alerts, one with 2 packets -> 7 event rows, cids 1..7
+    assert(events.length == 7)
+    assert(events.map(_.getAs[Long]("cid")).toSeq == (1L to 7L))
+    assert(events.map(_.getAs[Long]("sid")).distinct.toSeq == Seq(1L))
+    val ip = star("iphdr").collect()
+    assert(ip.length == 5) // one per decoded packet
+    val tcp = star("tcphdr").collect()
+    assert(tcp.length == 3) // events 1, 4 (x2)
+    assert(star("udphdr").count() == 1)
+    assert(star("icmphdr").count() == 1)
+    val data = star("data").collect()
+    assert(data.length == 5)
+    val sensors = star("sensor").collect()
+    assert(sensors.length == 1 &&
+      sensors.head.getAs[String]("sensor") == "sensor1")
+    val sigs = star("signature").collect()
+    assert(sigs.length == 4) // 3 mapped sigs + 1 unknown
+  }
+
+  test("star parquet sink roundtrips partitioned by sensor") {
+    val star = SnortStar.normalize(SnortOps.fixtureAlerts(spark))
+    val out = "target/star_out"
+    SnortStar.writeParquet(star, out)
+    val back = spark.read.parquet(s"$out/event")
+    assert(back.count() == 7)
+    assert(back.columns.contains("sid")) // partition column survives
+  }
+
+  test("u2_text renders u2fast-style lines") {
+    val rows = q("u2_text", sfDir).collect()
+    val line1 = rows.find(_.getAs[Long]("event_id") == 1L).get
+      .getAs[String]("line")
+    assert(line1.contains("[1:1000001:3] WEB-MISC test http alert"))
+    assert(line1.contains("[Classification: attempted-recon]"))
+    assert(line1.contains("[Priority: 1]"))
+    assert(line1.contains("{TCP} 10.0.0.1:12345 -> 192.168.1.10:80"))
+  }
+
+  test("inet functions roundtrip") {
+    val rows = q("inet_funcs", sfDir).limit(5).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("x") == r.getAs[Long]("rt"))
+      assert(r.getAs[String]("ip").split("\\.").length == 4)
+    }
+  }
+}
