@@ -55,20 +55,25 @@ object DedupOps {
     Entry(
       "dedup_minhash",
       // MinHash + LSH: 64 xxhash64 permutations over 3-word shingles,
-      // 32 bands x 2 rows (high recall at jaccard >= 0.5: a 2-row band
-      // matches with prob j^2, any of 32 with 1-(1-j^2)^32 ~ 1); docs
-      // sharing any band bucket are candidates; exact Jaccard >= 0.5
-      // within buckets confirms and removes false positives.
+      // 16 bands x 4 rows — the canonical banding for a ~0.5 Jaccard
+      // threshold ((1/16)^(1/4) ≈ 0.5): near-dup pairs match some band
+      // with prob 1-(1-j^4)^16 while low-similarity pairs almost never
+      // do, keeping the candidate set (and the bucket shuffle) small.
+      // Docs sharing any band bucket are candidates; exact Jaccard
+      // >= 0.5 within buckets confirms and removes false positives.
+      // Shingles/signatures are cached — they feed both the bucket join
+      // and the verification join.
       (s, dir) => {
-        val sh = shingled(s, dir)
+        val sh = shingled(s, dir).persist()
         val sig = sh.withColumn("sig",
           expr("transform(sequence(0, 63), " +
             "j -> array_min(transform(shingles, sng -> xxhash64(j, sng))))"))
         val banded = sig.select(col("doc_id"),
             posexplode(expr(
-              "transform(sequence(0, 31), b -> xxhash64(slice(sig, b * 2 + 1, 2)))"))
+              "transform(sequence(0, 15), b -> xxhash64(slice(sig, b * 4 + 1, 4)))"))
               .as(Seq("band", "bkey")))
           .select(col("band"), col("bkey"), col("doc_id"))
+          .persist()
         val pairs = pairsFromBuckets(banded, Seq("band", "bkey"))
         val sa = sh.toDF("a", "sh_a")
         val sb = sh.toDF("b", "sh_b")
@@ -124,6 +129,7 @@ object DedupOps {
               "i -> substring(text, i, 4)))"))
           .select(col("doc_id"), col("grams"),
             xxhash64(substring(col("text"), 1, 16)).as("blk"))
+          .persist()
         val l = grams.select(col("blk"), col("doc_id").as("a"),
           col("grams").as("g_a"))
         val r = grams.select(col("blk"), col("doc_id").as("b"),

@@ -30,9 +30,9 @@ class DedupSpec extends SparkSuite {
     assert(j01 == 1.0)
     val j02 = rows.find(r => r.getAs[Long]("a") == 0L &&
       r.getAs[Long]("b") == 2L).get.getAs[Double]("jaccard")
-    // one word differs -> 3 of the 13 distinct 3-shingles change;
-    // |A ∩ B| = 10, |A ∪ B| = 16
-    assert(math.abs(j02 - 10.0 / 16.0) < 1e-12, s"got $j02")
+    // one word differs -> 3 of the 26 distinct 3-shingles change;
+    // |A ∩ B| = 23, |A ∪ B| = 29
+    assert(math.abs(j02 - 23.0 / 29.0) < 1e-12, s"got $j02")
   }
 
   test("dedup_simhash finds the exact dup with hamming 0") {

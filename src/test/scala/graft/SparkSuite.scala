@@ -26,14 +26,18 @@ trait SparkSuite extends AnyFunSuite {
   * expected pairs instead of only invariants.
   */
 object Fixtures {
+  val baseText: String =
+    "the quick brown fox jumps over the lazy dog near the old river bank today " +
+      "while birds sing softly above the tall green trees and wind moves slowly"
+
   lazy val dir: String = {
     val d = "target/fixtures"
     val spark = SparkSession.getActiveSession.getOrElse(
       SparkSession.builder().master("local[4]").getOrCreate())
     import spark.implicits._
 
-    val base = "the quick brown fox jumps over the lazy dog near the old river bank today"
-    val near = "the quick brown fox jumps over the lazy cat near the old river bank today"
+    val base = baseText
+    val near = baseText.replace("lazy dog", "lazy cat")
     val docs = Seq(
       (0L, base, "en", "src0", base.length.toLong),
       (1L, base, "en", "src1", base.length.toLong), // exact dup of 0

@@ -2,20 +2,23 @@ package graft
 
 class TextSpec extends SparkSuite {
 
+  private val baseTokens = Fixtures.baseText.split(" ").filter(_.nonEmpty)
+  private val stop = Set("the", "a", "of", "and", "to", "in", "is")
+
   test("text_tokens counts whitespace and BPE-ish tokens") {
     val rows = q("text_tokens", Fixtures.dir).collect()
     val d0 = rows.find(_.getAs[Long]("doc_id") == 0L).get
-    // "the quick brown fox jumps over the lazy dog near the old river bank today"
-    assert(d0.getAs[Long]("n_ws_tokens") == 15L)
-    assert(d0.getAs[Long]("n_bpe_tokens") == 15L) // no punctuation
+    assert(d0.getAs[Long]("n_ws_tokens") == baseTokens.length.toLong)
+    assert(d0.getAs[Long]("n_bpe_tokens") == baseTokens.length.toLong) // no punctuation
   }
 
   test("text_quality ratios are exact") {
     val rows = q("text_quality", Fixtures.dir).collect()
     val d0 = rows.find(_.getAs[Long]("doc_id") == 0L).get
-    assert(d0.getAs[Long]("n_words") == 15L)
-    assert(d0.getAs[Long]("n_stop") == 3L) // "the" x3
-    assert(d0.getAs[Double]("stop_ratio") == 3.0 / 15.0)
+    val nStop = baseTokens.count(stop)
+    assert(d0.getAs[Long]("n_words") == baseTokens.length.toLong)
+    assert(d0.getAs[Long]("n_stop") == nStop.toLong)
+    assert(d0.getAs[Double]("stop_ratio") == nStop.toDouble / baseTokens.length)
     assert(d0.getAs[Long]("n_punct") == 0L)
   }
 
@@ -43,7 +46,7 @@ class TextSpec extends SparkSuite {
     val rows = q("mm_meta", Fixtures.dir).collect()
     assert(rows.length == 6)
     val d0 = rows.find(_.getAs[Long]("doc_id") == 0L).get
-    val text = "the quick brown fox jumps over the lazy dog near the old river bank today"
+    val text = Fixtures.baseText
     assert(d0.getAs[Long]("n_bytes") == text.length.toLong)
     assert(d0.getAs[Long]("checksum") ==
       text.getBytes("UTF-8").map(b => (b & 0xff).toLong).sum)
