@@ -163,17 +163,21 @@ object DedupOps {
               lit(1L << i)).otherwise(lit(0L))
           }.reduce(_ + _) + lit(ti.toLong << 32)
         }
+        // pre-normalize once per vector so the per-pair work is a
+        // single dot product (not dot + two norms)
         val keyed = t(s, dir, "embeddings")
-          .select(col("vec_id"), col("embedding"),
+          .withColumn("nv", Vectors.normalized(col("embedding")))
+          .select(col("vec_id"), col("nv"),
             explode(array(keys: _*)).as("bucket"))
+          .persist()
         val l = keyed.select(col("bucket"), col("vec_id").as("a"),
-          col("embedding").as("e_a"))
+          col("nv").as("e_a"))
         val r = keyed.select(col("bucket"), col("vec_id").as("b"),
-          col("embedding").as("e_b"))
+          col("nv").as("e_b"))
         l.join(r, "bucket")
           .filter(col("a") < col("b"))
           .select(col("a"), col("b"),
-            Vectors.cosine(col("e_a"), col("e_b")).as("cos"))
+            Vectors.dot(col("e_a"), col("e_b")).as("cos"))
           .filter(col("cos") >= 0.35)
           .distinct()
           .orderBy(col("a"), col("b"))

@@ -16,8 +16,10 @@ import graft.functions.Vectors
   */
 object SimilarityOps {
 
+  /** Corpus with unit-normalized vectors (cosine → bare dot later). */
   private def embeddings(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "embeddings")
+      .select(col("vec_id"), Vectors.normalized(col("embedding")).as("embedding"))
 
   /** Deterministic IVF "centroids": every 37th vector is a cell seed.
     * (Stands in for k-means iterations — the assignment/probe topology,
@@ -41,7 +43,7 @@ object SimilarityOps {
           .orderBy(col("sim").desc, col("vec_id"))
         emb.crossJoin(broadcast(q))
           .filter(col("vec_id") =!= col("qid"))
-          .withColumn("sim", Vectors.cosine(col("embedding"), col("qvec")))
+          .withColumn("sim", Vectors.dot(col("embedding"), col("qvec")))
           .withColumn("rank", row_number().over(w))
           .filter(col("rank") <= 5)
           .select(col("qid"), col("rank"), col("vec_id"), col("sim"))
@@ -63,7 +65,7 @@ object SimilarityOps {
         val wAssign = Window.partitionBy(col("vec_id"))
           .orderBy(col("csim").desc, col("cell"))
         val assigned = emb.crossJoin(broadcast(cen))
-          .withColumn("csim", Vectors.cosine(col("embedding"), col("cvec")))
+          .withColumn("csim", Vectors.dot(col("embedding"), col("cvec")))
           .withColumn("crank", row_number().over(wAssign))
           .filter(col("crank") === 1)
           .select(col("cell"), col("vec_id"), col("embedding"))
@@ -72,7 +74,7 @@ object SimilarityOps {
         val wProbe = Window.partitionBy(col("qid"))
           .orderBy(col("csim").desc, col("cell"))
         val probes = q.crossJoin(broadcast(cen))
-          .withColumn("csim", Vectors.cosine(col("qvec"), col("cvec")))
+          .withColumn("csim", Vectors.dot(col("qvec"), col("cvec")))
           .withColumn("crank", row_number().over(wProbe))
           .filter(col("crank") <= 4)
           .select(col("qid"), col("qvec"), col("cell"))
@@ -80,7 +82,7 @@ object SimilarityOps {
           .orderBy(col("sim").desc, col("vec_id"))
         assigned.join(broadcast(probes), "cell")
           .filter(col("vec_id") =!= col("qid"))
-          .withColumn("sim", Vectors.cosine(col("embedding"), col("qvec")))
+          .withColumn("sim", Vectors.dot(col("embedding"), col("qvec")))
           .withColumn("rank", row_number().over(wTop))
           .filter(col("rank") <= 5)
           .select(col("qid"), col("rank"), col("vec_id"), col("sim"))

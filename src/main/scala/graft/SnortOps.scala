@@ -19,23 +19,30 @@ import graft.sources.{Unified2, Unified2Fixture}
   */
 object SnortOps {
 
-  /** Fixture spool + maps → enriched alerts (the full ingest path). */
-  def fixtureAlerts(s: SparkSession): DataFrame = {
-    val root = Unified2Fixture.defaultRoot()
-    val spool = Unified2Fixture.writeSpool(s"$root/spool")
-    val (sid, gen, cls) = Unified2Fixture.writeMaps(s"$root/maps")
-    val recs = Unified2.records(s, Seq(spool), "snort.log", "sensor1")
-    Maps.enrichClassifications(
-      Maps.enrichSignatures(Unified2.alerts(recs),
-        Maps.combinedSigMap(s, sid, gen)),
-      Maps.classMap(s, cls))
-  }
+  // The fixture pipeline feeds many entries; cache per session so each
+  // Verify/Bench run parses and enriches the spool once.
+  private val recCache =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, DataFrame]()
+  private val alertCache =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, DataFrame]()
 
-  private def fixtureRecords(s: SparkSession): DataFrame = {
-    val spool = Unified2Fixture.writeSpool(
-      s"${Unified2Fixture.defaultRoot()}/spool")
-    Unified2.records(s, Seq(spool), "snort.log", "sensor1")
-  }
+  private def fixtureRecords(s: SparkSession): DataFrame =
+    recCache.computeIfAbsent(s, (s2: SparkSession) => {
+      val spool = Unified2Fixture.writeSpool(
+        s"${Unified2Fixture.defaultRoot()}/spool")
+      Unified2.records(s2, Seq(spool), "snort.log", "sensor1").persist()
+    })
+
+  /** Fixture spool + maps → enriched alerts (the full ingest path). */
+  def fixtureAlerts(s: SparkSession): DataFrame =
+    alertCache.computeIfAbsent(s, (s2: SparkSession) => {
+      val (sid, gen, cls) = Unified2Fixture.writeMaps(
+        s"${Unified2Fixture.defaultRoot()}/maps")
+      Maps.enrichClassifications(
+        Maps.enrichSignatures(Unified2.alerts(fixtureRecords(s2)),
+          Maps.combinedSigMap(s2, sid, gen)),
+        Maps.classMap(s2, cls)).persist()
+    })
 
   val entries: Seq[Entry] = Seq(
     Entry("u2_parse", (s, _) =>

@@ -17,4 +17,12 @@ object Vectors {
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Unit-normalized copy (as array<double>); pre-normalizing a corpus
+    * once turns every later cosine into a bare dot product.
+    */
+  def normalized(a: Column): Column = {
+    val n = norm(a)
+    transform(a, x => x.cast("double") / n)
+  }
 }
