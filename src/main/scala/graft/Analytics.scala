@@ -634,6 +634,33 @@ object Analytics {
         FROM t GROUP BY user_id, sess_id ORDER BY user_id, sess_id""")),
 
     Entry(
+      "q29_asof_join",
+      // Custom whole-operator (graft.plans.AsOfJoin): each purchase
+      // pairs with the user's most recent signup at-or-before it.
+      // Oracled against DuckDB's native ASOF LEFT JOIN.
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val p = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"),
+            unix_micros(col("ts").cast("timestamp")).as("p_us"))
+        val sg = ev.filter(col("event_type") === "signup")
+          .select(col("user_id").as("s_user_id"),
+            col("event_id").as("s_event_id"),
+            unix_micros(col("ts").cast("timestamp")).as("s_us"))
+        graft.plans.AsOf.join(p, sg, Seq("user_id"), "p_us",
+            Seq("s_user_id"), "s_us")
+          .select(col("event_id"), col("user_id"), col("p_us"),
+            col("s_event_id"), col("s_us"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT p.event_id, p.user_id, epoch_us(p.ts) AS p_us,
+        s.event_id AS s_event_id, epoch_us(s.ts) AS s_us
+        FROM (SELECT * FROM events WHERE event_type='purchase') p
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type='signup') s
+        ON p.user_id = s.user_id AND p.ts >= s.ts
+        ORDER BY p.event_id""")),
+
+    Entry(
       "q28_approx_distinct",
       (s, dir) =>
         t(s, dir, "events")

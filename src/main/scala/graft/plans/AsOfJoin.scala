@@ -1,0 +1,161 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.graft.DatasetBridge
+
+/** AS-OF JOIN as a full custom operator — the preference-(c) path from
+  * SURVEY.md §4: Spark SQL has no as-of join (DuckDB/kdb/pandas do),
+  * and it is not expressible as a composition of built-in joins without
+  * an O(n·m) range join or a window over the unioned streams. Semantics
+  * match DuckDB's `ASOF LEFT JOIN ... ON l.k = r.k AND l.ts >= r.ts`:
+  * each left row pairs with the right row of the same key having the
+  * greatest ts <= left.ts, or nulls.
+  *
+  * Physical strategy: both sides hash-partitioned on the key
+  * (`requiredChildDistribution`) and sorted by (key, ts)
+  * (`requiredChildOrdering`) — Spark inserts the exchanges/sorts — then
+  * a single streaming merge per partition: O(n+m), constant memory
+  * (one retained right row), no buffering of either side. The same
+  * plan shape scales to 1000 executors: one shuffle per side, then
+  * partition-local merges.
+  */
+case class AsOfJoinPlan(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTs: Expression,
+    rightTs: Expression)
+  extends BinaryNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): LogicalPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+case class AsOfJoinExec(
+    left: SparkPlan,
+    right: SparkPlan,
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTs: Expression,
+    rightTs: Expression)
+  extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    (leftKeys :+ leftTs).map(SortOrder(_, org.apache.spark.sql.catalyst.expressions.Ascending)),
+    (rightKeys :+ rightTs).map(SortOrder(_, org.apache.spark.sql.catalyst.expressions.Ascending)))
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lOut = left.output
+    val rOut = right.output
+    val lKeyExprs = leftKeys
+    val rKeyExprs = rightKeys
+    val lTsExpr = leftTs
+    val rTsExpr = rightTs
+    val keyTypes = leftKeys.map(_.dataType)
+    val outAttrs = output
+
+    left.execute().zipPartitions(right.execute()) { (lIt, rIt) =>
+      val lKeyProj = UnsafeProjection.create(lKeyExprs, lOut)
+      val rKeyProj = UnsafeProjection.create(rKeyExprs, rOut)
+      val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
+      val lTsBound = BindReferences.bindReference(lTsExpr, lOut)
+      val rTsBound = BindReferences.bindReference(rTsExpr, rOut)
+      // bind against nullable right attrs: unmatched left rows carry an
+      // all-null right side even where the child schema is non-nullable
+      val resultProj = UnsafeProjection.create(outAttrs,
+        lOut ++ rOut.map(_.withNullability(true)))
+      val joined = new JoinedRow
+      val nullRight = new GenericInternalRow(rOut.size)
+      val rBuf = rIt.buffered
+
+      var lastMatch: InternalRow = null
+      var lastKey: InternalRow = null
+
+      lIt.map { lRow =>
+        val lKey = lKeyProj(lRow)
+        val lTsV = lTsBound.eval(lRow).asInstanceOf[Long]
+        var advancing = true
+        while (advancing && rBuf.hasNext) {
+          val rRow = rBuf.head
+          val rKey = rKeyProj(rRow)
+          val c = keyOrd.compare(rKey, lKey)
+          if (c < 0 ||
+              (c == 0 && rTsBound.eval(rRow).asInstanceOf[Long] <= lTsV)) {
+            lastMatch = rRow.copy()
+            lastKey = rKey.copy()
+            rBuf.next()
+          } else advancing = false
+        }
+        val r =
+          if (lastKey != null && keyOrd.compare(lastKey, lKey) == 0) lastMatch
+          else nullRight
+        resultProj(joined(lRow, r))
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): SparkPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+object AsOfStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Session extension registering the as-of strategy (for
+  * `spark.builder.withExtensions(new GraftExtensions)` deployments;
+  * [[AsOf.join]] also self-registers via experimental strategies).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    e.injectPlannerStrategy(_ => AsOfStrategy)
+}
+
+object AsOf {
+  /** As-of join `left` to `right` on equal `keys` with the greatest
+    * `rightTsCol` <= `leftTsCol` (left outer). Right column names must
+    * not collide with left's — alias them first.
+    */
+  def join(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTsCol: String, rightKeys: Seq[String],
+      rightTsCol: String): DataFrame = {
+    val spark = left.sparkSession
+    if (!spark.experimental.extraStrategies.contains(AsOfStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsOfStrategy
+    val lPlan = left.queryExecution.analyzed
+    val rPlan = right.queryExecution.analyzed
+    def attr(p: LogicalPlan, n: String): Attribute =
+      p.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(s"column $n not found"))
+    DatasetBridge.ofRows(spark, AsOfJoinPlan(
+      lPlan, rPlan,
+      keys.map(attr(lPlan, _)), rightKeys.map(attr(rPlan, _)),
+      attr(lPlan, leftTsCol), attr(rPlan, rightTsCol)))
+  }
+}
