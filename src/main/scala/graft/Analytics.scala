@@ -668,6 +668,97 @@ object Analytics {
           .agg(approx_count_distinct(col("user_id")).as("approx_users"),
             count(lit(1)).as("n"))
           .orderBy(col("event_type")),
-      None)
+      None),
+
+    Entry(
+      "q30_cube",
+      (s, dir) =>
+        t(s, dir, "orders")
+          .cube(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .select(
+            coalesce(col("o_orderstatus"), lit("__ALL__")).as("status"),
+            coalesce(col("o_orderpriority"), lit("__ALL__")).as("priority"),
+            col("n"), col("total"))
+          .orderBy(col("status"), col("priority")),
+      Some("""SELECT COALESCE(o_orderstatus, '__ALL__') AS status,
+        COALESCE(o_orderpriority, '__ALL__') AS priority,
+        COUNT(*) AS n,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+        FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        ORDER BY status, priority""")),
+
+    Entry(
+      "q31_arrays",
+      // collect/sort/join array aggregation (LISTAGG shape): per
+      // nation, the sorted set of market segments its customers span.
+      (s, dir) =>
+        t(s, dir, "customer")
+          .groupBy(col("c_nationkey"))
+          .agg(
+            concat_ws(",", array_sort(collect_set(col("c_mktsegment"))))
+              .as("segments"),
+            size(collect_set(col("c_mktsegment"))).cast("long").as("n_seg"))
+          .orderBy(col("c_nationkey")),
+      Some("""SELECT c_nationkey,
+        array_to_string(list_sort(list(DISTINCT c_mktsegment)), ',') AS segments,
+        CAST(len(list(DISTINCT c_mktsegment)) AS BIGINT) AS n_seg
+        FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""")),
+
+    Entry(
+      "q32_explode",
+      // lateral explode / unnest: word frequencies across part names.
+      (s, dir) =>
+        t(s, dir, "part")
+          .select(explode(split(col("p_name"), " ")).as("w"))
+          .groupBy(col("w"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("w")),
+      Some("""SELECT w, COUNT(*) AS n FROM (
+          SELECT unnest(string_split(p_name, ' ')) AS w FROM part)
+        GROUP BY w ORDER BY w""")),
+
+    Entry(
+      "q34_null_funcs",
+      (s, dir) =>
+        t(s, dir, "orders")
+          .filter(col("o_orderkey") < 200)
+          .select(
+            col("o_orderkey"),
+            nullif(col("o_orderstatus"), lit("O")).as("non_open"),
+            coalesce(nullif(col("o_orderstatus"), lit("O")), lit("OPEN"))
+              .as("status_label"),
+            least(col("o_totalprice"), lit(100000.0)).as("capped"),
+            greatest(col("o_totalprice"), lit(100000.0)).as("floored"))
+          .orderBy(col("o_orderkey")),
+      Some("""SELECT o_orderkey,
+        NULLIF(o_orderstatus, 'O') AS non_open,
+        COALESCE(NULLIF(o_orderstatus, 'O'), 'OPEN') AS status_label,
+        LEAST(o_totalprice, 100000.0) AS capped,
+        GREATEST(o_totalprice, 100000.0) AS floored
+        FROM orders WHERE o_orderkey < 200 ORDER BY o_orderkey""")),
+
+    Entry(
+      "q35_salted_agg",
+      // Skew-mitigation pattern: salt the grouping key, partial-
+      // aggregate per (key, salt), then combine — identical result to
+      // the direct aggregation (the oracle), two balanced shuffles
+      // instead of one hot-key shuffle. Exact decimal partials make
+      // the re-aggregation lossless.
+      (s, dir) => {
+        val salted = t(s, dir, "events")
+          .withColumn("salt", pmod(xxhash64(col("event_id")), lit(8)))
+          .groupBy(col("event_type"), col("salt"))
+          .agg(sum(dec(col("value"))).as("part_sum"),
+            count(lit(1)).as("part_n"))
+        salted.groupBy(col("event_type"))
+          .agg(sum(col("part_sum")).cast("double").as("total"),
+            sum(col("part_n")).as("n"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type,
+        CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total,
+        COUNT(*) AS n
+        FROM events GROUP BY event_type ORDER BY event_type"""))
   )
 }
