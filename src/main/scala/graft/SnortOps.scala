@@ -55,8 +55,8 @@ object SnortOps {
           col("event_second"), col("event_microsecond"), col("event_ts"),
           col("signature_id"), col("generator_id"), col("signature_revision"),
           col("classification_id"), col("priority_id"),
-          Net.inet_ntoa(Net.bytesToU32(col("ip_source"))).as("src_ip"),
-          Net.inet_ntoa(Net.bytesToU32(col("ip_destination"))).as("dst_ip"),
+          Net.ipToString(col("ip_source")).as("src_ip"),
+          Net.ipToString(col("ip_destination")).as("dst_ip"),
           col("sport_itype"), col("dport_icode"), col("protocol"),
           size(col("packets")).as("n_packets"),
           size(col("extra")).as("n_extra"))

@@ -34,4 +34,11 @@ object Net {
 
   /** binascii.hexlify equivalent: binary → lowercase hex string. */
   def hexlify(c: Column): Column = lower(hex(c))
+
+  /** Render a unified2 address blob: dotted quad for 4-byte IPv4,
+    * lowercase hex for 16-byte IPv6 (keeps ANSI-mode arithmetic off
+    * the 128-bit path).
+    */
+  def ipToString(c: Column): Column =
+    when(length(c) === 4, inet_ntoa(bytesToU32(c))).otherwise(hexlify(c))
 }

@@ -70,7 +70,7 @@ object SnortStar {
       .withColumn("d", expr("graft_decode_packet(pkt.packet_data)"))
       .select(col("sid"), col("cid"), col("d.*"))
 
-    val iphdr = dec.filter(col("ip_ver").isNotNull)
+    val iphdr = dec.filter(col("ip_ver") === 4) // snorby iphdr stores u32 addresses
       .select(col("sid"), col("cid"),
         Net.inet_aton(col("ip_src")).as("ip_src"),
         Net.inet_aton(col("ip_dst")).as("ip_dst"),
@@ -150,9 +150,9 @@ object SnortStar {
           .when(col("protocol") === 1, "ICMP")
           .otherwise(col("protocol").cast("string")),
         lit("} "),
-        Net.inet_ntoa(Net.bytesToU32(col("ip_source"))), lit(":"),
+        Net.ipToString(col("ip_source")), lit(":"),
         col("sport_itype"), lit(" -> "),
-        Net.inet_ntoa(Net.bytesToU32(col("ip_destination"))), lit(":"),
+        Net.ipToString(col("ip_destination")), lit(":"),
         col("dport_icode")).as("line"))
 
   /** Parquet sink for the star tables, partitioned by sensor id — the

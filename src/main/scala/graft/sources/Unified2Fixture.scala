@@ -75,6 +75,43 @@ object Unified2Fixture {
     record(Unified2.EventV2, b.array())
   }
 
+  def eventIp6V2(sensor: Int, eventId: Int, second: Long, sig: Int, gen: Int,
+      rev: Int, cls: Int, prio: Int, src: Array[Byte], dst: Array[Byte],
+      sport: Int, dport: Int, proto: Int): Array[Byte] = {
+    val b = ByteBuffer.allocate(84)
+    b.putInt(sensor).putInt(eventId).putInt(second.toInt).putInt(500000)
+    b.putInt(sig).putInt(gen).putInt(rev).putInt(cls).putInt(prio)
+    b.put(src).put(dst) // 16 bytes each
+    b.putShort(sport.toShort).putShort(dport.toShort)
+    b.put(proto.toByte).put(1.toByte).put(0.toByte).put(0.toByte)
+    b.putInt(0).putShort(0).putShort(0) // mpls, vlan, pad
+    record(Unified2.EventIp6V2, b.array())
+  }
+
+  /** Minimal ethernet/IPv6/TCP packet. */
+  def ipv6Packet(srcIp: Array[Byte], dstIp: Array[Byte], sport: Int,
+      dport: Int, payload: Array[Byte]): Array[Byte] = {
+    val tcp = ByteBuffer.allocate(20 + payload.length)
+    tcp.putShort(sport.toShort).putShort(dport.toShort)
+    tcp.putInt(7000).putInt(8000)
+    tcp.put(0x50.toByte).put(0x18.toByte)
+    tcp.putShort(4096.toShort).putShort(0xfeed.toShort).putShort(0)
+    tcp.put(payload)
+    val ip6 = ByteBuffer.allocate(40 + tcp.position())
+    ip6.putInt(0x60000000) // v6, tc 0, flow 0
+    ip6.putShort(tcp.position().toShort) // payload length
+    ip6.put(6.toByte) // next header TCP
+    ip6.put(64.toByte) // hop limit
+    ip6.put(srcIp).put(dstIp)
+    ip6.put(tcp.array(), 0, tcp.position())
+    val eth = ByteBuffer.allocate(14 + ip6.position())
+    eth.put(Array[Byte](2, 0, 0, 0, 0, 1))
+    eth.put(Array[Byte](2, 0, 0, 0, 0, 2))
+    eth.putShort(0x86dd.toShort)
+    eth.put(ip6.array(), 0, ip6.position())
+    eth.array()
+  }
+
   def packet(sensor: Int, eventId: Int, second: Long,
       data: Array[Byte]): Array[Byte] = {
     val b = ByteBuffer.allocate(28 + data.length)
@@ -134,6 +171,14 @@ object Unified2Fixture {
     f2.put(extraData(1, 5, t0 + 40, 9, "http://evil.example/".getBytes))
     f2.put(eventV2(1, 6, t0 + 50, 1000002, 1, 1, 3, 2, ip(10, 0, 1, 3),
       ip(192, 168, 2, 30), 2222, 22, 6)) // no packet, no extra
+    val v6src = Array[Byte](0x20, 0x01, 0x0d, 0xb8.toByte, 0, 0, 0, 0,
+      0, 0, 0, 0, 0, 0, 0, 1)
+    val v6dst = Array[Byte](0x20, 0x01, 0x0d, 0xb8.toByte, 0, 0, 0, 0,
+      0, 0, 0, 0, 0, 0, 0, 2)
+    f2.put(eventIp6V2(1, 7, t0 + 70, 1000001, 1, 3, 2, 1, v6src, v6dst,
+      40000, 443, 6)) // ipv6 alert
+    f2.put(packet(1, 7, t0 + 70,
+      ipv6Packet(v6src, v6dst, 40000, 443, "V6DATA".getBytes)))
     Files.write(dir.resolve("snort.log.1700000060"),
       java.util.Arrays.copyOf(f2.array(), f2.position()))
     baseDir

@@ -13,10 +13,11 @@ class SnortSpec extends SparkSuite {
 
   test("u2_parse recovers planted record structure") {
     val recs = q("u2_parse", sfDir).collect()
-    // 6 events + 5 packets + 1 extra-data
-    assert(recs.length == 12)
+    // 6 ipv4 events + 1 ipv6 event + 6 packets + 1 extra-data
+    assert(recs.length == 14)
     assert(recs.count(_.getAs[Int]("rec_type") == Unified2.EventV2) == 6)
-    assert(recs.count(_.getAs[Int]("rec_type") == Unified2.Packet) == 5)
+    assert(recs.count(_.getAs[Int]("rec_type") == Unified2.EventIp6V2) == 1)
+    assert(recs.count(_.getAs[Int]("rec_type") == Unified2.Packet) == 6)
     assert(recs.count(_.getAs[Int]("rec_type") == Unified2.ExtraData) == 1)
     val e1 = recs.find(r => r.getAs[Int]("rec_type") == Unified2.EventV2 &&
       r.getAs[Long]("event_id") == 1L).get
@@ -33,7 +34,7 @@ class SnortSpec extends SparkSuite {
 
   test("u2_events assembles packets and extra data per alert") {
     val ev = q("u2_events", sfDir).collect()
-    assert(ev.length == 6)
+    assert(ev.length == 7)
     val byId = ev.map(r => r.getAs[Long]("event_id") -> r).toMap
     assert(byId(1L).getAs[String]("src_ip") == "10.0.0.1")
     assert(byId(1L).getAs[String]("dst_ip") == "192.168.1.10")
@@ -41,6 +42,9 @@ class SnortSpec extends SparkSuite {
     assert(byId(4L).getAs[Int]("n_packets") == 2) // two-packet alert
     assert(byId(5L).getAs[Int]("n_extra") == 1) // extra-data alert
     assert(byId(6L).getAs[Int]("n_packets") == 0) // packet-less alert
+    // ipv6 alert renders as hex
+    assert(byId(7L).getAs[String]("src_ip") ==
+      "20010db8000000000000000000000001")
   }
 
   test("map parsers recover sid/gen/class entries") {
@@ -81,7 +85,7 @@ class SnortSpec extends SparkSuite {
 
   test("packet_decode extracts IP/TCP/UDP/ICMP headers") {
     val rows = q("packet_decode", sfDir).collect()
-    assert(rows.length == 5)
+    assert(rows.length == 6)
     val byEvent = rows.groupBy(_.getAs[Long]("event_id"))
     val tcp = byEvent(1L).head
     assert(tcp.getAs[Int]("ip_ver") == 4)
@@ -103,23 +107,31 @@ class SnortSpec extends SparkSuite {
     assert(icmp.getAs[Int]("icmp_type") == 8)
     assert(icmp.getAs[Int]("icmp_id") == 42)
     assert(icmp.getAs[Int]("icmp_seq") == 7)
+    val v6 = byEvent(7L).head
+    assert(v6.getAs[Int]("ip_ver") == 6)
+    assert(v6.getAs[Int]("ip_proto") == 6)
+    assert(v6.getAs[String]("ip_src") == "2001:db8:0:0:0:0:0:1")
+    assert(v6.getAs[Int]("sport") == 40000)
+    assert(v6.getAs[Int]("dport") == 443)
+    assert(new String(java.util.HexFormat.of()
+      .parseHex(v6.getAs[String]("payload_hex"))) == "V6DATA")
   }
 
   test("star_normalize assigns per-sensor consecutive cids, one per packet slot") {
     val star = SnortStar.normalize(SnortOps.fixtureAlerts(spark))
     val events = star("event").orderBy(col("cid")).collect()
-    // 6 alerts, one with 2 packets -> 7 event rows, cids 1..7
-    assert(events.length == 7)
-    assert(events.map(_.getAs[Long]("cid")).toSeq == (1L to 7L))
+    // 7 alerts, one with 2 packets -> 8 event rows, cids 1..8
+    assert(events.length == 8)
+    assert(events.map(_.getAs[Long]("cid")).toSeq == (1L to 8L))
     assert(events.map(_.getAs[Long]("sid")).distinct.toSeq == Seq(1L))
     val ip = star("iphdr").collect()
-    assert(ip.length == 5) // one per decoded packet
+    assert(ip.length == 5) // ipv4 packets only (snorby u32 schema)
     val tcp = star("tcphdr").collect()
-    assert(tcp.length == 3) // events 1, 4 (x2)
+    assert(tcp.length == 4) // events 1, 4 (x2), 7 (ipv6 tcp)
     assert(star("udphdr").count() == 1)
     assert(star("icmphdr").count() == 1)
     val data = star("data").collect()
-    assert(data.length == 5)
+    assert(data.length == 6)
     val sensors = star("sensor").collect()
     assert(sensors.length == 1 &&
       sensors.head.getAs[String]("sensor") == "sensor1")
@@ -132,7 +144,7 @@ class SnortSpec extends SparkSuite {
     val out = "target/star_out"
     SnortStar.writeParquet(star, out)
     val back = spark.read.parquet(s"$out/event")
-    assert(back.count() == 7)
+    assert(back.count() == 8)
     assert(back.columns.contains("sid")) // partition column survives
   }
 

@@ -47,7 +47,7 @@ class StreamSpec extends SparkSuite {
 
   test("u2_stream parses the full fixture spool") {
     val rows = q("u2_stream", sfDir).collect()
-    assert(rows.length == 12)
+    assert(rows.length == 14)
     assert(rows.count(_.getAs[Int]("rec_type") == Unified2.EventV2) == 6)
   }
 
@@ -70,10 +70,10 @@ class StreamSpec extends SparkSuite {
 
     drain()
     val n1 = spark.read.parquet(out).count()
-    assert(n1 == 12)
+    assert(n1 == 14)
 
     drain() // nothing new: checkpoint must prevent reprocessing
-    assert(spark.read.parquet(out).count() == 12)
+    assert(spark.read.parquet(out).count() == 14)
 
     // rollover: a NEW spool file appears; only its records are appended
     val extra = Unified2Fixture.eventV2(1, 99, 1700000100L, 1000001, 1, 3,
@@ -82,7 +82,7 @@ class StreamSpec extends SparkSuite {
     Files.write(Paths.get(spool, "snort.log.1700000100"), extra)
     drain()
     val all = spark.read.parquet(out)
-    assert(all.count() == 13)
+    assert(all.count() == 15)
     assert(all.filter(col("event_id") === 99L).count() == 1)
   }
 }
