@@ -719,6 +719,21 @@ object Analytics {
         GROUP BY w ORDER BY w""")),
 
     Entry(
+      "q33_regexp_extract_all",
+      (s, dir) =>
+        t(s, dir, "part")
+          .groupBy(col("p_brand"))
+          .agg(
+            sum(size(regexp_extract_all(col("p_name"), lit("[a-z]+"), lit(0))))
+              .as("n_alpha_tokens"),
+            count(lit(1)).as("n_parts"))
+          .orderBy(col("p_brand")),
+      Some("""SELECT p_brand,
+        CAST(SUM(len(regexp_extract_all(p_name, '[a-z]+'))) AS BIGINT) AS n_alpha_tokens,
+        COUNT(*) AS n_parts
+        FROM part GROUP BY p_brand ORDER BY p_brand""")),
+
+    Entry(
       "q34_null_funcs",
       (s, dir) =>
         t(s, dir, "orders")

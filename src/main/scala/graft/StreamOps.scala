@@ -151,6 +151,40 @@ object StreamOps {
         FROM t GROUP BY user_id, sess_id ORDER BY user_id, sess_id""")),
 
     Entry(
+      "stream_stream_join",
+      // Watermarked stream-stream interval join: purchases joined to
+      // the same user's signups within the preceding hour. State on
+      // both sides is bounded by the watermark + time-range condition;
+      // the drained result equals the batch interval join (the oracle).
+      (s, dir) => {
+        val p = eventStream(s, dir)
+          .filter(col("event_type") === "purchase")
+          .withWatermark("ts", "1 hour")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val sg = eventStream(s, dir)
+          .filter(col("event_type") === "signup")
+          .withWatermark("ts", "1 hour")
+          .select(col("event_id").as("s_event_id"),
+            col("user_id").as("s_user_id"), col("ts").as("s_ts"))
+        val joined = p.join(sg,
+          col("user_id") === col("s_user_id") &&
+            col("s_ts") >= col("ts") - expr("INTERVAL 1 HOUR") &&
+            col("s_ts") <= col("ts"))
+        runOnce(s, joined, OutputMode.Append())
+          .select(col("event_id"), col("user_id"),
+            unix_micros(col("ts")).as("p_us"),
+            col("s_event_id"), unix_micros(col("s_ts")).as("s_us"))
+          .orderBy(col("event_id"), col("s_event_id"))
+      },
+      Some("""SELECT p.event_id, p.user_id, epoch_us(p.ts) AS p_us,
+        s.event_id AS s_event_id, epoch_us(s.ts) AS s_us
+        FROM (SELECT * FROM events WHERE event_type='purchase') p
+        JOIN (SELECT * FROM events WHERE event_type='signup') s
+        ON p.user_id = s.user_id
+          AND s.ts >= p.ts - INTERVAL 1 HOUR AND s.ts <= p.ts
+        ORDER BY p.event_id, s.event_id""")),
+
+    Entry(
       "u2_stream",
       // Unified2 spool follow as a stream: AvailableNow drain of the
       // fixture spool through the streaming parser. SpoolStreamSpec
