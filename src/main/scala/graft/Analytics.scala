@@ -532,42 +532,59 @@ object Analytics {
     Entry(
       "q24_stats",
       (s, dir) => {
-        // stddev/corr rebuilt from exact decimal sums so both engines do
-        // the identical double arithmetic on identical exact inputs.
+        // stddev/corr rebuilt from exact decimal sums. Every multiply/
+        // subtract stays in exact DECIMAL arithmetic; doubles appear
+        // only for the final sqrt/divide — otherwise the engines can
+        // disagree by one ulp when one compiler fuses a*b-c*d into an
+        // FMA (observed against DuckDB at sf0.001).
+        // tight casts so every decimal product fits precision 38 with
+        // no scale loss: qty <= 50.00 -> (4,2), price < 1e6 -> (8,2),
+        // group count < 1e10 -> (10,0)
         val li = t(s, dir, "lineitem")
+        import org.apache.spark.sql.types.DecimalType
+        val qd = col("l_quantity").cast(DecimalType(4, 2))
+        val pd = col("l_extendedprice").cast(DecimalType(8, 2))
+        val nd = count(lit(1)).cast(DecimalType(10, 0))
         li.groupBy(col("l_returnflag"))
           .agg(
-            count(lit(1)).cast("double").as("n"),
-            sum(col("l_quantity")).as("sx"),
-            sum(col("l_quantity") * col("l_quantity")).as("sxx"),
-            dsum(col("l_extendedprice")).as("sy"),
-            sum(dec(col("l_extendedprice")) * dec(col("l_extendedprice")))
-              .cast("double").as("syy"),
-            sum(dec(col("l_quantity")) * dec(col("l_extendedprice")))
-              .cast("double").as("sxy"))
+            count(lit(1)).as("nl"),
+            nd.as("n"),
+            sum(qd).as("sx"),
+            sum(qd * qd).as("sxx"),
+            sum(pd).as("sy"),
+            sum(pd * pd).as("syy"),
+            sum(qd * pd).as("sxy"))
           .select(
             col("l_returnflag"),
-            col("n"),
-            sqrt((col("sxx") - col("sx") * col("sx") / col("n")) /
-              (col("n") - lit(1.0))).as("std_qty"),
-            ((col("n") * col("sxy") - col("sx") * col("sy")) /
-              (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
-                sqrt(col("n") * col("syy") - col("sy") * col("sy"))))
+            col("nl").cast("double").as("n"),
+            sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+              .cast("double") /
+              (col("nl").cast("double") * (col("nl") - 1).cast("double")))
+              .as("std_qty"),
+            ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+              (sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+                .cast("double")) *
+               sqrt((col("n") * col("syy") - col("sy") * col("sy"))
+                .cast("double"))))
               .as("corr_qty_price"))
           .orderBy(col("l_returnflag"))
       },
       Some("""WITH m AS (
           SELECT l_returnflag,
-            CAST(COUNT(*) AS DOUBLE) AS n,
-            SUM(l_quantity) AS sx,
-            SUM(l_quantity * l_quantity) AS sxx,
-            CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
-            CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syy,
-            CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy
+            COUNT(*) AS nl,
+            CAST(COUNT(*) AS DECIMAL(10,0)) AS n,
+            SUM(CAST(l_quantity AS DECIMAL(4,2))) AS sx,
+            SUM(CAST(l_quantity AS DECIMAL(4,2)) * CAST(l_quantity AS DECIMAL(4,2))) AS sxx,
+            SUM(CAST(l_extendedprice AS DECIMAL(8,2))) AS sy,
+            SUM(CAST(l_extendedprice AS DECIMAL(8,2)) * CAST(l_extendedprice AS DECIMAL(8,2))) AS syy,
+            SUM(CAST(l_quantity AS DECIMAL(4,2)) * CAST(l_extendedprice AS DECIMAL(8,2))) AS sxy
           FROM lineitem GROUP BY l_returnflag)
-        SELECT l_returnflag, n,
-          sqrt((sxx - sx * sx / n) / (n - 1.0)) AS std_qty,
-          (n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_qty_price
+        SELECT l_returnflag, CAST(nl AS DOUBLE) AS n,
+          sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+            / (CAST(nl AS DOUBLE) * CAST(nl - 1 AS DOUBLE))) AS std_qty,
+          CAST(n * sxy - sx * sy AS DOUBLE)
+            / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+               * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS corr_qty_price
         FROM m ORDER BY l_returnflag""")),
 
     Entry(
