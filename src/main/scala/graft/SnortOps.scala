@@ -123,6 +123,27 @@ object SnortOps {
       None),
 
     Entry(
+      "u2_bulk_ingest",
+      // Ingest throughput benchmark: 60k alerts (event+packet) across
+      // 16 spool files through the FULL pipeline — parse, assembly,
+      // map enrichment, star-schema cid assignment — returning the
+      // event fact table. This is the reference's entire job measured
+      // end-to-end; parse parallelism is one task per file.
+      (s, _) => {
+        val spool = Unified2Fixture.writeBulkSpool(
+          s"${Unified2Fixture.defaultRoot()}/bulk", 60000, 16)
+        val (sid, gen, cls) = Unified2Fixture.writeMaps(
+          s"${Unified2Fixture.defaultRoot()}/maps")
+        val recs = Unified2.records(s, Seq(spool), "snort.log", "bulk1")
+        val alerts = Maps.enrichClassifications(
+          Maps.enrichSignatures(Unified2.alerts(recs),
+            Maps.combinedSigMap(s, sid, gen)),
+          Maps.classMap(s, cls))
+        SnortStar.normalize(alerts)("event")
+      },
+      None),
+
+    Entry(
       "inet_funcs",
       // inet_ntoa/inet_aton roundtrip over synthetic u32 addresses
       // derived from lineitem keys — DuckDB-oracled.

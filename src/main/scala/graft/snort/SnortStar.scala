@@ -46,11 +46,16 @@ object SnortStar {
       .withColumn("cid_base",
         coalesce(sum(col("n_pkts")).over(wCid), lit(0L)) + lit(1L))
       .join(broadcast(sensorDim), "sensor")
-      .join(broadcast(sigDim.select(col("sig_id"),
-          col("s_gid"), col("s_sid"), col("s_rev"), col("s_msg"))),
+      // join on the FULL signature uniqueness key (incl. class and
+      // priority) — the reference's signature upsert key; a partial
+      // key fans out when one sid occurs with several priorities
+      .join(broadcast(sigDim),
         col("generator_id") === col("s_gid") &&
           col("signature_id") === col("s_sid") &&
-          col("sig_rev") === col("s_rev") && col("sig_msg") === col("s_msg"))
+          col("sig_rev") === col("s_rev") &&
+          col("classification_id") === col("s_class_id") &&
+          col("sig_priority") === col("s_priority") &&
+          col("sig_msg") === col("s_msg"))
       .withColumn("timestamp",
         date_format(to_utc_timestamp(col("event_ts"), "UTC"),
           "yyyy-MM-dd HH:mm:ss"))

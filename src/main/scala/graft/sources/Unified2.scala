@@ -167,12 +167,18 @@ object Unified2 {
       .withColumn("sensor", lit(sensor))
   }
 
-  /** Assemble alerts: each event row + its packets + extra-data blobs,
-    * correlated on (sensor_id, event_id, event_second). Packets keep
-    * (packet_second, packet_microsecond, rec_index) order inside the
-    * collected list via array_sort on a struct key.
+  /** Assemble alerts: each event row + its packets + extra-data blobs.
+    * Correlation keys include the logical sensor AND the source file —
+    * snort emits an event's PACKET/EXTRA_DATA records into the same
+    * spool file, and (sensor_id, event_id) sequences are NOT unique
+    * across snort instances or logical sensors (each instance restarts
+    * its counter; the reference avoids collisions only because it runs
+    * one reader per spool). Packets keep record order inside the
+    * collected list via sort_array on the rec_index-led struct.
     */
   def alerts(records: DataFrame): DataFrame = {
+    val keys = Seq("sensor", "src_file", "sensor_id", "event_id",
+      "event_second")
     val ev = records.filter(col("rec_type").isin(EventV1, EventV2,
         EventIp6V1, EventIp6V2))
       .select(col("sensor"), col("src_file"), col("rec_index"),
@@ -183,17 +189,17 @@ object Unified2 {
         col("sport_itype"), col("dport_icode"), col("protocol"),
         col("impact_flag"), col("blocked"))
     val pk = records.filter(col("rec_type") === Packet)
-      .groupBy(col("sensor_id"), col("event_id"), col("event_second"))
+      .groupBy(keys.map(col): _*)
       .agg(sort_array(collect_list(struct(
         col("rec_index"), col("packet_second"), col("packet_microsecond"),
         col("linktype"), col("packet_data")))).as("packets"))
     val xd = records.filter(col("rec_type") === ExtraData)
-      .groupBy(col("sensor_id"), col("event_id"), col("event_second"))
+      .groupBy(keys.map(col): _*)
       .agg(sort_array(collect_list(struct(
         col("rec_index"), col("extra_type"), col("extra_data_type"),
         col("extra_blob")))).as("extra"))
-    ev.join(pk, Seq("sensor_id", "event_id", "event_second"), "left_outer")
-      .join(xd, Seq("sensor_id", "event_id", "event_second"), "left_outer")
+    ev.join(pk, keys, "left_outer")
+      .join(xd, keys, "left_outer")
       .withColumn("event_ts", timestamp_seconds(
         col("event_second") + col("event_microsecond") / lit(1000000.0)))
   }

@@ -219,4 +219,35 @@ object Unified2Fixture {
     Files.createDirectories(d)
     d.toString
   }
+
+  /** Bulk spool for ingest throughput benchmarking: `nAlerts` TCP
+    * alerts (event + packet records) spread over `nFiles` files.
+    * Deterministic; written once and reused (size-stamped marker).
+    */
+  def writeBulkSpool(baseDir: String, nAlerts: Int, nFiles: Int): String = {
+    val dir = Paths.get(baseDir)
+    Files.createDirectories(dir)
+    val marker = dir.resolve(s".complete-$nAlerts-$nFiles")
+    if (Files.exists(marker)) return baseDir
+    val perFile = math.max(nAlerts / nFiles, 1)
+    val t0 = 1700000000L
+    var id = 0
+    for (f <- 0 until nFiles) {
+      val buf = ByteBuffer.allocate(perFile * 256)
+      for (_ <- 0 until perFile) {
+        id += 1
+        val src = ip(10, (id >> 16) & 0xff, (id >> 8) & 0xff, id & 0xff)
+        val dst = ip(192, 168, (id >> 8) & 0xff, id & 0xff)
+        buf.put(eventV2(1, id, t0 + id, 1000001 + (id % 3), 1, 3,
+          1 + (id % 3), 1 + (id % 4), src, dst, 1024 + (id % 60000),
+          80, 6))
+        buf.put(packet(1, id, t0 + id, ipv4Packet(6, src, dst,
+          1024 + (id % 60000), 80, s"payload-$id".getBytes)))
+      }
+      Files.write(dir.resolve(f"snort.log.${t0 + f}%d"),
+        java.util.Arrays.copyOf(buf.array(), buf.position()))
+    }
+    Files.createFile(marker)
+    baseDir
+  }
 }
