@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import Tables._
-import graft.functions.{SimHash64, Vectors}
+import graft.functions.{RewriteJaccard, SimHash64, Vectors}
 
 /** Deduplication operators (SURVEY.md §2.C). All near-dup variants use
   * LSH-style bucketing so candidate generation is ONE hash-shuffle on
@@ -18,6 +18,14 @@ object DedupOps {
   /** Non-empty whitespace tokens of `text`. */
   private def tokensOf(c: Column): Column =
     filter(split(c, " "), x => length(x) > lit(0))
+
+  /** Install the Jaccard rewrite rule (size∘intersect / size∘union →
+    * single-pass JaccardSim) into this session's optimizer.
+    */
+  private def withJaccardRewrite(s: SparkSession): Unit =
+    if (!s.experimental.extraOptimizations.contains(RewriteJaccard))
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+ RewriteJaccard
 
   /** doc_id + word-3-shingle distinct set. */
   private def shingled(s: SparkSession, dir: String): DataFrame =
@@ -64,6 +72,7 @@ object DedupOps {
       // Shingles/signatures are cached — they feed both the bucket join
       // and the verification join.
       (s, dir) => {
+        withJaccardRewrite(s)
         val sh = shingled(s, dir).persist()
         val sig = sh.withColumn("sig",
           expr("transform(sequence(0, 63), " +
@@ -123,6 +132,7 @@ object DedupOps {
       // MinHash-LSH above is the general-scale path; prefix blocking is
       // the cheap variant when near-dups share document heads.
       (s, dir) => {
+        withJaccardRewrite(s)
         val grams = t(s, dir, "documents")
           .withColumn("grams",
             expr("array_distinct(transform(sequence(1, greatest(length(text) - 3, 1)), " +

@@ -132,8 +132,10 @@ object AsOfStrategy extends SparkStrategy {
   * [[AsOf.join]] also self-registers via experimental strategies).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => AsOfStrategy)
+    e.injectOptimizerRule(_ => graft.functions.RewriteJaccard)
+  }
 }
 
 object AsOf {
