@@ -1,9 +1,12 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types._
 
+import graft.functions.Net
+import graft.snort.Maps
 import graft.sources.Unified2
 
 /** Structured-streaming unified2 spool ingestion — the reference's
@@ -39,5 +42,39 @@ object Spool {
       .flatMap { case (path, bytes) => Unified2.parseFile(path, bytes) }
       .toDF()
       .withColumn("sensor", lit(sensor))
+  }
+
+  /** The complete charlotte-equivalent ingest loop as one call: follow
+    * a spool, assemble + enrich alerts, append to a parquet sink. The
+    * rule maps are RE-READ inside every micro-batch — the Spark-native
+    * form of the reference's mtime-triggered rehash
+    * (/root/reference/charlotte/__init__.py:182-199): edit
+    * sid-msg.map on disk and the NEXT batch enriches with it, no
+    * restart. Runs one AvailableNow drain; call again after new files
+    * appear (or swap the trigger for continuous operation).
+    */
+  def ingestOnce(spark: SparkSession, dirs: Seq[String], prefix: String,
+      sensor: String, sigMapPath: String, genMapPath: String,
+      classMapPath: String, outPath: String, checkpoint: String): Unit = {
+    val q = streamRecords(spark, dirs, prefix, sensor)
+      .writeStream
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        val alerts = Maps.enrichClassifications(
+          Maps.enrichSignatures(Unified2.alerts(batch),
+            Maps.combinedSigMap(spark, sigMapPath, genMapPath)),
+          Maps.classMap(spark, classMapPath))
+        alerts.select(col("sensor"), col("event_id"), col("event_second"),
+            col("signature_id"), col("generator_id"), col("sig_msg"),
+            col("sig_rev"), col("sig_priority"), col("class_name"),
+            Net.ipToString(col("ip_source")).as("src_ip"),
+            Net.ipToString(col("ip_destination")).as("dst_ip"),
+            col("sport_itype"), col("dport_icode"), col("protocol"))
+          .write.mode("append").parquet(outPath)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
   }
 }
