@@ -66,7 +66,11 @@ object SnortOps {
     Entry("sigmap_parse", (s, _) => {
       val (sid, _, _) = Unified2Fixture.writeMaps(
         s"${Unified2Fixture.defaultRoot()}/maps")
-      Maps.sigMap(s, sid).orderBy(col("sid"))
+      // refs is array<string> in the library API; the verify harness
+      // compares flat columns, so render it as a csv column here.
+      Maps.sigMap(s, sid)
+        .withColumn("refs", array_join(col("refs"), ","))
+        .orderBy(col("sid"))
     }, None),
 
     Entry("genmap_parse", (s, _) => {

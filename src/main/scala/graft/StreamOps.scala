@@ -34,6 +34,21 @@ object StreamOps {
     s.table(name)
   }
 
+  /** As [[runOnce]] but with a checkpoint, so the final state-store
+    * contents can be read back afterwards (state data source).
+    */
+  private def runOnceCheckpointed(s: SparkSession, df: DataFrame,
+      mode: OutputMode): (DataFrame, String) = {
+    val name = s"graft_stream_${counter.incrementAndGet()}"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory(s"graft_ckpt_$name").toString
+    val query = df.writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", ckpt)
+      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+    query.awaitTermination()
+    (s.table(name), ckpt)
+  }
+
   /** events table as a stream (same nanos→µs convention as Tables.t). */
   private def eventStream(s: SparkSession, dir: String): DataFrame = {
     // file stream sources take a directory; select the events table
@@ -52,33 +67,63 @@ object StreamOps {
   case class Sess(user_id: Long, sess_id: Long, n_events: Long,
       start_us: Long, end_us: Long, sess_value: Double)
 
-  /** Emit 30-min-gap sessions for one user's buffered events. Exact
-    * decimal accumulation keeps sess_value identical to the SQL
-    * oracle's DECIMAL sum regardless of event order.
+  /** Per-key state carried across micro-batches: the still-open session.
+    * Value is accumulated as exact cents (each event rounded HALF_UP to
+    * 2 decimals, like the oracle's DECIMAL(12,2) sum), so emission order
+    * and batch boundaries can't perturb the double result.
     */
-  def sessionsOf(userId: Long, events: Iterator[SessEv]): Iterator[Sess] = {
+  case class OpenSess(sess_id: Long, n_events: Long,
+      start_us: Long, end_us: Long, cents: Long)
+
+  private def cents(v: Double): Long =
+    (BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP) * 100)
+      .toLongExact
+
+  /** One flatMapGroupsWithState step: merge this batch's events (sorted
+    * in event-time) into the open session from [[GroupState]], EMIT the
+    * sessions that a >30-min gap closes, and carry the still-open
+    * session (with its running session counter) back into state — so
+    * sessions genuinely span micro-batches (ADVICE r1). Requires per-key
+    * event-time-ordered batch delivery (true for spool-style sources);
+    * late cross-batch events would need watermark+buffer semantics.
+    */
+  def sessionStep(userId: Long, events: Iterator[SessEv],
+      state: GroupState[OpenSess]): Iterator[Sess] = {
     val sorted = events.toSeq.sortBy(e => (e.us, e.event_id))
     if (sorted.isEmpty) Iterator.empty
     else {
       val out = Seq.newBuilder[Sess]
-      var sessId = 0L
-      var n = 0L
-      var start = 0L; var end = 0L
-      var value = BigDecimal(0)
-      def flush(): Unit = if (n > 0)
-        out += Sess(userId, sessId, n, start, end, value.toDouble)
+      var open: OpenSess = state.getOption.orNull
+      def close(o: OpenSess): Unit =
+        out += Sess(userId, o.sess_id, o.n_events, o.start_us, o.end_us,
+          o.cents / 100.0)
       sorted.foreach { e =>
-        if (n == 0 || e.us - end > 1800000000L) {
-          flush()
-          sessId += 1; n = 0; start = e.us; value = BigDecimal(0)
-        }
-        n += 1; end = e.us
-        value += BigDecimal(e.value).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+        val c = cents(e.value)
+        if (open == null)
+          open = OpenSess(1L, 1L, e.us, e.us, c)
+        else if (e.us - open.end_us > 1800000000L) {
+          close(open)
+          open = OpenSess(open.sess_id + 1, 1L, e.us, e.us, c)
+        } else
+          open = open.copy(n_events = open.n_events + 1, end_us = e.us,
+            cents = open.cents + c)
       }
-      flush()
+      state.update(open)
       out.result().iterator
     }
   }
+
+  /** The open sessions left in the state store after a bounded drain,
+    * read back via Spark's state data source — the streaming-native way
+    * to flush tail sessions when the source is known exhausted.
+    */
+  def openSessions(s: SparkSession, checkpoint: String): DataFrame =
+    s.read.format("statestore").option("path", checkpoint).load()
+      .select(col("key.value").as("user_id"),
+        col("value.groupState.sess_id"), col("value.groupState.n_events"),
+        col("value.groupState.start_us"), col("value.groupState.end_us"),
+        (col("value.groupState.cents").cast("double") / 100.0)
+          .as("sess_value"))
 
   val entries: Seq[Entry] = Seq(
     Entry(
@@ -120,7 +165,11 @@ object StreamOps {
     Entry(
       "stream_session",
       // Custom stateful operator: flatMapGroupsWithState session
-      // windows (30-min gap), keyed by user. Oracled against the SAME
+      // windows (30-min gap), keyed by user, with the OPEN session (and
+      // its session counter) carried across micro-batches in GroupState.
+      // Closed sessions stream out in Append mode; after the bounded
+      // drain the still-open tail sessions are recovered from the
+      // checkpoint via the state data source. Oracled against the SAME
       // SQL as the batch sessionization (q27) — the streaming operator
       // must reproduce the declarative result exactly.
       (s, dir) => {
@@ -131,11 +180,10 @@ object StreamOps {
           .as[SessEv]
         val sessions = evs.groupByKey(_.user_id)
           .flatMapGroupsWithState(OutputMode.Append,
-            GroupStateTimeout.NoTimeout) {
-            (uid: Long, it: Iterator[SessEv], state: GroupState[Int]) =>
-              sessionsOf(uid, it)
-          }
-        runOnce(s, sessions.toDF(), OutputMode.Append())
+            GroupStateTimeout.NoTimeout)(sessionStep _)
+        val (closed, ckpt) =
+          runOnceCheckpointed(s, sessions.toDF(), OutputMode.Append())
+        closed.unionByName(openSessions(s, ckpt))
           .orderBy(col("user_id"), col("sess_id"))
       },
       Some("""WITH e AS (
@@ -193,6 +241,26 @@ object StreamOps {
         val spool = Unified2Fixture.writeSpool(
           s"${Unified2Fixture.defaultRoot()}/spool")
         val recs = Spool.streamRecords(s, Seq(spool), "snort.log", "sensor1")
+        runOnce(s, recs.select(col("sensor"), col("src_file"),
+            col("rec_index"), col("rec_type"), col("event_id"),
+            col("signature_id")), OutputMode.Append())
+          .orderBy(col("src_file"), col("rec_index"))
+      },
+      None),
+
+    Entry(
+      "u2_tail",
+      // Tailing DSv2 spool source (graft.streaming.SpoolTail): per-file
+      // BYTE-OFFSET bookmarks in the offset log, so the active file
+      // snort is still appending is followed across micro-batches —
+      // the reference's record-level bookmark semantics, which the
+      // built-in once-per-file source can't express. SpoolTailSpec
+      // proves torn-tail handling, mid-file growth and restart resume.
+      (s, _) => {
+        val spool = Unified2Fixture.writeSpool(
+          s"${Unified2Fixture.defaultRoot()}/spool")
+        val recs = graft.streaming.SpoolTail.streamRecords(
+          s, Seq(spool), "snort.log", "sensor1")
         runOnce(s, recs.select(col("sensor"), col("src_file"),
             col("rec_index"), col("rec_type"), col("event_id"),
             col("signature_id")), OutputMode.Append())

@@ -87,8 +87,12 @@ object TextOps {
             df.withColumn(s"score_$lang",
               size(filter(col("w"), x => x.isin(prof.map(x => x: Any): _*))))
         }
-        val best = profiles.map { case (lang, _) =>
-          struct(col(s"score_$lang").as("score"), lit(lang).as("lang"))
+        // Tie-break genuinely in profile order: greatest() compares the
+        // struct lexicographically, so (score, -profile_index) makes an
+        // earlier profile win equal scores (a no-profile-word doc → "en").
+        val best = profiles.zipWithIndex.map { case ((lang, _), i) =>
+          struct(col(s"score_$lang").as("score"),
+            lit(-i).as("prio"), lit(lang).as("lang"))
         }
         scored
           .withColumn("pred", greatest(best: _*).getField("lang"))

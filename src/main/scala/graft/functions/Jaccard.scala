@@ -43,7 +43,15 @@ case class JaccardSim(left: Expression, right: Expression)
       i += 1
     }
     val union = lSet.size + rDistinct - inter
-    if (union == 0) 0.0 else inter.toDouble / union.toDouble
+    if (union == 0) {
+      // Two empty arrays: match Divide(0, 0) exactly so the optimizer
+      // rewrite is value-identical — NULL in default mode, the standard
+      // divide-by-zero error under ANSI (ADVICE r1).
+      if (org.apache.spark.sql.internal.SQLConf.get.ansiEnabled)
+        throw org.apache.spark.sql.graft.DatasetBridge
+          .divideByZeroError(origin.context)
+      else null
+    } else inter.toDouble / union.toDouble
   }
 
   override protected def withNewChildrenInternal(

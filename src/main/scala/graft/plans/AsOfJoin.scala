@@ -91,25 +91,39 @@ case class AsOfJoinExec(
       var lastMatch: InternalRow = null
       var lastKey: InternalRow = null
 
+      // NULL semantics follow DuckDB ASOF (ADVICE r1): a left row with
+      // NULL ts or a NULL key component matches nothing (nulls emitted);
+      // right rows with NULL ts or NULL keys are never candidates.
       lIt.map { lRow =>
         val lKey = lKeyProj(lRow)
-        val lTsV = lTsBound.eval(lRow).asInstanceOf[Long]
-        var advancing = true
-        while (advancing && rBuf.hasNext) {
-          val rRow = rBuf.head
-          val rKey = rKeyProj(rRow)
-          val c = keyOrd.compare(rKey, lKey)
-          if (c < 0 ||
-              (c == 0 && rTsBound.eval(rRow).asInstanceOf[Long] <= lTsV)) {
-            lastMatch = rRow.copy()
-            lastKey = rKey.copy()
-            rBuf.next()
-          } else advancing = false
+        val lTsAny = lTsBound.eval(lRow)
+        if (lTsAny == null || lKey.anyNull) {
+          resultProj(joined(lRow, nullRight))
+        } else {
+          val lTsV = lTsAny.asInstanceOf[Long]
+          var advancing = true
+          while (advancing && rBuf.hasNext) {
+            val rRow = rBuf.head
+            val rKey = rKeyProj(rRow)
+            val c = keyOrd.compare(rKey, lKey)
+            if (c < 0) {
+              rBuf.next() // earlier key: drain, never a match for lKey
+            } else if (c == 0) {
+              val rTsAny = rTsBound.eval(rRow)
+              if (rTsAny == null || rKey.anyNull) {
+                rBuf.next() // null ts/key: excluded from candidacy
+              } else if (rTsAny.asInstanceOf[Long] <= lTsV) {
+                lastMatch = rRow.copy()
+                lastKey = rKey.copy()
+                rBuf.next()
+              } else advancing = false
+            } else advancing = false
+          }
+          val r =
+            if (lastKey != null && keyOrd.compare(lastKey, lKey) == 0) lastMatch
+            else nullRight
+          resultProj(joined(lRow, r))
         }
-        val r =
-          if (lastKey != null && keyOrd.compare(lastKey, lKey) == 0) lastMatch
-          else nullRight
-        resultProj(joined(lRow, r))
       }
     }
   }
@@ -155,9 +169,25 @@ object AsOf {
     def attr(p: LogicalPlan, n: String): Attribute =
       p.output.find(_.name == n).getOrElse(
         throw new IllegalArgumentException(s"column $n not found"))
+    // The merge unboxes ts as Long: accept only long-backed types up
+    // front instead of a runtime ClassCastException (ADVICE r1).
+    def checkTs(a: Attribute): Attribute = a.dataType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.TimestampNTZType => a
+      case dt => throw new IllegalArgumentException(
+        s"as-of ts column ${a.name} must be LONG/TIMESTAMP, got $dt " +
+          "(cast int/date columns explicitly first)")
+    }
+    val lKeys = keys.map(attr(lPlan, _))
+    val rKeys = rightKeys.map(attr(rPlan, _))
+    lKeys.zip(rKeys).foreach { case (a, b) =>
+      if (a.dataType != b.dataType) throw new IllegalArgumentException(
+        s"as-of key type mismatch: ${a.name}:${a.dataType} vs " +
+          s"${b.name}:${b.dataType}")
+    }
     DatasetBridge.ofRows(spark, AsOfJoinPlan(
-      lPlan, rPlan,
-      keys.map(attr(lPlan, _)), rightKeys.map(attr(rPlan, _)),
-      attr(lPlan, leftTsCol), attr(rPlan, rightTsCol)))
+      lPlan, rPlan, lKeys, rKeys,
+      checkTs(attr(lPlan, leftTsCol)), checkTs(attr(rPlan, rightTsCol))))
   }
 }

@@ -76,12 +76,20 @@ object Unified2 {
 
   /** Parse one spool file's bytes into records. Tolerates a truncated
     * trailing record (files are read while snort appends — the
-    * reference's SpoolEventReader does the same).
+    * reference's SpoolEventReader does the same). NOTE: with the
+    * once-per-file stream source a dropped tail is dropped forever —
+    * use [[graft.streaming.SpoolTail]] to follow growing files.
     */
-  def parseFile(file: String, bytes: Array[Byte]): Seq[U2Record] = {
+  def parseFile(file: String, bytes: Array[Byte]): Seq[U2Record] =
+    parseRange(file, bytes, 0)
+
+  /** As [[parseFile]] but numbering records from `baseIdx` — the entry
+    * point for resumed mid-file reads (byte-offset bookmarks).
+    */
+  def parseRange(file: String, bytes: Array[Byte], baseIdx: Int): Seq[U2Record] = {
     val buf = ByteBuffer.wrap(bytes)
     val out = Seq.newBuilder[U2Record]
-    var idx = 0
+    var idx = baseIdx
     while (buf.remaining() >= 8) {
       val recType = buf.getInt()
       val len = buf.getInt()

@@ -26,7 +26,18 @@ object Spool {
     StructField("length", LongType),
     StructField("content", BinaryType)))
 
-  /** Streaming record feed for one sensor spool (N directories). */
+  /** Streaming record feed for one sensor spool (N directories).
+    *
+    * File-source semantics: each file is read EXACTLY ONCE, at first
+    * discovery. Records appended to a file after that read are never
+    * seen — so this feed is only lossless over ROLLED-OVER (closed)
+    * spool files, i.e. run snort with rollover and treat the newest
+    * `snort.log.*` per directory as not-yet-ingestable (ADVICE r1).
+    * [[SpoolTail]] is the tailing alternative: a DSv2 micro-batch
+    * source with per-file byte-offset bookmarks that follows the
+    * active file across batches, like the reference's record-level
+    * bookmark reader (/root/reference/charlotte/__init__.py:108-120).
+    */
   def streamRecords(spark: SparkSession, dirs: Seq[String], prefix: String,
       sensor: String): DataFrame = {
     import spark.implicits._

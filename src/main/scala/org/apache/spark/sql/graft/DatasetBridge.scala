@@ -11,4 +11,10 @@ import org.apache.spark.sql.classic
 object DatasetBridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** The engine's standard ANSI divide-by-zero error (QueryExecutionErrors
+    * is private[sql]), so custom expressions fail identically to `Divide`.
+    */
+  def divideByZeroError(context: org.apache.spark.QueryContext): ArithmeticException =
+    org.apache.spark.sql.errors.QueryExecutionErrors.divideByZeroError(context)
 }

@@ -29,6 +29,25 @@ class JaccardRewriteSpec extends SparkSuite {
     assert(got(2) == 1.0) // distinct sets both {a,b}
   }
 
+  test("two empty arrays match Divide semantics: NULL (non-ANSI) / error (ANSI)") {
+    install()
+    def jac() = Seq((Seq.empty[String], Seq.empty[String])).toDF("l", "r")
+      // non-literal path (repartition) so constant folding can't hide eval
+      .repartition(1)
+      .select((size(array_intersect(col("l"), col("r"))).cast("double") /
+        size(array_union(col("l"), col("r")))).as("j"))
+      .collect()
+    val ansiKey = "spark.sql.ansi.enabled"
+    val prev = spark.conf.get(ansiKey)
+    try {
+      spark.conf.set(ansiKey, "false")
+      assert(jac().head.isNullAt(0), "0/0 must be NULL in non-ANSI mode")
+      spark.conf.set(ansiKey, "true")
+      val err = intercept[Exception](jac())
+      assert(err.getMessage.toLowerCase.contains("divide"), err.getMessage)
+    } finally spark.conf.set(ansiKey, prev)
+  }
+
   test("optimizer rewrites size(intersect)/size(union) to graft_jaccard_sim") {
     install()
     val docs = Tables.t(spark, sfDir, "documents")

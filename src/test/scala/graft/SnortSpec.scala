@@ -52,8 +52,7 @@ class SnortSpec extends SparkSuite {
     assert(sig.length == 3)
     assert(sig.head.getAs[Long]("sid") == 1000001L)
     assert(sig.head.getAs[String]("msg") == "WEB-MISC test http alert")
-    assert(sig.head.getSeq[String](sig.head.fieldIndex("refs")) ==
-      Seq("url,example.com"))
+    assert(sig.head.getAs[String]("refs") == "url,example.com")
     val gen = q("genmap_parse", sfDir).collect()
     assert(gen.length == 2)
     assert(gen.last.getAs[Long]("gid") == 116L)
