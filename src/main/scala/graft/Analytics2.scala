@@ -1,0 +1,182 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import Tables._
+
+/** Round-2 widening of the relational core (SURVEY.md §2.B): grouping
+  * sets, banded interval join, lead/lag, first/last/nth, ntile
+  * bucketing, event-time range frames — each DuckDB-oracled.
+  *
+  * Scale notes as in [[Analytics]]; the interval join is the canonical
+  * banded rewrite (equi-join on a time bin + exact range filter) so the
+  * planner gets a shuffle hash join instead of a broadcast nested loop —
+  * the difference between O(n+m) and O(n·m) at 100 TB.
+  */
+object Analytics2 {
+
+  val entries: Seq[Entry] = Seq(
+    Entry(
+      "q36_grouping_sets",
+      // GROUPING SETS {(rf,ls), (rf), ()} in one pass — the general
+      // form of rollup/cube (q21/q30), Dataset.groupingSets API.
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .groupingSets(
+            Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+              Seq(col("l_returnflag")), Seq()),
+            col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("qty"))
+          .select(
+            coalesce(col("l_returnflag"), lit("__ALL__")).as("rf"),
+            coalesce(col("l_linestatus"), lit("__ALL__")).as("ls"),
+            col("n"), col("qty"))
+          .orderBy(col("rf"), col("ls")),
+      Some("""SELECT COALESCE(l_returnflag, '__ALL__') AS rf,
+        COALESCE(l_linestatus, '__ALL__') AS ls,
+        COUNT(*) AS n, SUM(l_quantity) AS qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+          (l_returnflag), ())
+        ORDER BY rf, ls""")),
+
+    Entry(
+      "q37_range_join",
+      // Interval join via BANDING: views count in the 10 minutes before
+      // each purchase. A raw θ-join on the range predicate plans as a
+      // nested loop; bucketing both sides by a 10-min bin and exploding
+      // the probe side to (bin-1, bin) turns it into an equi shuffle
+      // join + cheap residual filter — each view lands in exactly one
+      // bin so no dedup is needed. Scale: shuffle is O(n+m) on the bin
+      // key; band width = range width keeps candidates tight.
+      (s, dir) => {
+        val B = 600000000L // 10 min in µs
+        val ev = t(s, dir, "events")
+          .select(col("event_id"), col("event_type"),
+            unix_micros(col("ts")).as("us"))
+        val p = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("p_id"), col("us").as("p_us"),
+            expr(s"us DIV $B").as("p_bin"))
+        val v = ev.filter(col("event_type") === "view")
+          .select(col("event_id").as("v_id"), col("us").as("v_us"),
+            expr(s"us DIV $B").as("v_bin"))
+        val counts = p
+          .withColumn("probe_bin",
+            explode(array(col("p_bin") - 1, col("p_bin"))))
+          .join(v, col("probe_bin") === col("v_bin"))
+          .filter(col("v_us") >= col("p_us") - B &&
+            col("v_us") <= col("p_us"))
+          .groupBy(col("p_id")).agg(count(col("v_id")).as("n_views"))
+        p.join(counts, Seq("p_id"), "left_outer")
+          .select(col("p_id").as("event_id"),
+            coalesce(col("n_views"), lit(0L)).as("n_views"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT p.event_id,
+        CAST(COUNT(v.event_id) AS BIGINT) AS n_views
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+          ON epoch_us(v.ts) BETWEEN epoch_us(p.ts) - 600000000
+             AND epoch_us(p.ts)
+        GROUP BY p.event_id ORDER BY p.event_id""")),
+
+    Entry(
+      "q38_lead_lag",
+      // lag/lead navigation: per-user gap to the previous event and the
+      // type of the next one. One shuffle on user_id.
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("us"), col("event_id"))
+        t(s, dir, "events")
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts")).as("us"), col("event_type"))
+          .withColumn("gap_prev_us", col("us") - lag(col("us"), 1).over(w))
+          .withColumn("next_type", lead(col("event_type"), 1).over(w))
+          .select(col("user_id"), col("event_id"), col("gap_prev_us"),
+            col("next_type"))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      Some("""SELECT user_id, event_id,
+        epoch_us(ts) - LAG(epoch_us(ts), 1) OVER w AS gap_prev_us,
+        LEAD(event_type, 1) OVER w AS next_type
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        ORDER BY user_id, event_id""")),
+
+    Entry(
+      "q39_first_last",
+      // first_value / last_value / nth_value over an unbounded frame,
+      // collapsed to one row per user.
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("us"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        t(s, dir, "events")
+          .select(col("user_id"), unix_micros(col("ts")).as("us"),
+            col("event_id"), col("event_type"))
+          .select(col("user_id"),
+            first(col("event_type")).over(w).as("first_type"),
+            last(col("event_type")).over(w).as("last_type"),
+            nth_value(col("event_type"), 2).over(w).as("second_type"))
+          .distinct()
+          .orderBy(col("user_id"))
+      },
+      Some("""SELECT DISTINCT user_id,
+        first_value(event_type) OVER w AS first_type,
+        last_value(event_type) OVER w AS last_type,
+        nth_value(event_type, 2) OVER w AS second_type
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        ORDER BY user_id""")),
+
+    Entry(
+      "q40_ntile",
+      // ntile quartiles of customers by balance WITHIN each nation
+      // (partitioned ranking — no global sort bottleneck), then a
+      // per-(nation, quartile) profile.
+      (s, dir) => {
+        val w = Window.partitionBy(col("c_nationkey"))
+          .orderBy(col("c_acctbal").desc, col("c_custkey"))
+        t(s, dir, "customer")
+          .withColumn("quartile", ntile(4).over(w))
+          .groupBy(col("c_nationkey"), col("quartile"))
+          .agg(count(lit(1)).as("n_cust"),
+            dsum(col("c_acctbal")).as("bal"))
+          .orderBy(col("c_nationkey"), col("quartile"))
+      },
+      Some("""WITH q AS (SELECT c_nationkey, c_acctbal,
+          NTILE(4) OVER (PARTITION BY c_nationkey
+            ORDER BY c_acctbal DESC, c_custkey) AS quartile
+        FROM customer)
+        SELECT c_nationkey, quartile, COUNT(*) AS n_cust,
+          CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS bal
+        FROM q GROUP BY c_nationkey, quartile
+        ORDER BY c_nationkey, quartile""")),
+
+    Entry(
+      "q41_range_frame",
+      // Event-time RANGE frame: per-user trailing-1-hour spend at every
+      // event (peers at the same instant share the frame). The frame is
+      // on the µs long, so both engines bound it identically.
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+          .rangeBetween(-3600000000L, 0)
+        t(s, dir, "events")
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts")).as("us"), col("value"))
+          .withColumn("trail_1h",
+            sum(dec(col("value"))).over(w).cast("double"))
+          .select(col("user_id"), col("event_id"), col("us"),
+            col("trail_1h"))
+          .orderBy(col("user_id"), col("us"), col("event_id"))
+      },
+      Some("""SELECT user_id, event_id, epoch_us(ts) AS us,
+        CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER
+          (PARTITION BY user_id ORDER BY epoch_us(ts)
+           RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+          AS DOUBLE) AS trail_1h
+        FROM events ORDER BY user_id, us, event_id"""))
+  )
+}

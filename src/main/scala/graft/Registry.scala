@@ -13,7 +13,8 @@ final case class Entry(
 
 object Registry {
   def all: Seq[Entry] =
-    Analytics.entries ++ TextOps.entries ++ DedupOps.entries ++
+    Analytics.entries ++ Analytics2.entries ++ SketchOps.entries ++
+      TextOps.entries ++ DedupOps.entries ++
       SimilarityOps.entries ++ MultimodalOps.entries ++
       SnortOps.entries ++ StreamOps.entries
 }

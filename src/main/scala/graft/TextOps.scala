@@ -122,6 +122,76 @@ object TextOps {
             array_min(col("fps")).as("fp_min"),
             array_max(col("fps")).as("fp_max"))
           .orderBy(col("doc_id")),
+      None),
+
+    Entry(
+      "text_tfidf",
+      // TF-IDF term salience, integer-exact: top-3 terms per document
+      // ranked by (tf DESC, df ASC, term) — the same ordering as
+      // tf·log(N/df) for any monotone idf, but with no transcendental
+      // in the output so the DuckDB twin hashes identically. Shuffles:
+      // one on (doc, term), one broadcast-sized df join back.
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val tf = t(s, dir, "documents")
+          .select(col("doc_id"),
+            explode(words(lower(col("text")))).as("term"))
+          .groupBy(col("doc_id"), col("term"))
+          .agg(count(lit(1)).as("tf"))
+        val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        val w = Window.partitionBy(col("doc_id"))
+          .orderBy(col("tf").desc, col("df").asc, col("term"))
+        tf.join(df, Seq("term"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .select(col("doc_id"), col("term"), col("tf"), col("df"),
+            col("rank").cast("long").as("rank"))
+          .orderBy(col("doc_id"), col("rank"))
+      },
+      Some("""WITH tok AS (SELECT doc_id,
+          unnest(list_filter(string_split(lower(text), ' '),
+            x -> len(x) > 0)) AS term FROM documents),
+        tf AS (SELECT doc_id, term, COUNT(*) AS tf
+          FROM tok GROUP BY doc_id, term),
+        df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        r AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+            ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+              ORDER BY tf.tf DESC, df.df ASC, tf.term) AS rank
+          FROM tf JOIN df USING (term))
+        SELECT doc_id, term, tf, df, CAST(rank AS BIGINT) AS rank
+        FROM r WHERE rank <= 3 ORDER BY doc_id, rank""")),
+
+    Entry(
+      "text_bm25",
+      // BM25 retrieval scoring (k1=1.2, b=0.75) for a fixed query term
+      // set over the documents table — per-doc tf against broadcast df
+      // + avgdl scalars, one (doc,term) shuffle, top-20. Rows-only
+      // (transcendental idf has no cross-engine-exact SQL twin);
+      // TextAndKnnSpec pins the formula on planted fixtures.
+      (s, dir) => {
+        val query = Seq("the", "data", "and")
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"), words(lower(col("text"))).as("w"))
+          .withColumn("dl", size(col("w")).cast("double"))
+        val stats = docs.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl"))
+          .head()
+        val (n, avgdl) = (stats.getLong(0).toDouble, stats.getDouble(1))
+        val tf = docs
+          .select(col("doc_id"), col("dl"), explode(col("w")).as("term"))
+          .filter(col("term").isin(query: _*))
+          .groupBy(col("doc_id"), col("dl"), col("term"))
+          .agg(count(lit(1)).cast("double").as("tf"))
+        val df = tf.groupBy(col("term"))
+          .agg(countDistinct(col("doc_id")).cast("double").as("df"))
+        val idf = log((lit(n) - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+        tf.join(broadcast(df.withColumn("idf", idf)), Seq("term"))
+          .withColumn("contrib", col("idf") * col("tf") * (lit(1.2) + 1.0) /
+            (col("tf") + lit(1.2) *
+              (lit(1.0) - 0.75 + lit(0.75) * col("dl") / avgdl)))
+          .groupBy(col("doc_id")).agg(sum(col("contrib")).as("score"))
+          .orderBy(col("score").desc, col("doc_id"))
+          .limit(20)
+      },
       None)
   )
 }
