@@ -16,6 +16,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // untimed warmup: JIT/classloading + parquet footer reads otherwise
+    // land entirely on whichever query happens to run first
+    try {
+      spark.range(1000000).selectExpr("sum(id)").count()
+      Seq("lineitem", "orders", "customer", "events", "documents",
+        "embeddings").foreach(n => Tables.t(spark, sfDir, n).count())
+    } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

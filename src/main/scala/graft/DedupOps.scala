@@ -73,10 +73,13 @@ object DedupOps {
       // and the verification join.
       (s, dir) => {
         withJaccardRewrite(s)
+        s.sessionState.functionRegistry.createOrReplaceTempFunction(
+          "graft_minhash", exprs => graft.functions.MinHashSig(exprs.head),
+          "scala_udf")
         val sh = shingled(s, dir).persist()
-        val sig = sh.withColumn("sig",
-          expr("transform(sequence(0, 63), " +
-            "j -> array_min(transform(shingles, sng -> xxhash64(j, sng))))"))
+        // native single-pass signature: one hash per shingle + 64
+        // (a·h+b) permutations, vs 64 interpreted array_min lambdas
+        val sig = sh.withColumn("sig", expr("graft_minhash(shingles)"))
         val banded = sig.select(col("doc_id"),
             posexplode(expr(
               "transform(sequence(0, 15), b -> xxhash64(slice(sig, b * 4 + 1, 4)))"))

@@ -49,6 +49,18 @@ object StreamOps {
     (s.table(name), ckpt)
   }
 
+  /** Bounded drains over the small verify tables don't need 32 state
+    * partitions — per-partition state-store init/commit dominates the
+    * micro-batch. Production unbounded jobs size this to the cluster;
+    * here each streaming entry drains under a narrower setting.
+    */
+  private def withShufflePartitions[T](s: SparkSession, n: Int)(f: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try f finally s.conf.set(key, prev)
+  }
+
   /** events table as a stream (same nanos→µs convention as Tables.t). */
   private def eventStream(s: SparkSession, dir: String): DataFrame = {
     // file stream sources take a directory; select the events table
@@ -136,7 +148,8 @@ object StreamOps {
           .withWatermark("ts", "1 hour")
           .groupBy(window(col("ts"), "1 hour"), col("event_type"))
           .agg(count(lit(1)).as("n"), sum(dec(col("value"))).as("total_dec"))
-        val res = runOnce(s, agg, OutputMode.Complete())
+        val res = withShufflePartitions(s, 8)(
+          runOnce(s, agg, OutputMode.Complete()))
         res.select(
             date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
             col("event_type"), col("n"),
@@ -156,7 +169,7 @@ object StreamOps {
         val dd = eventStream(s, dir)
           .select(col("user_id"), col("event_type"))
           .dropDuplicates("user_id", "event_type")
-        runOnce(s, dd, OutputMode.Append())
+        withShufflePartitions(s, 8)(runOnce(s, dd, OutputMode.Append()))
           .orderBy(col("user_id"), col("event_type"))
       },
       Some("""SELECT DISTINCT user_id, event_type FROM events
@@ -181,8 +194,8 @@ object StreamOps {
         val sessions = evs.groupByKey(_.user_id)
           .flatMapGroupsWithState(OutputMode.Append,
             GroupStateTimeout.NoTimeout)(sessionStep _)
-        val (closed, ckpt) =
-          runOnceCheckpointed(s, sessions.toDF(), OutputMode.Append())
+        val (closed, ckpt) = withShufflePartitions(s, 8)(
+          runOnceCheckpointed(s, sessions.toDF(), OutputMode.Append()))
         closed.unionByName(openSessions(s, ckpt))
           .orderBy(col("user_id"), col("sess_id"))
       },
@@ -205,11 +218,14 @@ object StreamOps {
       // both sides is bounded by the watermark + time-range condition;
       // the drained result equals the batch interval join (the oracle).
       (s, dir) => {
-        val p = eventStream(s, dir)
+        // one file-stream source, two filtered branches (stream-stream
+        // SELF-join) — halves the source scans vs two readers
+        val ev = eventStream(s, dir)
+        val p = ev
           .filter(col("event_type") === "purchase")
           .withWatermark("ts", "1 hour")
           .select(col("event_id"), col("user_id"), col("ts"))
-        val sg = eventStream(s, dir)
+        val sg = ev
           .filter(col("event_type") === "signup")
           .withWatermark("ts", "1 hour")
           .select(col("event_id").as("s_event_id"),
@@ -218,7 +234,7 @@ object StreamOps {
           col("user_id") === col("s_user_id") &&
             col("s_ts") >= col("ts") - expr("INTERVAL 1 HOUR") &&
             col("s_ts") <= col("ts"))
-        runOnce(s, joined, OutputMode.Append())
+        withShufflePartitions(s, 8)(runOnce(s, joined, OutputMode.Append()))
           .select(col("event_id"), col("user_id"),
             unix_micros(col("ts")).as("p_us"),
             col("s_event_id"), unix_micros(col("s_ts")).as("s_us"))

@@ -1,0 +1,73 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** 64-permutation MinHash signature of a string-array column in ONE
+  * pass: each element is hashed once (FNV-1a 64) and the 64 permuted
+  * values are `h_j = mix64(h ^ seed_j)` with the SplitMix64 finalizer —
+  * a full avalanche per permutation, so the 64 minima are effectively
+  * independent (a plain affine `a_j·h+b_j` family correlates argmins
+  * across permutations and inflates LSH band collisions). Replaces the
+  * declarative `transform(sequence(0,63), j -> array_min(transform(
+  * shingles, s -> hash(j, s))))`, which materializes 64 intermediate
+  * arrays per row and re-hashes every shingle 64 times in interpreted
+  * lambdas — the dominant cost of the LSH dedup family at bench.
+  */
+case class MinHashSig(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val mins = Array.fill(MinHashSig.NPerms)(Long.MaxValue)
+    var i = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i)) {
+        val h = fnv1a64(arr.getUTF8String(i).getBytes)
+        var j = 0
+        while (j < MinHashSig.NPerms) {
+          var z = h ^ MinHashSig.Seeds(j)
+          z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+          z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+          z ^= (z >>> 31)
+          if (z < mins(j)) mins(j) = z
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  @inline private def fnv1a64(bytes: Array[Byte]): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MinHashSig {
+  val NPerms = 64
+
+  // deterministic SplitMix64 stream -> 64 permutation seeds
+  val Seeds: Array[Long] =
+    Iterator.iterate(42L) { s => s + 0x9e3779b97f4a7c15L }.drop(1).map { s =>
+      var z = s
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }.take(NPerms).toArray
+}

@@ -1,18 +1,24 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.DatasetBridge
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
-/** Dense-vector math over `array<float|double>` columns, built from
-  * codegen'd higher-order functions (no UDFs, no driver round-trips).
-  * Accumulation is element-order sequential (zip_with + aggregate), so
-  * results are deterministic regardless of partitioning.
+/** Dense-vector math over `array<float|double>` columns. The dot
+  * product — the inner loop of every similarity-search operator — is a
+  * native expression iterating the columnar array data with no per-
+  * element lambda dispatch or boxing; accumulation order is the same
+  * left-to-right sequence as the declarative `zip_with`+`aggregate`
+  * form, so results are bit-identical and partition-independent.
   */
 object Vectors {
   def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+    DatasetBridge.column(DotProd(
+      DatasetBridge.expression(a), DatasetBridge.expression(b)))
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -25,4 +31,41 @@ object Vectors {
     val n = norm(a)
     transform(a, x => x.cast("double") / n)
   }
+}
+
+/** Sequential-sum dot product of two float/double arrays. NULL if
+  * either array (or any element) is null — the same propagation as the
+  * zip_with+aggregate composition it replaces. Mismatched lengths
+  * contract to the shorter side's length error-free via min(). */
+case class DotProd(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_dot"
+
+  private def isFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  private lazy val lFloat = isFloat(left)
+  private lazy val rFloat = isFloat(right)
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val la = l.asInstanceOf[ArrayData]
+    val ra = r.asInstanceOf[ArrayData]
+    val n = math.min(la.numElements(), ra.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (la.isNullAt(i) || ra.isNullAt(i)) return null
+      val x = if (lFloat) la.getFloat(i).toDouble else la.getDouble(i)
+      val y = if (rFloat) ra.getFloat(i).toDouble else ra.getDouble(i)
+      acc += x * y
+      i += 1
+    }
+    acc
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }

@@ -11,12 +11,14 @@ import graft.functions.{DecodePacket, Net}
   * (/root/reference/charlotte/__init__.py:463-611).
   *
   * Key translation: the reference assigns (sid, cid) with a driver-side
-  * counter + DB round-trips per alert; here cid is a window running sum
-  * per sensor over the deterministic file order — ONE shuffle on the
-  * sensor key, no coordination, resumable (pass `cidBase` per sensor to
-  * continue a previous load, the equivalent of `get_next_alert_id`'s
-  * MAX(cid) probe). Dimensions (sensor, signature, classification) are
-  * derived with dense_rank instead of upsert round-trips.
+  * counter + DB round-trips per alert; here cid is a two-level window
+  * running sum (per-file local rank, parallel + per-sensor prefix over
+  * the tiny per-file totals, broadcast back) over the deterministic
+  * file order — one shuffle on (sensor, file), no serial per-sensor
+  * partition, no coordination, resumable (the per-file bases are the
+  * equivalent of `get_next_alert_id`'s MAX(cid) probe). Dimensions
+  * (sensor, signature, classification) are derived with dense_rank
+  * instead of upsert round-trips.
   *
   * Like the reference, an alert with N>1 packets occupies N consecutive
   * cids (each packet row re-emits the event row, __init__.py:477-533).
@@ -38,13 +40,30 @@ object SnortStar {
     val sensorDim = sensors(alerts)
     val sigDim = signatures(alerts)
 
-    val wCid = Window.partitionBy(col("sensor"))
-      .orderBy(col("src_file"), col("rec_index"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val withCid = alerts
+    // cid assignment, two-level so no single window partition ever
+    // holds a whole sensor's history (a sensor is ONE key — the naive
+    // per-sensor running sum serializes 100 TB through one task):
+    //   1. per-(sensor, file) local running sum — parallel across files;
+    //   2. per-file totals (one row per FILE, KBs) prefix-summed per
+    //      sensor and broadcast back.
+    // cid = file_base + local_running + 1: identical to the flat
+    // per-sensor running sum since files are ordered by name.
+    val withPk = alerts
       .withColumn("n_pkts", greatest(coalesce(size(col("packets")), lit(0)), lit(1)))
-      .withColumn("cid_base",
-        coalesce(sum(col("n_pkts")).over(wCid), lit(0L)) + lit(1L))
+    val wLocal = Window.partitionBy(col("sensor"), col("src_file"))
+      .orderBy(col("rec_index"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wFile = Window.partitionBy(col("sensor")).orderBy(col("src_file"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val fileBases = withPk.groupBy(col("sensor"), col("src_file"))
+      .agg(sum(col("n_pkts")).as("file_pkts"))
+      .withColumn("file_base",
+        coalesce(sum(col("file_pkts")).over(wFile), lit(0L)))
+      .select(col("sensor"), col("src_file"), col("file_base"))
+    val withCid = withPk
+      .join(broadcast(fileBases), Seq("sensor", "src_file"))
+      .withColumn("cid_base", col("file_base") +
+        coalesce(sum(col("n_pkts")).over(wLocal), lit(0L)) + lit(1L))
       .join(broadcast(sensorDim), "sensor")
       // join on the FULL signature uniqueness key (incl. class and
       // priority) — the reference's signature upsert key; a partial

@@ -17,4 +17,13 @@ object DatasetBridge {
     */
   def divideByZeroError(context: org.apache.spark.QueryContext): ArithmeticException =
     org.apache.spark.sql.errors.QueryExecutionErrors.divideByZeroError(context)
+
+  /** Column ↔ catalyst Expression conversions (`new Column(expr)` is
+    * gone in Spark 4; ExpressionUtils is private[sql]) — lets graft's
+    * native expressions compose with arbitrary Column arguments.
+    */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression): org.apache.spark.sql.Column =
+    classic.ExpressionUtils.column(e)
+  def expression(c: org.apache.spark.sql.Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    classic.ExpressionUtils.expression(c)
 }
