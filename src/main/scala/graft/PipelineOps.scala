@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import Tables._
+
+/** Corpus-curation operators (SURVEY.md §2.C round 2): the composed
+  * pipeline shapes a training-data run actually executes — filter →
+  * dedup → count, deterministic sampling/splits, and token-budget
+  * sequence packing. All integer/hash-exact, so each is DuckDB-oracled
+  * end-to-end (no float thresholds to disagree on).
+  *
+  * Scale: quality filters are per-row (scan-pushable), dedup is the
+  * one hash-shuffle, sampling is stateless hash arithmetic (no
+  * sort/limit — every executor decides membership locally), packing
+  * shuffles once per stratum.
+  */
+object PipelineOps {
+
+  /** Non-empty whitespace tokens. */
+  private def words(c: org.apache.spark.sql.Column) =
+    filter(split(c, " "), x => length(x) > lit(0))
+
+  val entries: Seq[Entry] = Seq(
+    Entry(
+      "pipeline_corpus",
+      // The end-to-end curation pass: drop short/punct-heavy docs,
+      // collapse exact duplicates keeping the smallest doc_id, emit the
+      // surviving corpus with token counts — one scan + one shuffle.
+      (s, dir) => {
+        val scored = t(s, dir, "documents")
+          .withColumn("n_words", size(words(col("text"))).cast("long"))
+          .withColumn("n_punct",
+            regexp_count(col("text"), lit("[.,!?;:]")).cast("long"))
+          .filter(col("n_words") >= 8 &&
+            col("n_punct") * 10 < col("n_words") * 3)
+        scored
+          .groupBy(sha2(lower(trim(col("text"))), 256).as("h"))
+          .agg(min(col("doc_id")).as("doc_id"),
+            count(lit(1)).as("n_copies"),
+            min(col("n_words")).as("n_words"))
+          .select(col("doc_id"), col("n_copies"), col("n_words"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH scored AS (
+          SELECT doc_id, text,
+            CAST(len(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS BIGINT) AS n_words,
+            CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS n_punct
+          FROM documents),
+        kept AS (SELECT * FROM scored
+          WHERE n_words >= 8 AND n_punct * 10 < n_words * 3)
+        SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies,
+          MIN(n_words) AS n_words
+        FROM kept GROUP BY sha256(lower(trim(text)))
+        ORDER BY doc_id""")),
+
+    Entry(
+      "sample_split",
+      // Deterministic stratified sampling + train/val/test split from
+      // pure hash arithmetic on the key — no sort, no limit, no RNG
+      // state: membership is decidable per-row anywhere, the property
+      // that makes the split reproducible across reruns and engines.
+      // 20% sample per language; the sample splits 80/10/10.
+      (s, dir) => {
+        val bucket = (col("doc_id") * 2654435761L) % 1000
+        t(s, dir, "documents")
+          .withColumn("bucket", bucket)
+          .filter(col("bucket") < 200)
+          .withColumn("split",
+            when(col("bucket") < 160, "train")
+              .when(col("bucket") < 180, "val")
+              .otherwise("test"))
+          .groupBy(col("lang"), col("split"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("n_chars"))
+          .orderBy(col("lang"), col("split"))
+      },
+      Some("""WITH b AS (SELECT lang, n_chars,
+          (doc_id * 2654435761) % 1000 AS bucket FROM documents),
+        s AS (SELECT lang, n_chars,
+            CASE WHEN bucket < 160 THEN 'train'
+                 WHEN bucket < 180 THEN 'val' ELSE 'test' END AS split
+          FROM b WHERE bucket < 200)
+        SELECT lang, split, COUNT(*) AS n_docs,
+          CAST(SUM(n_chars) AS BIGINT) AS n_chars
+        FROM s GROUP BY lang, split ORDER BY lang, split""")),
+
+    Entry(
+      "pack_sequences",
+      // Token-budget sequence packing: documents stream into fixed
+      // 2048-token training batches per language via a running token
+      // sum — batch = floor((cum - n) / budget), the greedy packing a
+      // sequence-packing dataloader performs, as one window per
+      // stratum. Output: per-batch document count + fill level.
+      (s, dir) => {
+        val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, dir, "documents")
+          .withColumn("n_tok", size(words(col("text"))).cast("long"))
+          .withColumn("cum", sum(col("n_tok")).over(w))
+          .withColumn("batch_id",
+            ((col("cum") - col("n_tok")) / 2048).cast("long"))
+          .groupBy(col("lang"), col("batch_id"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tok"))
+          .orderBy(col("lang"), col("batch_id"))
+      },
+      Some("""WITH tok AS (SELECT lang, doc_id,
+          CAST(len(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS BIGINT) AS n_tok
+          FROM documents),
+        c AS (SELECT lang, doc_id, n_tok,
+            SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+              ROWS UNBOUNDED PRECEDING) AS cum
+          FROM tok)
+        SELECT lang, CAST((cum - n_tok) // 2048 AS BIGINT) AS batch_id,
+          COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tok
+        FROM c GROUP BY lang, batch_id ORDER BY lang, batch_id"""))
+  )
+}
