@@ -59,4 +59,32 @@ class AsOfSpec extends SparkSuite {
       Seq("s_user_id"), "s_us").collect()
     assert(got.head.getAs[Long]("s_event_id") == 9L)
   }
+
+  test("NULL ts/keys are excluded from matching, like DuckDB ASOF") {
+    val l = Seq(
+      (1L, Option(5L), Option(100L)), // normal: matches r 9
+      (2L, Option(5L), None),         // null left ts -> no match
+      (3L, None, Option(100L)))       // null left key -> no match
+      .toDF("event_id", "user_id", "p_us")
+    val r = Seq(
+      (8L, Option(5L), None),         // null right ts: never a candidate
+      (9L, Option(5L), Option(90L)),
+      (10L, None, Option(50L)))       // null right key: never a candidate
+      .toDF("s_event_id", "s_user_id", "s_us")
+    val got = AsOf.join(l, r, Seq("user_id"), "p_us",
+        Seq("s_user_id"), "s_us")
+      .select(col("event_id"), col("s_event_id"))
+      .orderBy(col("event_id")).collect()
+      .map(r0 => (r0.getAs[Long]("event_id"),
+        Option(r0.getAs[java.lang.Long]("s_event_id")).map(_.toLong)))
+    assert(got.toSeq == Seq(1L -> Some(9L), 2L -> None, 3L -> None))
+  }
+
+  test("non-long ts columns are rejected up front") {
+    val l = Seq((1L, 5L, 100)).toDF("event_id", "user_id", "p_us") // Int ts
+    val r = Seq((9L, 5L, 90L)).toDF("s_event_id", "s_user_id", "s_us")
+    val err = intercept[IllegalArgumentException](
+      AsOf.join(l, r, Seq("user_id"), "p_us", Seq("s_user_id"), "s_us"))
+    assert(err.getMessage.contains("must be LONG/TIMESTAMP"))
+  }
 }
