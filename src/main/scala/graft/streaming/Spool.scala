@@ -69,23 +69,54 @@ object Spool {
       classMapPath: String, outPath: String, checkpoint: String): Unit = {
     val q = streamRecords(spark, dirs, prefix, sensor)
       .writeStream
-      .foreachBatch { (batch: Dataset[Row], _: Long) =>
-        val alerts = Maps.enrichClassifications(
-          Maps.enrichSignatures(Unified2.alerts(batch),
-            Maps.combinedSigMap(spark, sigMapPath, genMapPath)),
-          Maps.classMap(spark, classMapPath))
-        alerts.select(col("sensor"), col("event_id"), col("event_second"),
-            col("signature_id"), col("generator_id"), col("sig_msg"),
-            col("sig_rev"), col("sig_priority"), col("class_name"),
-            Net.ipToString(col("ip_source")).as("src_ip"),
-            Net.ipToString(col("ip_destination")).as("dst_ip"),
-            col("sport_itype"), col("dport_icode"), col("protocol"))
-          .write.mode("append").parquet(outPath)
-        ()
-      }
+      .foreachBatch(enrichAndAppend(spark, sigMapPath, genMapPath,
+        classMapPath, outPath))
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+  }
+
+  /** [[ingestOnce]] on the TAILING source ([[SpoolTail]]): follows the
+    * ACTIVE spool file across micro-batches with byte-offset bookmarks,
+    * so nothing waits for rollover — the closest Spark analogue of the
+    * reference daemon's continuous loop. Returns the running query;
+    * stop() it (or pass availableNow=true for a bounded drain).
+    */
+  def tailIngest(spark: SparkSession, dirs: Seq[String], prefix: String,
+      sensor: String, sigMapPath: String, genMapPath: String,
+      classMapPath: String, outPath: String, checkpoint: String,
+      availableNow: Boolean = false)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = SpoolTail.streamRecords(spark, dirs, prefix, sensor)
+      .writeStream
+      .foreachBatch(enrichAndAppend(spark, sigMapPath, genMapPath,
+        classMapPath, outPath))
+      .option("checkpointLocation", checkpoint)
+    val q = (if (availableNow) w.trigger(Trigger.AvailableNow()) else w)
+      .start()
+    if (availableNow) q.awaitTermination()
+    q
+  }
+
+  /** Per-batch enrichment + parquet append shared by both ingest loops;
+    * the rule maps are RE-READ each batch = the reference's mtime-based
+    * hot reload.
+    */
+  private def enrichAndAppend(spark: SparkSession, sigMapPath: String,
+      genMapPath: String, classMapPath: String, outPath: String)
+      : (Dataset[Row], Long) => Unit = { (batch: Dataset[Row], _: Long) =>
+    val alerts = Maps.enrichClassifications(
+      Maps.enrichSignatures(Unified2.alerts(batch),
+        Maps.combinedSigMap(spark, sigMapPath, genMapPath)),
+      Maps.classMap(spark, classMapPath))
+    alerts.select(col("sensor"), col("event_id"), col("event_second"),
+        col("signature_id"), col("generator_id"), col("sig_msg"),
+        col("sig_rev"), col("sig_priority"), col("class_name"),
+        Net.ipToString(col("ip_source")).as("src_ip"),
+        Net.ipToString(col("ip_destination")).as("dst_ip"),
+        col("sport_itype"), col("dport_icode"), col("protocol"))
+      .write.mode("append").parquet(outPath)
+    ()
   }
 }

@@ -71,6 +71,30 @@ class SpoolTailSpec extends SparkSuite {
     } finally q2.stop()
   }
 
+  test("tailIngest runs the full enrich loop over a growing file") {
+    val dir = Files.createTempDirectory("graft_tailingest").toString
+    val file = Paths.get(dir, "snort.log.1800000000")
+    Files.write(file, alert(1) ++ alert(2))
+    val (sid, gen, cls) = Unified2Fixture.writeMaps(
+      Files.createTempDirectory("graft_tailingest_maps").toString)
+    val out = Files.createTempDirectory("graft_tailingest_out").toString
+    val ckpt = Files.createTempDirectory("graft_tailingest_ckpt").toString
+
+    graft.streaming.Spool.tailIngest(spark, Seq(dir), "snort.log", "sT",
+      sid, gen, cls, out, ckpt, availableNow = true)
+    assert(spark.read.parquet(out).count() == 2)
+
+    // active file grows; a second bounded drain ingests ONLY the tail
+    Files.write(file, alert(3), StandardOpenOption.APPEND)
+    graft.streaming.Spool.tailIngest(spark, Seq(dir), "snort.log", "sT",
+      sid, gen, cls, out, ckpt, availableNow = true)
+    val rows = spark.read.parquet(out)
+    assert(rows.count() == 3)
+    // enrichment applied: fixture sid 1000001 maps to the known msg
+    assert(rows.filter(org.apache.spark.sql.functions.col("sig_msg") ===
+      "WEB-MISC test http alert").count() == 3)
+  }
+
   test("tail source drains a closed spool via AvailableNow") {
     val dir = Unified2Fixture.writeSpool(
       Files.createTempDirectory("graft_tail_closed").toString + "/spool")
