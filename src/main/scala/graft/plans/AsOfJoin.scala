@@ -141,14 +141,35 @@ object AsOfStrategy extends SparkStrategy {
   }
 }
 
-/** Session extension registering the as-of strategy (for
+/** Session extension registering graft's planner strategy, optimizer
+  * rule and SQL-callable native functions (for
   * `spark.builder.withExtensions(new GraftExtensions)` deployments;
   * [[AsOf.join]] also self-registers via experimental strategies).
+  * After installation, plain SQL can use `graft_decode_packet`,
+  * `graft_simhash`, `graft_minhash`, `graft_jaccard`, `graft_dot`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+  private def fn(name: String, build: Seq[Expression] => Expression) =
+    (new FunctionIdentifier(name),
+      new ExpressionInfo("graft", name),
+      (exprs: Seq[Expression]) => build(exprs))
+
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => AsOfStrategy)
     e.injectOptimizerRule(_ => graft.functions.RewriteJaccard)
+    e.injectFunction(fn("graft_decode_packet",
+      xs => graft.functions.DecodePacket(xs.head)))
+    e.injectFunction(fn("graft_simhash",
+      xs => graft.functions.SimHash64(xs.head)))
+    e.injectFunction(fn("graft_minhash",
+      xs => graft.functions.MinHashSig(xs.head)))
+    e.injectFunction(fn("graft_jaccard",
+      xs => graft.functions.JaccardSim(xs(0), xs(1))))
+    e.injectFunction(fn("graft_dot",
+      xs => graft.functions.DotProd(xs(0), xs(1))))
   }
 }
 
