@@ -4,7 +4,7 @@ import java.util.concurrent.atomic.AtomicInteger
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
 
 import Tables._
 import graft.sources.Unified2Fixture
@@ -122,6 +122,29 @@ object StreamOps {
       }
       state.update(open)
       out.result().iterator
+    }
+  }
+
+  case class UserAgg(user_id: Long, n_events: Long, cents: Long)
+
+  /** Spark 4 `transformWithState` processor: per-user running totals in
+    * a typed ValueState — the modern arbitrary-state API (successor to
+    * flatMapGroupsWithState), demonstrated alongside the legacy one.
+    * Each batch emits the UPDATED totals for the keys it touched.
+    */
+  class TotalsProcessor extends StatefulProcessor[Long, SessEv, UserAgg] {
+    @transient private var st: ValueState[UserAgg] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[UserAgg]("totals",
+        Encoders.product[UserAgg], TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[SessEv],
+        tv: TimerValues): Iterator[UserAgg] = {
+      var agg = if (st.exists()) st.get() else UserAgg(key, 0L, 0L)
+      rows.foreach { e =>
+        agg = UserAgg(key, agg.n_events + 1, agg.cents + cents(e.value))
+      }
+      st.update(agg)
+      Iterator.single(agg)
     }
   }
 
@@ -263,6 +286,40 @@ object StreamOps {
           .orderBy(col("src_file"), col("rec_index"))
       },
       None),
+
+    Entry(
+      "stream_tws_totals",
+      // transformWithState (Spark 4 arbitrary-state API) running per-
+      // user totals; requires the RocksDB state store provider. The
+      // bounded drain emits one updated row per user — equal to the
+      // batch grouped aggregate (the oracle).
+      (s, dir) => {
+        import s.implicits._
+        val provKey = "spark.sql.streaming.stateStore.providerClass"
+        val prev = s.conf.getOption(provKey)
+        s.conf.set(provKey, "org.apache.spark.sql.execution.streaming." +
+          "state.RocksDBStateStoreProvider")
+        try {
+          val evs: Dataset[SessEv] = eventStream(s, dir)
+            .select(col("user_id"), col("event_id"),
+              unix_micros(col("ts").cast("timestamp")).as("us"), col("value"))
+            .as[SessEv]
+          val totals = evs.groupByKey(_.user_id)
+            .transformWithState(new TotalsProcessor,
+              TimeMode.None(), OutputMode.Update())
+          withShufflePartitions(s, 8)(
+            runOnce(s, totals.toDF(), OutputMode.Update()))
+            .select(col("user_id"), col("n_events"),
+              (col("cents").cast("double") / 100.0).as("total"))
+            .orderBy(col("user_id"))
+        } finally prev match {
+          case Some(p) => s.conf.set(provKey, p)
+          case None => s.conf.unset(provKey)
+        }
+      },
+      Some("""SELECT user_id, COUNT(*) AS n_events,
+        CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+        FROM events GROUP BY user_id ORDER BY user_id""")),
 
     Entry(
       "u2_tail",
