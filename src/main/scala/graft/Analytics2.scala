@@ -177,6 +177,90 @@ object Analytics2 {
           (PARTITION BY user_id ORDER BY epoch_us(ts)
            RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
           AS DOUBLE) AS trail_1h
-        FROM events ORDER BY user_id, us, event_id"""))
+        FROM events ORDER BY user_id, us, event_id""")),
+
+    Entry(
+      "q45_cond_distinct",
+      // conditional COUNT(DISTINCT CASE ...): distinct cardinalities
+      // under different predicates in one grouped pass.
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            countDistinct(when(col("l_quantity") > 25, col("l_partkey")))
+              .as("hi_qty_parts"),
+            countDistinct(when(col("l_discount") >= 0.05, col("l_suppkey")))
+              .as("disc_supps"),
+            countDistinct(col("l_orderkey")).as("orders"))
+          .orderBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag,
+        COUNT(DISTINCT CASE WHEN l_quantity > 25 THEN l_partkey END) AS hi_qty_parts,
+        COUNT(DISTINCT CASE WHEN l_discount >= 0.05 THEN l_suppkey END) AS disc_supps,
+        COUNT(DISTINCT l_orderkey) AS orders
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    Entry(
+      "q46_percent_rank",
+      // percent_rank / cume_dist relative-standing windows: exact
+      // integer-ratio doubles, identical across engines.
+      (s, dir) => {
+        val w = Window.partitionBy(col("c_nationkey"))
+          .orderBy(col("c_acctbal"), col("c_custkey"))
+        t(s, dir, "customer")
+          .select(col("c_nationkey"), col("c_custkey"),
+            percent_rank().over(w).as("pr"),
+            cume_dist().over(w).as("cd"))
+          .orderBy(col("c_nationkey"), col("c_custkey"))
+      },
+      Some("""SELECT c_nationkey, c_custkey,
+        percent_rank() OVER w AS pr, cume_dist() OVER w AS cd
+        FROM customer
+        WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+        ORDER BY c_nationkey, c_custkey""")),
+
+    Entry(
+      "q47_nullsafe_join",
+      // NULL-safe equality join (<=> / IS NOT DISTINCT FROM): NULL
+      // keys pair with NULL keys — the semantics dedup-on-nullable-key
+      // pipelines depend on. NULLIF plants the NULLs identically on
+      // both engines.
+      (s, dir) => {
+        val n1 = t(s, dir, "nation").select(
+          col("n_nationkey").as("a_key"),
+          nullif(col("n_regionkey"), lit(0)).as("a_r"))
+        val n2 = t(s, dir, "nation").select(
+          col("n_nationkey").as("b_key"),
+          nullif(col("n_regionkey"), lit(0)).as("b_r"))
+        n1.join(n2, col("a_r") <=> col("b_r"))
+          .groupBy(col("a_key"))
+          .agg(count(lit(1)).as("n_matches"))
+          .orderBy(col("a_key"))
+      },
+      Some("""SELECT a.a_key, COUNT(*) AS n_matches
+        FROM (SELECT n_nationkey AS a_key, NULLIF(n_regionkey, 0) AS a_r
+              FROM nation) a
+        JOIN (SELECT n_nationkey AS b_key, NULLIF(n_regionkey, 0) AS b_r
+              FROM nation) b
+          ON a.a_r IS NOT DISTINCT FROM b.b_r
+        GROUP BY a.a_key ORDER BY a.a_key""")),
+
+    Entry(
+      "q48_ratio_to_report",
+      // ratio-to-report: each order's share of its priority class —
+      // exact decimal sums, one double division at the end.
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_orderpriority"))
+        t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            (dec(col("o_totalprice")).cast("double") /
+              sum(dec(col("o_totalprice"))).over(w).cast("double"))
+              .as("share"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, o_orderpriority,
+        CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) /
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+            OVER (PARTITION BY o_orderpriority) AS DOUBLE) AS share
+        FROM orders ORDER BY o_orderkey"""))
   )
 }
