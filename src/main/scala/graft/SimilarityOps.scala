@@ -119,20 +119,77 @@ object MultimodalOps {
         if (r.payload.isEmpty) 0.0 else sum.toDouble / r.payload.length)
     }
 
+  case class MMResized(doc_id: Long, out_w: Int, out_h: Int,
+      scale_x: Double, scale_y: Double, n_bytes: Long)
+  case class MMFrame(doc_id: Long, frame_idx: Int, offset: Long,
+      frame_checksum: Long)
+
+  /** STUB resize: computes the real scale factors and output geometry
+    * for a 256x256 target; the pixel resample itself is faked as a
+    * byte-count contraction (the image libs aren't in this container).
+    */
+  private def resizeBatch(it: Iterator[MMIn]): Iterator[MMResized] =
+    it.map { r =>
+      val (tw, th) = (256, 256)
+      val sx = if (r.width == 0) 1.0 else tw.toDouble / r.width
+      val sy = if (r.height == 0) 1.0 else th.toDouble / r.height
+      MMResized(r.doc_id, tw, th, sx, sy,
+        math.max(1L, (r.payload.length * sx * sy).toLong))
+    }
+
+  /** STUB frame sampler: treats the payload as fixed-stride frames and
+    * emits every 4th frame's offset + checksum — the one-to-many batch
+    * shape (flatMap) a video pipeline uses.
+    */
+  private def frameSampleBatch(it: Iterator[MMIn]): Iterator[MMFrame] =
+    it.flatMap { r =>
+      val stride = 32
+      val nFrames = math.max(r.payload.length / stride, 1)
+      (0 until nFrames by 4).map { f =>
+        val off = f.toLong * stride
+        var sum = 0L
+        var i = off.toInt
+        val end = math.min(i + stride, r.payload.length)
+        while (i < end) { sum += (r.payload(i) & 0xff); i += 1 }
+        MMFrame(r.doc_id, f, off, sum)
+      }
+    }
+
+  private def mmSource(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "documents")
+      .select(col("doc_id"),
+        col("text").cast("binary").as("payload"),
+        (length(col("text")) % 1024).cast("int").as("width"),
+        (crc32(col("text").cast("binary")) % 1024).cast("int").as("height"))
+
   val entries: Seq[Entry] = Seq(
     Entry(
       "mm_meta",
-      (s, dir) => {
-        val src = Tables.t(s, dir, "documents")
-          .select(col("doc_id"),
-            col("text").cast("binary").as("payload"),
-            (length(col("text")) % 1024).cast("int").as("width"),
-            (crc32(col("text").cast("binary")) % 1024).cast("int").as("height"))
-        val ds = src.as(Encoders.product[MMIn])
-        ds.mapPartitions(decodeBatch)(Encoders.product[MMFeat])
+      (s, dir) =>
+        mmSource(s, dir).as(Encoders.product[MMIn])
+          .mapPartitions(decodeBatch)(Encoders.product[MMFeat])
           .toDF()
-          .orderBy(col("doc_id"))
-      },
+          .orderBy(col("doc_id")),
+      None),
+
+    Entry(
+      "mm_resize",
+      // stub resize: real geometry/scale math, per-partition batches
+      (s, dir) =>
+        mmSource(s, dir).as(Encoders.product[MMIn])
+          .mapPartitions(resizeBatch)(Encoders.product[MMResized])
+          .toDF()
+          .orderBy(col("doc_id")),
+      None),
+
+    Entry(
+      "mm_framesample",
+      // stub frame sampling: one-to-many (flatMap) batch decode shape
+      (s, dir) =>
+        mmSource(s, dir).as(Encoders.product[MMIn])
+          .mapPartitions(frameSampleBatch)(Encoders.product[MMFrame])
+          .toDF()
+          .orderBy(col("doc_id"), col("frame_idx")),
       None)
   )
 }

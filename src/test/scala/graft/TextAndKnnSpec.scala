@@ -51,6 +51,22 @@ class TextSpec extends SparkSuite {
     assert(d0.getAs[Long]("checksum") ==
       text.getBytes("UTF-8").map(b => (b & 0xff).toLong).sum)
   }
+
+  test("mm_resize computes target geometry; mm_framesample strides frames") {
+    val rs = q("mm_resize", Fixtures.dir).collect()
+    assert(rs.length == 6)
+    assert(rs.forall(r => r.getAs[Int]("out_w") == 256 &&
+      r.getAs[Int]("out_h") == 256 && r.getAs[Long]("n_bytes") > 0))
+    val fs = q("mm_framesample", Fixtures.dir).collect()
+    // every 4th 32-byte frame of doc 0's payload, offsets at 128-byte steps
+    val d0 = fs.filter(_.getAs[Long]("doc_id") == 0L)
+      .sortBy(_.getAs[Int]("frame_idx"))
+    assert(d0.nonEmpty)
+    assert(d0.map(_.getAs[Int]("frame_idx")).toSeq ==
+      d0.indices.map(_ * 4))
+    assert(d0.forall(r =>
+      r.getAs[Long]("offset") == r.getAs[Int]("frame_idx") * 32L))
+  }
 }
 
 class KnnSpec extends SparkSuite {
