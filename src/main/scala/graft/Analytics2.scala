@@ -261,6 +261,57 @@ object Analytics2 {
         CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) /
           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
             OVER (PARTITION BY o_orderpriority) AS DOUBLE) AS share
-        FROM orders ORDER BY o_orderkey"""))
+        FROM orders ORDER BY o_orderkey""")),
+
+    Entry(
+      "q49_multiset_ops",
+      // INTERSECT ALL / EXCEPT ALL multiset semantics (duplicates
+      // preserved by multiplicity) — distinct from q15's set forms.
+      (s, dir) => {
+        val hi = t(s, dir, "lineitem").filter(col("l_quantity") >= 25)
+          .select(col("l_partkey"))
+        val disc = t(s, dir, "lineitem").filter(col("l_discount") >= 0.05)
+          .select(col("l_partkey"))
+        hi.intersectAll(disc).groupBy(col("l_partkey"))
+          .agg(count(lit(1)).as("n_both"))
+          .join(
+            hi.exceptAll(disc).groupBy(col("l_partkey"))
+              .agg(count(lit(1)).as("n_only_hi")),
+            Seq("l_partkey"), "full_outer")
+          .select(col("l_partkey"),
+            coalesce(col("n_both"), lit(0L)).as("n_both"),
+            coalesce(col("n_only_hi"), lit(0L)).as("n_only_hi"))
+          .orderBy(col("l_partkey"))
+      },
+      Some("""WITH hi AS (SELECT l_partkey FROM lineitem WHERE l_quantity >= 25),
+        d AS (SELECT l_partkey FROM lineitem WHERE l_discount >= 0.05),
+        inboth AS (SELECT l_partkey, COUNT(*) AS n_both
+          FROM (SELECT * FROM hi INTERSECT ALL SELECT * FROM d)
+          GROUP BY l_partkey),
+        onlyhi AS (SELECT l_partkey, COUNT(*) AS n_only_hi
+          FROM (SELECT * FROM hi EXCEPT ALL SELECT * FROM d)
+          GROUP BY l_partkey)
+        SELECT COALESCE(inboth.l_partkey, onlyhi.l_partkey) AS l_partkey,
+          COALESCE(n_both, 0) AS n_both,
+          COALESCE(n_only_hi, 0) AS n_only_hi
+        FROM inboth FULL OUTER JOIN onlyhi USING (l_partkey)
+        ORDER BY l_partkey""")),
+
+    Entry(
+      "q50_histogram",
+      // fixed-width histogram of event values per type: integer floor
+      // bucketing, the profile pass every ingestion QA run needs.
+      (s, dir) =>
+        t(s, dir, "events")
+          .withColumn("bucket",
+            floor(dec(col("value")) / 10).cast("long"))
+          .groupBy(col("event_type"), col("bucket"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("event_type"), col("bucket")),
+      Some("""SELECT event_type,
+        CAST(FLOOR(CAST(value AS DECIMAL(12,2)) / 10) AS BIGINT) AS bucket,
+        COUNT(*) AS n
+        FROM events GROUP BY event_type, bucket
+        ORDER BY event_type, bucket"""))
   )
 }

@@ -12,7 +12,8 @@ object Explain {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val names = if (args.length > 1) args.drop(1).toSeq
       else Seq("q01_agg", "q03_join_agg", "q05_multijoin", "q06_selective",
-        "q22_pivot", "dedup_exact", "knn_brute")
+        "q22_pivot", "dedup_exact", "knn_brute", "q37_range_join",
+        "q42_bloom_semijoin", "text_tfidf", "pipeline_corpus")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
