@@ -21,13 +21,35 @@ object SimilarityOps {
     t(s, dir, "embeddings")
       .select(col("vec_id"), Vectors.normalized(col("embedding")).as("embedding"))
 
-  /** Deterministic IVF "centroids": every 37th vector is a cell seed.
-    * (Stands in for k-means iterations — the assignment/probe topology,
-    * which is what matters for the Spark plan, is identical.)
+  /** IVF centroids: deterministic seeds (every 37th vector) refined by
+    * two spherical k-means (Lloyd) iterations, entirely as DataFrame
+    * ops — assign each vector to its nearest centroid (broadcast),
+    * element-wise-mean per cell via posexplode + (cell, dim) aggregate,
+    * re-normalize. Each iteration is one broadcast join + one shuffle
+    * on (cell, dim); the same plan trains on a 1000-executor corpus.
     */
-  private def centroids(s: SparkSession, dir: String): DataFrame =
-    embeddings(s, dir).filter(col("vec_id") % 37 === 0)
+  private def centroids(s: SparkSession, dir: String): DataFrame = {
+    val emb = embeddings(s, dir)
+    var cen = emb.filter(col("vec_id") % 37 === 0)
       .select(col("vec_id").as("cell"), col("embedding").as("cvec"))
+    for (_ <- 1 to 2) {
+      val wAssign = Window.partitionBy(col("vec_id"))
+        .orderBy(col("csim").desc, col("cell"))
+      val assigned = emb.crossJoin(broadcast(cen))
+        .withColumn("csim", Vectors.dot(col("embedding"), col("cvec")))
+        .withColumn("crank", row_number().over(wAssign))
+        .filter(col("crank") === 1)
+        .select(col("cell"), col("embedding"))
+      cen = assigned
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "x")))
+        .groupBy(col("cell"), col("dim")).agg(avg(col("x")).as("m"))
+        .groupBy(col("cell"))
+        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
+        .select(col("cell"),
+          Vectors.normalized(expr("transform(dm, e -> e.m)")).as("cvec"))
+    }
+    cen.persist()
+  }
 
   val entries: Seq[Entry] = Seq(
     Entry(
