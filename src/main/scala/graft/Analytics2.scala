@@ -312,6 +312,33 @@ object Analytics2 {
         CAST(FLOOR(CAST(value AS DECIMAL(12,2)) / 10) AS BIGINT) AS bucket,
         COUNT(*) AS n
         FROM events GROUP BY event_type, bucket
-        ORDER BY event_type, bucket"""))
+        ORDER BY event_type, bucket""")),
+
+    Entry(
+      "q51_asof_forward",
+      // FORWARD as-of via the custom operator on the negated time axis
+      // (AsOf.joinForward): each signup pairs with the user's FIRST
+      // purchase at-or-after it. Oracled against DuckDB's forward ASOF.
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val sg = ev.filter(col("event_type") === "signup")
+          .select(col("event_id"), col("user_id"),
+            unix_micros(col("ts").cast("timestamp")).as("s_us"))
+        val p = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user_id"),
+            col("event_id").as("p_event_id"),
+            unix_micros(col("ts").cast("timestamp")).as("p_us"))
+        graft.plans.AsOf.joinForward(sg, p, Seq("user_id"), "s_us",
+            Seq("p_user_id"), "p_us")
+          .select(col("event_id"), col("user_id"), col("s_us"),
+            col("p_event_id"), col("p_us"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT s.event_id, s.user_id, epoch_us(s.ts) AS s_us,
+        p.event_id AS p_event_id, epoch_us(p.ts) AS p_us
+        FROM (SELECT * FROM events WHERE event_type='signup') s
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type='purchase') p
+        ON s.user_id = p.user_id AND s.ts <= p.ts
+        ORDER BY s.event_id"""))
   )
 }

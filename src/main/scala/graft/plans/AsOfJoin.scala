@@ -211,4 +211,21 @@ object AsOf {
       lPlan, rPlan, lKeys, rKeys,
       checkTs(attr(lPlan, leftTsCol)), checkTs(attr(rPlan, rightTsCol))))
   }
+
+  /** FORWARD as-of: each left row pairs with the right row of the same
+    * key having the SMALLEST ts >= left.ts (DuckDB `ASOF ... ON l.ts <=
+    * r.ts`) — the backward merge run on the negated time axis. ts
+    * columns must be LONG (epoch micros); negate-compose doesn't apply
+    * to timestamp types.
+    */
+  def joinForward(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTsCol: String, rightKeys: Seq[String],
+      rightTsCol: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col => c}
+    join(
+      left.withColumn("__graft_neg_lts", -c(leftTsCol)),
+      right.withColumn("__graft_neg_rts", -c(rightTsCol)),
+      keys, "__graft_neg_lts", rightKeys, "__graft_neg_rts")
+      .drop("__graft_neg_lts", "__graft_neg_rts")
+  }
 }

@@ -60,6 +60,22 @@ class AsOfSpec extends SparkSuite {
     assert(got.head.getAs[Long]("s_event_id") == 9L)
   }
 
+  test("forward as-of picks the smallest right ts >= left ts, per key") {
+    val l = Seq((1L, 10L, 100L), (2L, 10L, 250L), (3L, 10L, 400L))
+      .toDF("event_id", "user_id", "p_us")
+    val r = Seq((101L, 10L, 120L), (102L, 10L, 300L))
+      .toDF("s_event_id", "s_user_id", "s_us")
+    val got = AsOf.joinForward(l, r, Seq("user_id"), "p_us",
+        Seq("s_user_id"), "s_us")
+      .orderBy(col("event_id")).collect()
+      .map(r0 => (r0.getAs[Long]("event_id"),
+        Option(r0.getAs[java.lang.Long]("s_event_id")).map(_.toLong)))
+    assert(got.toSeq == Seq(
+      1L -> Some(101L), // 120 is the first signup at/after 100
+      2L -> Some(102L), // 300 >= 250
+      3L -> None))      // nothing at/after 400
+  }
+
   test("NULL ts/keys are excluded from matching, like DuckDB ASOF") {
     val l = Seq(
       (1L, Option(5L), Option(100L)), // normal: matches r 9
