@@ -307,10 +307,17 @@ object StreamOps {
           val totals = evs.groupByKey(_.user_id)
             .transformWithState(new TotalsProcessor,
               TimeMode.None(), OutputMode.Update())
+          // Update-mode sinks keep one row per key PER micro-batch; if
+          // the drain ever splits into several batches, reduce to the
+          // final update per user — n_events grows monotonically with
+          // each update, so max(struct(n_events, cents)) is the last
+          // one (ADVICE r2).
           withShufflePartitions(s, 8)(
             runOnce(s, totals.toDF(), OutputMode.Update()))
-            .select(col("user_id"), col("n_events"),
-              (col("cents").cast("double") / 100.0).as("total"))
+            .groupBy(col("user_id"))
+            .agg(max(struct(col("n_events"), col("cents"))).as("last"))
+            .select(col("user_id"), col("last.n_events").as("n_events"),
+              (col("last.cents").cast("double") / 100.0).as("total"))
             .orderBy(col("user_id"))
         } finally prev match {
           case Some(p) => s.conf.set(provKey, p)

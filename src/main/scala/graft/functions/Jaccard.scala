@@ -22,6 +22,10 @@ case class JaccardSim(left: Expression, right: Expression)
   override def prettyName: String = "graft_jaccard_sim"
   override def dataType: DataType = DoubleType
 
+  // Replaces a Divide (always nullable): empty/empty yields NULL in
+  // non-ANSI mode even when both children are non-nullable (ADVICE r2).
+  override def nullable: Boolean = true
+
   private lazy val elemType =
     left.dataType.asInstanceOf[ArrayType].elementType
 

@@ -34,14 +34,20 @@ object Vectors {
 }
 
 /** Sequential-sum dot product of two float/double arrays. NULL if
-  * either array (or any element) is null — the same propagation as the
-  * zip_with+aggregate composition it replaces. Mismatched lengths
-  * contract to the shorter side's length error-free via min(). */
+  * either array (or any element) is null, or if the lengths differ —
+  * the same propagation as the zip_with+aggregate composition it
+  * replaces (zip_with pads the shorter side with NULL elements, which
+  * poison the sum). */
 case class DotProd(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_dot"
+
+  // Can produce NULL (null element, length mismatch) even for
+  // non-nullable array children whose elementType containsNull
+  // (ADVICE r2) — never inherit child nullability.
+  override def nullable: Boolean = true
 
   private def isFloat(e: Expression): Boolean =
     e.dataType.asInstanceOf[ArrayType].elementType == FloatType
@@ -52,7 +58,8 @@ case class DotProd(left: Expression, right: Expression)
   override protected def nullSafeEval(l: Any, r: Any): Any = {
     val la = l.asInstanceOf[ArrayData]
     val ra = r.asInstanceOf[ArrayData]
-    val n = math.min(la.numElements(), ra.numElements())
+    val n = la.numElements()
+    if (n != ra.numElements()) return null
     var acc = 0.0
     var i = 0
     while (i < n) {

@@ -149,9 +149,14 @@ class SpoolTailStream(dirs: Seq[String], prefix: String)
     dirs.foreach { d =>
       val dir = Paths.get(d)
       if (Files.isDirectory(dir)) {
-        val files = Files.list(dir).iterator().asScala
-          .filter(p => p.getFileName.toString.startsWith(prefix))
-          .toSeq.sortBy(_.toString)
+        // close the DirectoryStream-backed java stream — this runs once
+        // per dir per micro-batch on a long-lived driver (ADVICE r2)
+        val listing = Files.list(dir)
+        val files =
+          try listing.iterator().asScala
+            .filter(p => p.getFileName.toString.startsWith(prefix))
+            .toSeq.sortBy(_.toString)
+          finally listing.close()
         files.foreach { p =>
           val (off, n) = boundary(p)
           if (off > 0) m += p.toString -> Seq(off, n)
@@ -217,7 +222,14 @@ class SpoolTailReaderFactory extends PartitionReaderFactory {
             val r = ch.read(buf, pos)
             if (r < 0) buf.limit(buf.position()) else pos += r
           }
-          Unified2.parseRange(p.path, buf.array(), p.startIdx).iterator
+          // On a short read (file truncated after offset planning) hand
+          // parseRange only the bytes actually read, not the zero-filled
+          // tail of the backing array (ADVICE r2).
+          val bytes =
+            if (buf.position() < buf.capacity())
+              java.util.Arrays.copyOf(buf.array(), buf.position())
+            else buf.array()
+          Unified2.parseRange(p.path, bytes, p.startIdx).iterator
         } finally ch.close()
       }
       private val ser = ExpressionEncoder[U2Record]().createSerializer()
