@@ -83,6 +83,59 @@ object Unified2 {
   def parseFile(file: String, bytes: Array[Byte]): Seq[U2Record] =
     parseRange(file, bytes, 0)
 
+  /** Stream records straight off a file channel over
+    * `[startOff, endOff)`, numbering from `baseIdx` — the executor-side
+    * read path for byte-offset bookmark resumes ([[graft.streaming
+    * .SpoolTail]]). Reads ONE record at a time (8-byte framing header,
+    * then the body), so memory stays O(max record) no matter how large
+    * the span — a single file growing >2 GiB between micro-batches
+    * (ADVICE r3) just streams through. Stops early on a truncated tail
+    * (file shrunk/rewritten after offset planning) like [[parseRange]].
+    */
+  def readRange(ch: java.nio.channels.FileChannel, file: String,
+      startOff: Long, endOff: Long, baseIdx: Int): Iterator[U2Record] =
+    new Iterator[U2Record] {
+      private var off = startOff
+      private var idx = baseIdx
+      private var nextRec: U2Record = _
+      private def readFully(buf: ByteBuffer, pos: Long): Boolean = {
+        var p = pos
+        while (buf.hasRemaining) {
+          val r = ch.read(buf, p)
+          if (r < 0) return false
+          p += r
+        }
+        true
+      }
+      private def advance(): Unit = {
+        nextRec = null
+        if (off + 8 <= endOff) {
+          val hdr = ByteBuffer.allocate(8)
+          if (readFully(hdr, off)) {
+            hdr.flip()
+            val recType = hdr.getInt()
+            val len = hdr.getInt() & 0xffffffffL
+            // a record body can't exceed the planned span; anything
+            // bigger is a torn/garbage header — stop, a later batch
+            // re-reads from the committed boundary
+            if (len <= endOff - off - 8 && len <= Int.MaxValue - 8) {
+              val body = ByteBuffer.allocate(len.toInt)
+              if (readFully(body, off + 8)) {
+                nextRec = parseRecord(file, idx, recType, body.array())
+                off += 8 + len
+                idx += 1
+              }
+            }
+          }
+        }
+      }
+      advance()
+      override def hasNext: Boolean = nextRec != null
+      override def next(): U2Record = {
+        val r = nextRec; advance(); r
+      }
+    }
+
   /** As [[parseFile]] but numbering records from `baseIdx` — the entry
     * point for resumed mid-file reads (byte-offset bookmarks).
     */

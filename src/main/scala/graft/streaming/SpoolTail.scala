@@ -213,32 +213,22 @@ class SpoolTailReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[SpoolTailPartition]
     new PartitionReader[InternalRow] {
-      private val rows: Iterator[U2Record] = {
-        val ch = FileChannel.open(Paths.get(p.path), StandardOpenOption.READ)
-        try {
-          val buf = ByteBuffer.allocate((p.endOff - p.startOff).toInt)
-          var pos = p.startOff
-          while (buf.hasRemaining) {
-            val r = ch.read(buf, pos)
-            if (r < 0) buf.limit(buf.position()) else pos += r
-          }
-          // On a short read (file truncated after offset planning) hand
-          // parseRange only the bytes actually read, not the zero-filled
-          // tail of the backing array (ADVICE r2).
-          val bytes =
-            if (buf.position() < buf.capacity())
-              java.util.Arrays.copyOf(buf.array(), buf.position())
-            else buf.array()
-          Unified2.parseRange(p.path, bytes, p.startIdx).iterator
-        } finally ch.close()
-      }
+      // Stream one record at a time off the channel — memory stays
+      // O(max record) even if a file grew >2 GiB between micro-batches
+      // (ADVICE r3: the old whole-span ByteBuffer silently truncated
+      // the span length to Int). Short reads (file truncated after
+      // offset planning) end the iterator early, as before.
+      private val ch =
+        FileChannel.open(Paths.get(p.path), StandardOpenOption.READ)
+      private val rows: Iterator[U2Record] =
+        Unified2.readRange(ch, p.path, p.startOff, p.endOff, p.startIdx)
       private val ser = ExpressionEncoder[U2Record]().createSerializer()
       private var current: InternalRow = _
       override def next(): Boolean =
         if (rows.hasNext) { current = ser(rows.next()).copy(); true }
         else false
       override def get(): InternalRow = current
-      override def close(): Unit = ()
+      override def close(): Unit = ch.close()
     }
   }
 }

@@ -39,6 +39,28 @@ class NullabilitySpec extends SparkSuite {
     } finally spark.conf.set(ansiKey, prev)
   }
 
+  test("JaccardSim: empty/empty under ANSI throws the standard DIVIDE_BY_ZERO error, like Divide(0,0)") {
+    val df = nonNullDf(StringType, containsNull = false,
+      Seq(Row(Seq.empty[String], Seq.empty[String])))
+    val out = df.select(DatasetBridge.column(JaccardSim(
+      DatasetBridge.expression(df("a")),
+      DatasetBridge.expression(df("b")))).as("j"))
+    def condition(t: Throwable): Option[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).collectFirst {
+        case s: org.apache.spark.SparkThrowable => s.getCondition
+      }
+    val ansiKey = "spark.sql.ansi.enabled"
+    val prev = spark.conf.get(ansiKey)
+    try {
+      spark.conf.set(ansiKey, "true")
+      val jc = condition(intercept[Throwable] { out.collect() })
+      val dc = condition(intercept[Throwable] {
+        spark.sql("SELECT 0 / 0").collect() })
+      assert(dc.contains("DIVIDE_BY_ZERO"), s"Divide baseline: $dc")
+      assert(jc == dc, s"JaccardSim must match Divide(0,0): $jc vs $dc")
+    } finally spark.conf.set(ansiKey, prev)
+  }
+
   test("DotProd: nullable; NULL on length mismatch and on null element") {
     val df = nonNullDf(FloatType, containsNull = true, Seq(
       Row(Seq(1.0f, 2.0f), Seq(3.0f, 4.0f)),        // 11.0
