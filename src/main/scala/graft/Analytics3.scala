@@ -1,0 +1,237 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import Tables._
+
+/** Round-4 widening of the relational core (SURVEY.md §2.B): bitwise
+  * aggregates, ordered string aggregation, calendar gap-fill via
+  * `sequence`, GROUPS-style window frames (absent from Spark — composed
+  * as aggregate-then-ROWS, proven against DuckDB's native GROUPS
+  * frame), and linear-regression aggregates rebuilt from exact decimal
+  * moments. All DuckDB-oracled.
+  *
+  * Scale notes: the gap-fill grid is dims × days — both tiny relative
+  * to the fact table, so the grid side broadcasts and the only shuffle
+  * is the fact aggregation itself. The GROUPS-frame composition
+  * aggregates BEFORE windowing, so the window sees one row per peer
+  * group (KBs) instead of the raw fact rows.
+  */
+object Analytics3 {
+
+  /** Correctly-rounded double view of a WIDE exact decimal. A direct
+    * int128-decimal→double cast can double-round (DuckDB's does:
+    * `double(unscaled) / 10^scale`, an ulp off the true value at
+    * sf0.01 — verified against exact rational arithmetic), so BOTH
+    * sides route the cast through a decimal STRING, which parses to
+    * the nearest double in one correctly-rounded step.
+    */
+  private def d38(c: org.apache.spark.sql.Column) =
+    c.cast("string").cast("double")
+
+  val entries: Seq[Entry] = Seq(
+    Entry(
+      "q52_bitwise_agg",
+      // bit_and/bit_or/bit_xor integer aggregates (flag-mask roll-ups).
+      // Integer-exact and commutative — safe under any partitioning.
+      (s, dir) =>
+        t(s, dir, "events")
+          .groupBy(col("event_type"))
+          .agg(
+            bit_and(col("user_id")).as("band"),
+            bit_or(col("user_id")).as("bor"),
+            bit_xor(col("user_id")).as("bxor"),
+            count(lit(1)).as("n"))
+          .orderBy(col("event_type")),
+      Some("""SELECT event_type, BIT_AND(user_id) AS band,
+        BIT_OR(user_id) AS bor, BIT_XOR(user_id) AS bxor, COUNT(*) AS n
+        FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    Entry(
+      "q53_listagg",
+      // Ordered string aggregation (LISTAGG / string_agg): sort the
+      // collected set so the result is deterministic under any
+      // partitioning — collect_list order is not, array_sort makes it
+      // so. Per-nation top-balance customer lists, kept bounded by a
+      // selective filter.
+      (s, dir) => {
+        val n = t(s, dir, "nation")
+        val c = t(s, dir, "customer")
+        c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .filter(col("c_acctbal") > 9900)
+          .groupBy(col("n_name"))
+          .agg(
+            concat_ws(",", array_sort(collect_list(col("c_name"))))
+              .as("top_customers"),
+            count(lit(1)).as("n_cust"))
+          .orderBy(col("n_name"))
+      },
+      Some("""SELECT n_name,
+        STRING_AGG(c_name, ',' ORDER BY c_name) AS top_customers,
+        COUNT(*) AS n_cust
+        FROM customer, nation
+        WHERE c_nationkey = n_nationkey AND c_acctbal > 9900
+        GROUP BY n_name ORDER BY n_name""")),
+
+    Entry(
+      "q54_gapfill",
+      // Calendar gap-fill: zero-filled daily event counts per type over
+      // the observed [min day, max day] span. The day spine comes from
+      // `sequence(...)` + explode; the (type × day) grid is tiny and
+      // broadcasts into the left join against the aggregated counts —
+      // the fact scan shuffles once (the groupBy), the grid never does.
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .select(col("event_type"), to_date(col("ts")).as("day"))
+        val bounds = ev.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+        val days = bounds.select(
+          explode(sequence(col("lo"), col("hi"), expr("interval 1 day")))
+            .as("day"))
+        val grid = t(s, dir, "events").select(col("event_type")).distinct()
+          .crossJoin(days)
+        val counts = ev.groupBy(col("event_type"), col("day"))
+          .agg(count(lit(1)).as("cnt"))
+        broadcast(grid).join(counts, Seq("event_type", "day"), "left")
+          .select(col("event_type"),
+            date_format(col("day"), "yyyy-MM-dd").as("day"),
+            coalesce(col("cnt"), lit(0L)).as("n"))
+          .orderBy(col("event_type"), col("day"))
+      },
+      Some("""WITH ev AS (
+          SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day
+          FROM events),
+        b AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM ev),
+        days AS (SELECT CAST(unnest(generate_series(
+            CAST(lo AS TIMESTAMP), CAST(hi AS TIMESTAMP),
+            INTERVAL 1 DAY)) AS DATE) AS day FROM b),
+        grid AS (SELECT et.event_type, days.day
+          FROM (SELECT DISTINCT event_type FROM ev) et, days),
+        counts AS (SELECT event_type, day, COUNT(*) AS cnt
+          FROM ev GROUP BY 1, 2)
+        SELECT g.event_type, strftime(g.day, '%Y-%m-%d') AS day,
+          COALESCE(c.cnt, 0) AS n
+        FROM grid g LEFT JOIN counts c
+          ON g.event_type = c.event_type AND g.day = c.day
+        ORDER BY g.event_type, day""")),
+
+    Entry(
+      "q55_groups_frame",
+      // GROUPS window frame (SQL:2011 `GROUPS BETWEEN 1 PRECEDING AND
+      // CURRENT ROW`) — Spark has no GROUPS frames, but aggregating to
+      // one row per peer group first makes ROWS ≡ GROUPS: the trailing
+      // 2-peer-group revenue per event type. (DuckDB 1.x also hasn't
+      // implemented GROUPS frames, so the oracle uses the same
+      // composition; GroupsFrameSpec proves the GROUPS semantics on
+      // planted SPARSE days — the previous PEER GROUP is summed, not
+      // the previous calendar day.) Decimal sums, double at the edge
+      // (Tables.scala determinism contract).
+      (s, dir) => {
+        val day = to_date(col("ts")).as("day")
+        val daily = t(s, dir, "events")
+          .groupBy(col("event_type"), day)
+          .agg(sum(dec(col("value"))).as("day_rev"))
+        val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+          .rowsBetween(-1, Window.currentRow)
+        daily
+          .withColumn("rev2d", sum(col("day_rev")).over(w).cast("double"))
+          .select(col("event_type"),
+            date_format(col("day"), "yyyy-MM-dd").as("day"), col("rev2d"))
+          .orderBy(col("event_type"), col("day"))
+      },
+      Some("""WITH daily AS (SELECT event_type,
+          CAST(date_trunc('day', ts) AS DATE) AS day,
+          SUM(CAST(value AS DECIMAL(12,2))) AS day_rev
+        FROM events GROUP BY 1, 2)
+        SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+          CAST(SUM(day_rev) OVER (PARTITION BY event_type ORDER BY day
+            ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rev2d
+        FROM daily ORDER BY event_type, day""")),
+
+    Entry(
+      "q56_regr",
+      // Linear-regression aggregates (regr_slope / regr_intercept /
+      // regr_r2 shape): extendedprice ~ quantity per returnflag. Like
+      // q24, every moment and every cross-product stays in EXACT
+      // decimal arithmetic; doubles appear only in the final division —
+      // slope = (n·Σxy − Σx·Σy) / (n·Σxx − Σx²) and intercept is
+      // computed directly from moments ((Σy·Σxx − Σx·Σxy) / same
+      // denominator) rather than from the slope, so no engine can fuse
+      // a double multiply-subtract into an FMA and drift an ulp.
+      // Explicit casts keep every decimal product within precision 38
+      // in BOTH engines; the oracle declares its moments DECIMAL(19,_)
+      // because DuckDB multiplies DECIMAL(18)s in raw int64 (observed
+      // overflow at sf0.01) while ≥19 digits forces int128 — the
+      // VALUES are identical either way, only the storage differs.
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val qd = col("l_quantity").cast(DecimalType(4, 2))
+        val pd = col("l_extendedprice").cast(DecimalType(8, 2))
+        li.groupBy(col("l_returnflag"))
+          .agg(
+            count(lit(1)).cast(DecimalType(12, 0)).as("n"),
+            sum(qd).cast(DecimalType(18, 2)).as("sx"),
+            sum(pd).cast(DecimalType(18, 2)).as("sy"),
+            sum(qd * qd).cast(DecimalType(18, 4)).as("sxx"),
+            sum(qd * pd).cast(DecimalType(18, 4)).as("sxy"))
+          .select(
+            col("l_returnflag"),
+            col("n").cast("bigint").as("n"),
+            (d38(col("n") * col("sxy") - col("sx") * col("sy")) /
+              d38(col("n") * col("sxx") - col("sx") * col("sx")))
+              .as("slope"),
+            (d38(col("sy") * col("sxx") - col("sx") * col("sxy")) /
+              d38(col("n") * col("sxx") - col("sx") * col("sx")))
+              .as("intercept"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""WITH m AS (SELECT l_returnflag,
+          CAST(COUNT(*) AS DECIMAL(19,0)) AS n,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(4,2))) AS DECIMAL(19,2)) AS sx,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(8,2))) AS DECIMAL(19,2)) AS sy,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(4,2)) * CAST(l_quantity AS DECIMAL(4,2))) AS DECIMAL(19,4)) AS sxx,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(4,2)) * CAST(l_extendedprice AS DECIMAL(8,2))) AS DECIMAL(19,4)) AS sxy
+        FROM lineitem GROUP BY l_returnflag)
+        SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+          CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE) /
+            CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE) AS slope,
+          CAST(CAST(sy * sxx - sx * sxy AS VARCHAR) AS DOUBLE) /
+            CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE) AS intercept
+        FROM m ORDER BY l_returnflag""")),
+
+    Entry(
+      "q57_topk_agg",
+      // Exact top-3 orders per priority via graft.functions.TopKAgg, a
+      // TypedImperativeAggregate with a k-bounded buffer: map-side
+      // partials shuffle ≤ tasks·groups·k rows instead of the whole
+      // fact table the q07 window formulation would move. Values are
+      // raw column passthrough (no arithmetic) and the (price DESC,
+      // orderkey ASC) tiebreak is total, so the result hash-matches the
+      // ranked-window oracle exactly.
+      (s, dir) => {
+        import org.apache.spark.sql.graft.DatasetBridge
+        val topk = DatasetBridge.column(
+          graft.functions.TopKAgg(
+            DatasetBridge.expression(col("o_totalprice")),
+            DatasetBridge.expression(col("o_orderkey")), 3)
+            .toAggregateExpression())
+        t(s, dir, "orders")
+          .groupBy(col("o_orderpriority"))
+          .agg(topk.as("top"))
+          .select(col("o_orderpriority"),
+            posexplode(col("top")).as(Seq("pos", "e")))
+          .select(col("o_orderpriority"),
+            (col("pos") + 1).cast("bigint").as("rnk"),
+            col("e.key").as("o_orderkey"),
+            col("e.ord").as("o_totalprice"))
+          .orderBy(col("o_orderpriority"), col("rnk"))
+      },
+      Some("""SELECT o_orderpriority, rnk, o_orderkey, o_totalprice
+        FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+            ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+              ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+          FROM orders)
+        WHERE rnk <= 3 ORDER BY o_orderpriority, rnk"""))
+  )
+}

@@ -46,6 +46,79 @@ object DedupOps {
       .distinct()
   }
 
+  /** MinHash-LSH verified near-dup pairs `(a, b, jaccard)` — the body
+    * of `dedup_minhash`, shared with `dedup_clusters`.
+    */
+  private def minhashPairs(s: SparkSession, dir: String): DataFrame = {
+    withJaccardRewrite(s)
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_minhash", exprs => graft.functions.MinHashSig(exprs.head),
+      "scala_udf")
+    val sh = shingled(s, dir).persist()
+    // native single-pass signature: one hash per shingle + 64
+    // (a·h+b) permutations, vs 64 interpreted array_min lambdas
+    val sig = sh.withColumn("sig", expr("graft_minhash(shingles)"))
+    val banded = sig.select(col("doc_id"),
+        posexplode(expr(
+          "transform(sequence(0, 15), b -> xxhash64(slice(sig, b * 4 + 1, 4)))"))
+          .as(Seq("band", "bkey")))
+      .select(col("band"), col("bkey"), col("doc_id"))
+      .persist()
+    val pairs = pairsFromBuckets(banded, Seq("band", "bkey"))
+    val sa = sh.toDF("a", "sh_a")
+    val sb = sh.toDF("b", "sh_b")
+    pairs.join(sa, "a").join(sb, "b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("a"), col("b"), col("jaccard"))
+  }
+
+  /** Connected components over an undirected pair list `(a, b)` by
+    * hash-min label propagation: every vertex starts labeled with its
+    * own id; each round every vertex takes the min label among itself
+    * and its neighbors; fixpoint = each component uniformly labeled
+    * with its smallest member id. Rounds needed = graph diameter —
+    * near-dup clusters are shallow (dups of dups of one original), so
+    * a handful of shuffle rounds closes transitivity that pairwise
+    * thresholds alone cannot (A≈B≈C with A̸≈C still clusters).
+    *
+    * Scale: each round is one self-equi-join + one min-groupBy — all
+    * hash-shuffles on vertex id, never materializing anything bigger
+    * than the edge list. `localCheckpoint` truncates the growing plan
+    * lineage each round (on a cluster, prefer `checkpoint` to a
+    * reliable dir). For adversarially long chains swap in
+    * large-star/small-star (alternating min-propagation that contracts
+    * paths in O(log n) rounds); spool-scale dup graphs don't need it.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+      .persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val next = edges
+        .join(labels, edges("src") === labels("id"))
+        .select(col("dst").as("id"), col("label"))
+        .union(labels)
+        .groupBy(col("id")).agg(min(col("label")).as("label"))
+        .localCheckpoint(true)
+      converged = next.as("n")
+        .join(labels.as("o"), "id")
+        .filter(col("n.label") =!= col("o.label"))
+        .isEmpty
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   val entries: Seq[Entry] = Seq(
     Entry(
       "dedup_exact",
@@ -71,31 +144,25 @@ object DedupOps {
       // >= 0.5 within buckets confirms and removes false positives.
       // Shingles/signatures are cached — they feed both the bucket join
       // and the verification join.
+      (s, dir) => minhashPairs(s, dir).orderBy(col("a"), col("b")),
+      None),
+
+    Entry(
+      "dedup_clusters",
+      // Near-dup CLUSTERS: MinHash-LSH pairs closed under transitivity
+      // by [[connectedComponents]] — each clustered doc labeled with
+      // its component's min doc_id (the canonical keeper), plus the
+      // cluster size. This is the step that turns pairwise similarity
+      // into the actual keep/drop decision of a corpus dedup pass.
       (s, dir) => {
-        withJaccardRewrite(s)
-        s.sessionState.functionRegistry.createOrReplaceTempFunction(
-          "graft_minhash", exprs => graft.functions.MinHashSig(exprs.head),
-          "scala_udf")
-        val sh = shingled(s, dir).persist()
-        // native single-pass signature: one hash per shingle + 64
-        // (a·h+b) permutations, vs 64 interpreted array_min lambdas
-        val sig = sh.withColumn("sig", expr("graft_minhash(shingles)"))
-        val banded = sig.select(col("doc_id"),
-            posexplode(expr(
-              "transform(sequence(0, 15), b -> xxhash64(slice(sig, b * 4 + 1, 4)))"))
-              .as(Seq("band", "bkey")))
-          .select(col("band"), col("bkey"), col("doc_id"))
-          .persist()
-        val pairs = pairsFromBuckets(banded, Seq("band", "bkey"))
-        val sa = sh.toDF("a", "sh_a")
-        val sb = sh.toDF("b", "sh_b")
-        pairs.join(sa, "a").join(sb, "b")
-          .withColumn("jaccard",
-            size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-              size(array_union(col("sh_a"), col("sh_b"))))
-          .filter(col("jaccard") >= 0.5)
-          .select(col("a"), col("b"), col("jaccard"))
-          .orderBy(col("a"), col("b"))
+        val cc = connectedComponents(minhashPairs(s, dir).select(
+          col("a"), col("b")))
+        cc.groupBy(col("label").as("cluster"))
+          .agg(count(lit(1)).as("cluster_size"),
+            sort_array(collect_list(col("id"))).as("members"))
+          .select(col("cluster"), col("cluster_size"),
+            concat_ws(",", col("members")).as("members"))
+          .orderBy(col("cluster"))
       },
       None),
 

@@ -13,7 +13,8 @@ final case class Entry(
 
 object Registry {
   def all: Seq[Entry] =
-    Analytics.entries ++ Analytics2.entries ++ SketchOps.entries ++
+    Analytics.entries ++ Analytics2.entries ++ Analytics3.entries ++
+      SketchOps.entries ++
       TextOps.entries ++ DedupOps.entries ++ PipelineOps.entries ++
       SimilarityOps.entries ++ MultimodalOps.entries ++
       SnortOps.entries ++ StreamOps.entries
