@@ -99,6 +99,54 @@ object Spool {
     q
   }
 
+  /** Spool retention: delete files the tailing ingest has FULLY
+    * consumed — the Spark-native form of idstools
+    * `SpoolEventReader(delete=True)`, which unlinks a spool file once
+    * the reader rolls over past it (the reference wires that reader at
+    * /root/reference/charlotte/__init__.py:108-120,263).
+    *
+    * Safety rules, mirroring the rollover semantics:
+    *  - only files whose COMMITTED byte offset (from the checkpoint's
+    *    last committed offset log — the authoritative bookmark, not the
+    *    in-flight one) equals their current size are candidates;
+    *  - the lexicographically-last `prefix*` file of each directory is
+    *    the ACTIVE file snort may still append to — always kept;
+    *  - nothing is deleted before the first commit.
+    * Deleting a purged file is invisible to the stream: the next
+    * `latestOffset` simply no longer lists it, so no partition is ever
+    * planned against it. Returns the deleted paths.
+    */
+  def purgeIngested(checkpoint: String): Seq[String] = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    def batchIds(dir: java.nio.file.Path): Seq[Long] =
+      if (!Files.isDirectory(dir)) Seq.empty
+      else {
+        val s = Files.list(dir)
+        try s.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.forall(_.isDigit)).map(_.toLong).toSeq
+        finally s.close()
+      }
+    val committed = batchIds(Paths.get(checkpoint, "commits"))
+    if (committed.isEmpty) return Seq.empty
+    val offFile = Paths.get(checkpoint, "offsets", committed.max.toString)
+    if (!Files.isRegularFile(offFile)) return Seq.empty
+    // OffsetSeqLog layout: "v1" / metadata json / one offset per source
+    val lines = Files.readAllLines(offFile).asScala.toSeq
+    if (lines.length < 3) return Seq.empty
+    val offsets = SpoolTailOffset.parse(lines.last).files
+    val active: Set[String] = offsets.keys
+      .groupBy(p => Paths.get(p).getParent)
+      .values.map(_.max).toSet
+    offsets.toSeq.sortBy(_._1).flatMap { case (path, Seq(off, _)) =>
+      val p = Paths.get(path)
+      if (!active(path) && Files.isRegularFile(p) && Files.size(p) == off) {
+        Files.delete(p)
+        Some(path)
+      } else None
+    }
+  }
+
   /** Per-batch enrichment + parquet append shared by both ingest loops;
     * the rule maps are RE-READ each batch = the reference's mtime-based
     * hot reload.

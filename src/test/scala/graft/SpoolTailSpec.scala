@@ -95,6 +95,40 @@ class SpoolTailSpec extends SparkSuite {
       "WEB-MISC test http alert").count() == 3)
   }
 
+  test("purgeIngested deletes only fully-committed rolled-over files") {
+    val dir = Files.createTempDirectory("graft_purge").toString
+    val f1 = Paths.get(dir, "snort.log.1800000001")
+    val f2 = Paths.get(dir, "snort.log.1800000002")
+    Files.write(f1, alert(1) ++ alert(2))
+    Files.write(f2, alert(3))
+    val ckpt = Files.createTempDirectory("graft_purge_ckpt").toString
+    val out = Files.createTempDirectory("graft_purge_out").toString
+
+    // nothing committed yet -> nothing purged
+    assert(graft.streaming.Spool.purgeIngested(ckpt).isEmpty)
+
+    val q = SpoolTail.streamRecords(spark, Seq(dir), "snort.log", "sP")
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).start()
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.read.parquet(out).count() == 3)
+
+    val purged = graft.streaming.Spool.purgeIngested(ckpt)
+    assert(purged == Seq(f1.toString),
+      s"only the rolled-over file may go: $purged")
+    assert(!Files.exists(f1), "fully-ingested closed file deleted")
+    assert(Files.exists(f2), "active file must survive")
+
+    // stream keeps working after the purge: active file grows, resume
+    Files.write(f2, alert(4), StandardOpenOption.APPEND)
+    val q2 = SpoolTail.streamRecords(spark, Seq(dir), "snort.log", "sP")
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(spark.read.parquet(out).count() == 4,
+      "purge must not disturb the bookmark of surviving files")
+  }
+
   test("tail source drains a closed spool via AvailableNow") {
     val dir = Unified2Fixture.writeSpool(
       Files.createTempDirectory("graft_tail_closed").toString + "/spool")
