@@ -346,6 +346,43 @@ object StreamOps {
             col("signature_id")), OutputMode.Append())
           .orderBy(col("src_file"), col("rec_index"))
       },
-      None)
+      None),
+
+    Entry(
+      "stream_topk",
+      // Streaming daily top-k: watermarked daily (user, day) counts
+      // drain in Complete mode, then TopKAgg (q57's map-side-combine
+      // aggregate) picks the 3 most active users per day from the
+      // windowed state — the "trending entities" pattern without a
+      // global sort. Oracle: the batch ranked-window equivalent.
+      (s, dir) => {
+        import org.apache.spark.sql.graft.DatasetBridge
+        val perUser = eventStream(s, dir)
+          .withWatermark("ts", "1 hour")
+          .groupBy(window(col("ts"), "1 day"), col("user_id"))
+          .agg(count(lit(1)).as("n"))
+        val res = withShufflePartitions(s, 8)(
+          runOnce(s, perUser, OutputMode.Complete()))
+        val topk = DatasetBridge.column(graft.functions.TopKAgg(
+          DatasetBridge.expression(col("n").cast("double")),
+          DatasetBridge.expression(col("user_id")), 3)
+          .toAggregateExpression())
+        res.select(
+            date_format(col("window.start"), "yyyy-MM-dd").as("day"),
+            col("user_id"), col("n"))
+          .groupBy(col("day"))
+          .agg(topk.as("top"))
+          .select(col("day"), posexplode(col("top")).as(Seq("pos", "e")))
+          .select(col("day"), (col("pos") + 1).cast("bigint").as("rnk"),
+            col("e.key").as("user_id"), col("e.ord").cast("bigint").as("n"))
+          .orderBy(col("day"), col("rnk"))
+      },
+      Some("""SELECT day, rnk, user_id, n FROM (
+          SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+            user_id, COUNT(*) AS n,
+            ROW_NUMBER() OVER (PARTITION BY date_trunc('day', ts)
+              ORDER BY COUNT(*) DESC, user_id) AS rnk
+          FROM events GROUP BY date_trunc('day', ts), user_id)
+        WHERE rnk <= 3 ORDER BY day, rnk"""))
   )
 }

@@ -22,6 +22,32 @@ object TextOps {
 
   val entries: Seq[Entry] = Seq(
     Entry(
+      "text_normalize",
+      // Canonical text cleanup ahead of dedup/tokenization: lowercase,
+      // collapse runs of whitespace, strip control chars, trim — pure
+      // per-row projection (no shuffle; pipelines into whatever scan
+      // feeds it). Emits before/after lengths for shrinkage QA.
+      (s, dir) => {
+        val norm = trim(regexp_replace(
+          regexp_replace(lower(col("text")), "[\\p{Cntrl}]", " "),
+          "\\s+", " "))
+        t(s, dir, "documents")
+          .select(
+            col("doc_id"),
+            norm.as("norm_text"),
+            length(col("text")).cast("long").as("n_chars_raw"),
+            length(norm).cast("long").as("n_chars_norm"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+        trim(regexp_replace(regexp_replace(lower(text), '[[:cntrl:]]', ' ', 'g'),
+          '\s+', ' ', 'g')) AS norm_text,
+        CAST(len(text) AS BIGINT) AS n_chars_raw,
+        CAST(len(trim(regexp_replace(regexp_replace(lower(text), '[[:cntrl:]]', ' ', 'g'),
+          '\s+', ' ', 'g'))) AS BIGINT) AS n_chars_norm
+        FROM documents ORDER BY doc_id""")),
+
+    Entry(
       "text_tokens",
       (s, dir) =>
         t(s, dir, "documents")
