@@ -232,6 +232,64 @@ object Analytics3 {
             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
               ORDER BY o_totalprice DESC, o_orderkey) AS rnk
           FROM orders)
-        WHERE rnk <= 3 ORDER BY o_orderpriority, rnk"""))
+        WHERE rnk <= 3 ORDER BY o_orderpriority, rnk""")),
+
+    Entry(
+      "q58_salted_join",
+      // Explicit skew-salted join: events carry only 5 distinct
+      // event_type keys, so a plain shuffle join lands each hot key on
+      // ONE reducer. Salting spreads it: big side gets
+      // salt = pmod(hash(row id), S); the dim side replicates S ways;
+      // the equi-join on (key, salt) fans each hot key over S
+      // reducers. This is the manual form of AQE's skew-join split,
+      // needed when AQE can't help (bucketed/bucket-sorted sides,
+      // stateful stream joins) — here the dim is hinted shuffle_hash
+      // so the demo actually exercises the salted shuffle rather than
+      // broadcasting. Result provably identical to the direct join.
+      (s, dir) => {
+        val S = 8
+        val ev = t(s, dir, "events")
+          .select(col("event_type"), col("value"),
+            pmod(hash(col("event_id")), lit(S)).as("salt"))
+        val dim = t(s, dir, "events")
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("type_total"))
+          .withColumn("salt", explode(sequence(lit(0), lit(S - 1))))
+        ev.join(dim.hint("shuffle_hash"), Seq("event_type", "salt"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(dec(col("value"))).cast("double").as("total"),
+            max(col("type_total")).as("type_total"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH dim AS (SELECT event_type, COUNT(*) AS type_total
+          FROM events GROUP BY event_type)
+        SELECT e.event_type, COUNT(*) AS n,
+          CAST(SUM(CAST(e.value AS DECIMAL(12,2))) AS DOUBLE) AS total,
+          MAX(d.type_total) AS type_total
+        FROM events e JOIN dim d ON e.event_type = d.event_type
+        GROUP BY e.event_type ORDER BY e.event_type""")),
+
+    Entry(
+      "q59_latest_per_key",
+      // Latest record per key (the CDC/upsert compaction every
+      // ingestion pipeline runs): row_number over (key ORDER BY ts
+      // DESC, id) = 1. One shuffle on the key; WindowGroupLimit
+      // prunes to the per-partition head before the sort at scale.
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").desc, col("event_id").desc)
+        t(s, dir, "events")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"))
+          .orderBy(col("user_id"))
+      },
+      Some("""SELECT user_id, event_id, event_type,
+          strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+            ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+        WHERE rn = 1 ORDER BY user_id"""))
   )
 }
