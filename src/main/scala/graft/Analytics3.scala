@@ -290,6 +290,65 @@ object Analytics3 {
           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
         FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
             ORDER BY ts DESC, event_id DESC) AS rn FROM events)
-        WHERE rn = 1 ORDER BY user_id"""))
+        WHERE rn = 1 ORDER BY user_id""")),
+
+    Entry(
+      "q60_frame_exclude",
+      // SQL:2011 frame EXCLUDE CURRENT ROW (absent from Spark):
+      // "peer average around each row" composed as frame-sum minus the
+      // row's own value — exact decimal arithmetic, so subtraction
+      // introduces no drift. The oracle runs DuckDB's NATIVE
+      // EXCLUDE CURRENT ROW, proving the composition. Count variant
+      // composes the same way (frame count − 1).
+      (s, dir) => {
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col("event_id")).rowsBetween(-5, 5)
+        val vd = dec(col("value"))
+        t(s, dir, "events")
+          .withColumn("s", sum(vd).over(w) - vd)
+          .withColumn("c", (count(lit(1)).over(w) - lit(1)).cast("bigint"))
+          .select(col("event_type"), col("event_id"),
+            col("s").cast("double").as("neighbor_sum"), col("c").as("neighbor_n"))
+          .orderBy(col("event_type"), col("event_id"))
+      },
+      Some("""SELECT event_type, event_id,
+        CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER (
+          PARTITION BY event_type ORDER BY event_id
+          ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING
+          EXCLUDE CURRENT ROW) AS DOUBLE) AS neighbor_sum,
+        COUNT(*) OVER (PARTITION BY event_type ORDER BY event_id
+          ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING
+          EXCLUDE CURRENT ROW) AS neighbor_n
+        FROM events ORDER BY event_type, event_id""")),
+
+    Entry(
+      "q61_unpivot",
+      // UNPIVOT/melt: wide per-day metric columns back to long form
+      // via Dataset.unpivot (codegen'd Expand, one pass, no shuffle
+      // beyond the source agg). Oracle: portable UNION ALL form.
+      (s, dir) => {
+        val wide = t(s, dir, "events")
+          .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+          .agg(
+            sum(when(col("event_type") === "click", dec(col("value"))))
+              .cast("double").as("click"),
+            sum(when(col("event_type") === "view", dec(col("value"))))
+              .cast("double").as("view"),
+            sum(when(col("event_type") === "purchase", dec(col("value"))))
+              .cast("double").as("purchase"))
+        wide.unpivot(Array(col("day")),
+            Array(col("click"), col("view"), col("purchase")),
+            "metric", "total")
+          .orderBy(col("day"), col("metric"))
+      },
+      Some("""WITH wide AS (SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+          CAST(SUM(CASE WHEN event_type='click' THEN CAST(value AS DECIMAL(12,2)) END) AS DOUBLE) AS click,
+          CAST(SUM(CASE WHEN event_type='view' THEN CAST(value AS DECIMAL(12,2)) END) AS DOUBLE) AS view,
+          CAST(SUM(CASE WHEN event_type='purchase' THEN CAST(value AS DECIMAL(12,2)) END) AS DOUBLE) AS purchase
+        FROM events GROUP BY 1)
+        SELECT day, 'click' AS metric, click AS total FROM wide
+        UNION ALL SELECT day, 'view', view FROM wide
+        UNION ALL SELECT day, 'purchase', purchase FROM wide
+        ORDER BY day, metric"""))
   )
 }

@@ -114,6 +114,30 @@ object PipelineOps {
           FROM tok)
         SELECT lang, CAST((cum - n_tok) // 2048 AS BIGINT) AS batch_id,
           COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tok
-        FROM c GROUP BY lang, batch_id ORDER BY lang, batch_id"""))
+        FROM c GROUP BY lang, batch_id ORDER BY lang, batch_id""")),
+
+    Entry(
+      "corpus_jsonl",
+      // JSONL interchange round-trip — the LLM-corpus exchange format:
+      // documents written as newline-delimited JSON partitioned by
+      // lang (partition pruning on read-back), read back and verified
+      // row-identical. The oracle checks the round-tripped rows
+      // against the source table directly, so any loss/corruption in
+      // the JSON write→read cycle (encoding, escaping, schema
+      // inference) breaks the hash match. Writes are idempotent
+      // overwrites into the session's scratch dir.
+      (s, dir) => {
+        val out = s"target/graft_scratch/corpus_jsonl_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        t(s, dir, "documents")
+          .write.mode("overwrite").partitionBy("lang").json(out)
+        s.read.schema("doc_id BIGINT, text STRING, source STRING, " +
+            "n_chars BIGINT, lang STRING").json(out)
+          .select(col("doc_id"), col("lang"), col("source"),
+            col("n_chars"), length(col("text")).cast("long").as("len_rt"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, lang, source, n_chars,
+        CAST(len(text) AS BIGINT) AS len_rt
+        FROM documents ORDER BY doc_id"""))
   )
 }
