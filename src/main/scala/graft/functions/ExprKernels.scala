@@ -1,0 +1,148 @@
+package graft.functions
+
+import org.apache.spark.QueryContext
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.DataType
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Row-level kernels shared by the native expressions' interpreted
+  * `eval` AND generated code. A standalone object (no companion class)
+  * compiles to STATIC forwarders on `graft.functions.ExprKernels`, so
+  * whole-stage-generated Java calls these directly — the expressions
+  * implement `doGenCode` as one static call instead of extending
+  * `CodegenFallback`, which would break the WholeStageCodegen span of
+  * every stage they appear in (and with it the pipelining of the
+  * surrounding operators in the LSH/ANN hot paths).
+  */
+object ExprKernels {
+
+  /** Sequential-sum dot product; null on length mismatch or null
+    * element (zip_with+aggregate parity — see [[DotProd]]).
+    */
+  def dot(l: ArrayData, r: ArrayData, lFloat: Boolean,
+      rFloat: Boolean): java.lang.Double = {
+    val n = l.numElements()
+    if (n != r.numElements()) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (l.isNullAt(i) || r.isNullAt(i)) return null
+      val x = if (lFloat) l.getFloat(i).toDouble else l.getDouble(i)
+      val y = if (rFloat) r.getFloat(i).toDouble else r.getDouble(i)
+      acc += x * y
+      i += 1
+    }
+    java.lang.Double.valueOf(acc)
+  }
+
+  /** Distinct-element Jaccard; Divide(0,0)-identical ∅/∅ semantics:
+    * NULL in default mode, the standard divide-by-zero error under
+    * ANSI (see [[JaccardSim]]).
+    */
+  def jaccard(l: ArrayData, r: ArrayData, elemType: DataType,
+      ansi: Boolean, qc: QueryContext): java.lang.Double = {
+    val la = l.toObjectArray(elemType)
+    val ra = r.toObjectArray(elemType)
+    val lSet = new java.util.HashSet[Any](la.length * 2)
+    var i = 0
+    while (i < la.length) { lSet.add(la(i)); i += 1 }
+    val seen = new java.util.HashSet[Any](ra.length * 2)
+    var inter = 0
+    var rDistinct = 0
+    i = 0
+    while (i < ra.length) {
+      if (seen.add(ra(i))) {
+        rDistinct += 1
+        if (lSet.contains(ra(i))) inter += 1
+      }
+      i += 1
+    }
+    val union = lSet.size + rDistinct - inter
+    if (union == 0) {
+      if (ansi)
+        throw org.apache.spark.sql.graft.DatasetBridge.divideByZeroError(qc)
+      else null
+    } else java.lang.Double.valueOf(inter.toDouble / union.toDouble)
+  }
+
+  /** 64-permutation MinHash signature (see [[MinHashSig]]). */
+  def minhash(arr: ArrayData): ArrayData = {
+    val mins = Array.fill(MinHashSig.NPerms)(Long.MaxValue)
+    var i = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i)) {
+        val h = fnv1a64(arr.getUTF8String(i).getBytes)
+        var j = 0
+        while (j < MinHashSig.NPerms) {
+          var z = h ^ MinHashSig.Seeds(j)
+          z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+          z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+          z ^= (z >>> 31)
+          if (z < mins(j)) mins(j) = z
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  /** 64-bit SimHash of a token array (see [[SimHash64]]). */
+  def simhash(arr: ArrayData): Long = {
+    val counts = new Array[Int](64)
+    var i = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i)) {
+        val h = fnv1a64(arr.getUTF8String(i).getBytes)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) sig |= (1L << b); b += 1 }
+    sig
+  }
+
+  /** Distinct hashed character n-grams (see [[NgramHashes]]). */
+  def ngrams(s: UTF8String, n: Int): ArrayData = {
+    val bytes = s.getBytes
+    val seen = new java.util.HashSet[java.lang.Long]()
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    if (bytes.length < n) {
+      var h = 0xcbf29ce484222325L
+      var i = 0
+      while (i < bytes.length) {
+        h ^= (bytes(i) & 0xffL); h *= 0x100000001b3L; i += 1
+      }
+      out += h
+    } else {
+      var start = 0
+      while (start + n <= bytes.length) {
+        var h = 0xcbf29ce484222325L
+        var i = start
+        while (i < start + n) {
+          h ^= (bytes(i) & 0xffL); h *= 0x100000001b3L; i += 1
+        }
+        if (seen.add(h)) out += h
+        start += 1
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  @inline private def fnv1a64(bytes: Array[Byte]): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+}

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Cast, Divide, Expression, Size}
 import org.apache.spark.sql.catalyst.expressions.{ArrayIntersect, ArrayUnion}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -17,7 +17,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * arrays are pure allocation overhead.
   */
 case class JaccardSim(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def prettyName: String = "graft_jaccard_sim"
   override def dataType: DataType = DoubleType
@@ -29,34 +29,31 @@ case class JaccardSim(left: Expression, right: Expression)
   private lazy val elemType =
     left.dataType.asInstanceOf[ArrayType].elementType
 
-  override protected def nullSafeEval(l: Any, r: Any): Any = {
-    val la = l.asInstanceOf[ArrayData].toObjectArray(elemType)
-    val ra = r.asInstanceOf[ArrayData].toObjectArray(elemType)
-    val lSet = new java.util.HashSet[Any](la.length * 2)
-    var i = 0
-    while (i < la.length) { lSet.add(la(i)); i += 1 }
-    val seen = new java.util.HashSet[Any](ra.length * 2)
-    var inter = 0
-    var rDistinct = 0
-    i = 0
-    while (i < ra.length) {
-      if (seen.add(ra(i))) {
-        rDistinct += 1
-        if (lSet.contains(ra(i))) inter += 1
-      }
-      i += 1
-    }
-    val union = lSet.size + rDistinct - inter
-    if (union == 0) {
-      // Two empty arrays: match Divide(0, 0) exactly so the optimizer
-      // rewrite is value-identical — NULL in default mode, the standard
-      // divide-by-zero error under ANSI (ADVICE r1).
-      if (org.apache.spark.sql.internal.SQLConf.get.ansiEnabled)
-        throw org.apache.spark.sql.graft.DatasetBridge
-          .divideByZeroError(origin.context)
-      else null
-    } else inter.toDouble / union.toDouble
-  }
+  // ∅/∅ matches Divide(0, 0) exactly so the optimizer rewrite is
+  // value-identical — NULL in default mode, the standard
+  // divide-by-zero error under ANSI (ADVICE r1). Logic lives in
+  // ExprKernels.jaccard, shared with the generated code path.
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    ExprKernels.jaccard(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData],
+      elemType, org.apache.spark.sql.internal.SQLConf.get.ansiEnabled,
+      origin.context)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (l, r) => {
+      val tmp = ctx.freshName("jacRes")
+      val et = ctx.addReferenceObj("elemType", elemType)
+      val qc = ctx.addReferenceObj("qryCtx", origin.context,
+        "org.apache.spark.QueryContext")
+      // ansi captured at codegen time — generated code is per-plan,
+      // re-generated when the conf changes, same capture discipline as
+      // Spark's own arithmetic expressions
+      val ansi = org.apache.spark.sql.internal.SQLConf.get.ansiEnabled
+      s"""
+      java.lang.Double $tmp = graft.functions.ExprKernels.jaccard($l, $r, $et, $ansi, $qc);
+      if ($tmp == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = $tmp.doubleValue(); }
+      """
+    })
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =

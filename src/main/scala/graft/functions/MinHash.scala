@@ -1,8 +1,8 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 
 /** 64-permutation MinHash signature of a string-array column in ONE
@@ -17,43 +17,17 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * lambdas — the dominant cost of the LSH dedup family at bench.
   */
 case class MinHashSig(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_minhash"
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    val mins = Array.fill(MinHashSig.NPerms)(Long.MaxValue)
-    var i = 0
-    while (i < arr.numElements()) {
-      if (!arr.isNullAt(i)) {
-        val h = fnv1a64(arr.getUTF8String(i).getBytes)
-        var j = 0
-        while (j < MinHashSig.NPerms) {
-          var z = h ^ MinHashSig.Seeds(j)
-          z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-          z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-          z ^= (z >>> 31)
-          if (z < mins(j)) mins(j) = z
-          j += 1
-        }
-      }
-      i += 1
-    }
-    new GenericArrayData(mins)
-  }
+  override protected def nullSafeEval(input: Any): Any =
+    ExprKernels.minhash(input.asInstanceOf[ArrayData])
 
-  @inline private def fnv1a64(bytes: Array[Byte]): Long = {
-    var h = 0xcbf29ce484222325L
-    var i = 0
-    while (i < bytes.length) {
-      h ^= (bytes(i) & 0xffL)
-      h *= 0x100000001b3L
-      i += 1
-    }
-    h
-  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.ExprKernels.minhash($c);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -68,37 +42,18 @@ case class MinHashSig(child: Expression)
   * chain it replaces allocates every gram as a String first.
   */
 case class NgramHashes(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_ngrams"
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val bytes = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
-      .getBytes
-    val seen = new java.util.HashSet[java.lang.Long]()
-    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
-    if (bytes.length < n) {
-      var h = 0xcbf29ce484222325L
-      var i = 0
-      while (i < bytes.length) {
-        h ^= (bytes(i) & 0xffL); h *= 0x100000001b3L; i += 1
-      }
-      out += h
-    } else {
-      var start = 0
-      while (start + n <= bytes.length) {
-        var h = 0xcbf29ce484222325L
-        var i = start
-        while (i < start + n) {
-          h ^= (bytes(i) & 0xffL); h *= 0x100000001b3L; i += 1
-        }
-        if (seen.add(h)) out += h
-        start += 1
-      }
-    }
-    new GenericArrayData(out.toArray)
-  }
+  override protected def nullSafeEval(input: Any): Any =
+    ExprKernels.ngrams(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.ExprKernels.ngrams($c, $n);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.DatasetBridge
 import org.apache.spark.sql.functions._
@@ -37,9 +37,11 @@ object Vectors {
   * either array (or any element) is null, or if the lengths differ —
   * the same propagation as the zip_with+aggregate composition it
   * replaces (zip_with pads the shorter side with NULL elements, which
-  * poison the sum). */
+  * poison the sum). Codegen'd: one static [[ExprKernels.dot]] call, so
+  * the surrounding WholeStageCodegen span stays intact.
+  */
 case class DotProd(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_dot"
@@ -55,22 +57,19 @@ case class DotProd(left: Expression, right: Expression)
   private lazy val lFloat = isFloat(left)
   private lazy val rFloat = isFloat(right)
 
-  override protected def nullSafeEval(l: Any, r: Any): Any = {
-    val la = l.asInstanceOf[ArrayData]
-    val ra = r.asInstanceOf[ArrayData]
-    val n = la.numElements()
-    if (n != ra.numElements()) return null
-    var acc = 0.0
-    var i = 0
-    while (i < n) {
-      if (la.isNullAt(i) || ra.isNullAt(i)) return null
-      val x = if (lFloat) la.getFloat(i).toDouble else la.getDouble(i)
-      val y = if (rFloat) ra.getFloat(i).toDouble else ra.getDouble(i)
-      acc += x * y
-      i += 1
-    }
-    acc
-  }
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    ExprKernels.dot(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData],
+      lFloat, rFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (l, r) => {
+      val tmp = ctx.freshName("dotRes")
+      s"""
+      java.lang.Double $tmp = graft.functions.ExprKernels.dot($l, $r, $lFloat, $rFloat);
+      if ($tmp == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = $tmp.doubleValue(); }
+      """
+    })
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
