@@ -102,12 +102,16 @@ object DedupOps {
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
+      // LAZY checkpoint: the convergence probe below is the round's
+      // single action — it materializes the checkpointed labels AND
+      // answers "did anything change", instead of paying one eager
+      // materialization plus one probe per round
       val next = edges
         .join(labels, edges("src") === labels("id"))
         .select(col("dst").as("id"), col("label"))
         .union(labels)
         .groupBy(col("id")).agg(min(col("label")).as("label"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       converged = next.as("n")
         .join(labels.as("o"), "id")
         .filter(col("n.label") =!= col("o.label"))

@@ -4,7 +4,7 @@ import java.nio.ByteBuffer
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -21,7 +21,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * and therefore embarrassingly parallel at any scale.
   */
 case class DecodePacket(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def prettyName: String = "graft_decode_packet"
 
@@ -29,6 +29,13 @@ case class DecodePacket(child: Expression)
 
   override protected def nullSafeEval(input: Any): Any =
     DecodePacket.decode(input.asInstanceOf[Array[Byte]])
+
+  // one static call into the companion's decoder (static forwarder on
+  // the class), keeping the whole ingest projection inside
+  // WholeStageCodegen instead of forcing a fallback stage
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.DecodePacket.decode($c);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
