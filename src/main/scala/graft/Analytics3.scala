@@ -349,6 +349,41 @@ object Analytics3 {
         SELECT day, 'click' AS metric, click AS total FROM wide
         UNION ALL SELECT day, 'view', view FROM wide
         UNION ALL SELECT day, 'purchase', purchase FROM wide
-        ORDER BY day, metric"""))
+        ORDER BY day, metric""")),
+
+    Entry(
+      "q63_session_window",
+      // Spark's NATIVE session_window (dynamic-gap session aggregation
+      // operator) vs the composable lag+cumsum form (q27): the oracle
+      // re-derives sessions declaratively in DuckDB with the exact
+      // native merge rule — events merge iff gap < 30 min STRICTLY
+      // (session_window extends [ts, ts+gap) and merges on overlap;
+      // the q27 formulation merges on <=). end_us is recovered as
+      // window.end − gap = last event time, keeping the output purely
+      // event-time (engine-independent).
+      (s, dir) => {
+        val gapUs = 1800000000L
+        t(s, dir, "events")
+          .groupBy(session_window(col("ts"), "30 minutes"),
+            col("user_id"))
+          .agg(count(lit(1)).as("n_events"),
+            dsum(col("value")).as("sess_value"))
+          .select(col("user_id"),
+            unix_micros(col("session_window.start")).as("start_us"),
+            (unix_micros(col("session_window.end")) - gapUs).as("end_us"),
+            col("n_events"), col("sess_value"))
+          .orderBy(col("user_id"), col("start_us"))
+      },
+      Some("""WITH e AS (
+          SELECT user_id, event_id, epoch_us(ts) AS us, value FROM events),
+        s AS (SELECT *, CASE WHEN LAG(us) OVER w IS NULL
+              OR us - LAG(us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS new_sess
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        t AS (SELECT *, SUM(new_sess) OVER (PARTITION BY user_id
+            ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS sess_id FROM s)
+        SELECT user_id, MIN(us) AS start_us, MAX(us) AS end_us,
+          COUNT(*) AS n_events,
+          CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sess_value
+        FROM t GROUP BY user_id, sess_id ORDER BY user_id, start_us"""))
   )
 }

@@ -95,6 +95,26 @@ object SketchOps {
             hll_sketch_estimate(col("sk")).as("est_users"))
         perDay.unionByName(overall).orderBy(col("day"))
       },
+      None),
+
+    Entry(
+      "q62_approx_quantile",
+      // Mergeable quantile sketch (approx_percentile): p50/p90/p99 per
+      // event type in one pass, partial sketches merging map-side —
+      // the scale path when exact percentile (q23's full sort per
+      // group) is too expensive. Rows-only like the other sketches;
+      // SketchSpec pins each estimate inside a ±2-percentile-rank
+      // bracket of the exact distribution.
+      (s, dir) =>
+        t(s, dir, "events")
+          .groupBy(col("event_type"))
+          .agg(expr(
+            "approx_percentile(value, array(0.5, 0.9, 0.99), 10000)")
+            .as("q"))
+          .select(col("event_type"),
+            col("q")(0).as("p50"), col("q")(1).as("p90"),
+            col("q")(2).as("p99"))
+          .orderBy(col("event_type")),
       None)
   )
 }

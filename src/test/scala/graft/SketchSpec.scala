@@ -52,6 +52,34 @@ class SketchSpec extends SparkSuite {
     }
   }
 
+  test("approx quantile estimates land inside a ±2-rank bracket of exact") {
+    import org.apache.spark.sql.functions._
+    val approx = q("q62_approx_quantile", sfDir).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    val exact = Tables.t(spark, sfDir, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        expr("percentile(value, array(0.48, 0.52))").as("b50"),
+        expr("percentile(value, array(0.88, 0.92))").as("b90"),
+        expr("percentile(value, array(0.97, 1.0))").as("b99"))
+      .collect()
+    assert(exact.nonEmpty && approx.nonEmpty)
+    exact.foreach { r =>
+      val et = r.getString(0)
+      val (p50, p90, p99) = approx(et)
+      def bracket(i: Int): (Double, Double) = {
+        val s = r.getSeq[Double](i); (s.head, s.last)
+      }
+      val (l50, h50) = bracket(1)
+      val (l90, h90) = bracket(2)
+      val (l99, h99) = bracket(3)
+      assert(p50 >= l50 && p50 <= h50, s"$et p50 $p50 not in [$l50,$h50]")
+      assert(p90 >= l90 && p90 <= h90, s"$et p90 $p90 not in [$l90,$h90]")
+      assert(p99 >= l99 && p99 <= h99, s"$et p99 $p99 not in [$l99,$h99]")
+    }
+  }
+
   test("bm25 scores the query-term-rich fixture docs highest") {
     val rows = q("text_bm25", Fixtures.dir).collect()
     assert(rows.nonEmpty)
