@@ -250,6 +250,8 @@ object Analytics3 {
         val S = 8
         val ev = t(s, dir, "events")
           .select(col("event_type"), col("value"),
+            // hash() is null-safe (nulls hash to the seed), so every
+            // row lands in a salt bucket
             pmod(hash(col("event_id")), lit(S)).as("salt"))
         val dim = t(s, dir, "events")
           .groupBy(col("event_type"))

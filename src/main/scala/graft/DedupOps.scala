@@ -92,7 +92,7 @@ object DedupOps {
     * large-star/small-star (alternating min-propagation that contracts
     * paths in O(log n) rounds); spool-scale dup graphs don't need it.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
     val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
       .union(pairs.select(col("b").as("src"), col("a").as("dst")))
       .persist()
@@ -120,6 +120,12 @@ object DedupOps {
       iter += 1
     }
     edges.unpersist()
+    // min-propagation needs diameter rounds; a component longer than
+    // maxIter would return SPLIT clusters — fail loudly, never silently
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter rounds " +
+        "(component diameter exceeds maxIter) — raise maxIter or " +
+        "switch to large-star/small-star contraction")
     labels
   }
 

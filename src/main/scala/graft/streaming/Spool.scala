@@ -138,12 +138,17 @@ object Spool {
     val active: Set[String] = offsets.keys
       .groupBy(p => Paths.get(p).getParent)
       .values.map(_.max).toSet
-    offsets.toSeq.sortBy(_._1).flatMap { case (path, Seq(off, _)) =>
+    offsets.toSeq.sortBy(_._1).flatMap { case (path, state) =>
       val p = Paths.get(path)
-      if (!active(path) && Files.isRegularFile(p) && Files.size(p) == off) {
-        Files.delete(p)
-        Some(path)
-      } else None
+      // state = [committed byte offset, record count]; tolerate a
+      // malformed/short entry by skipping the file rather than crashing
+      state.headOption match {
+        case Some(off) if !active(path) && Files.isRegularFile(p) &&
+            Files.size(p) == off =>
+          Files.delete(p)
+          Some(path)
+        case _ => None
+      }
     }
   }
 

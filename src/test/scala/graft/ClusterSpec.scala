@@ -28,6 +28,14 @@ class ClusterSpec extends SparkSuite {
     assert(labels.values.toSet == Set(0L), s"all labels 0: $labels")
   }
 
+  test("fails loudly when the diameter exceeds maxIter (never silent splits)") {
+    import spark.implicits._
+    val path = (0L until 8L).map(i => (i, i + 1)).toDF("a", "b")
+    intercept[IllegalStateException] {
+      DedupOps.connectedComponents(path, maxIter = 2).collect()
+    }
+  }
+
   test("order of pair endpoints doesn't matter") {
     assert(cc(Seq((2L, 1L), (3L, 2L))) == cc(Seq((1L, 2L), (2L, 3L))))
   }
