@@ -114,6 +114,24 @@ object SnortOps {
       star("event").orderBy(col("sid"), col("cid"))
     }, None),
 
+    Entry("star_report", (s, _) => {
+      // the Snorby-style dashboard rollup over the NORMALIZED star:
+      // per-signature event counts + distinct talker counts, events ⋈
+      // signature dim (broadcast) ⋈ iphdr — proves the star output is
+      // directly queryable, dims line up by surrogate key, and packet
+      // slots carry the decoded addresses through.
+      val star = SnortStar.normalize(fixtureAlerts(s))
+      star("event")
+        .join(broadcast(star("signature")),
+          col("signature") === col("sig_id"))
+        .join(star("iphdr"), Seq("sid", "cid"), "left")
+        .groupBy(col("s_gid"), col("s_sid"), col("s_msg"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("ip_src")).as("n_src"),
+          countDistinct(col("ip_dst")).as("n_dst"))
+        .orderBy(col("s_gid"), col("s_sid"))
+    }, None),
+
     Entry("sensor_dim", (s, _) =>
       SnortStar.sensors(fixtureAlerts(s)).orderBy(col("sensor_sid")),
       None),

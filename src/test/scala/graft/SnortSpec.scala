@@ -138,6 +138,18 @@ class SnortSpec extends SparkSuite {
     assert(sigs.length == 4) // 3 mapped sigs + 1 unknown
   }
 
+  test("star_report totals reconcile with the event fact table") {
+    val star = SnortStar.normalize(SnortOps.fixtureAlerts(spark))
+    val report = q("star_report", sfDir).collect()
+    assert(report.nonEmpty)
+    // every event row is attributed to exactly one signature
+    assert(report.map(_.getAs[Long]("n_events")).sum ==
+      star("event").count())
+    // talker counts can't exceed event counts
+    assert(report.forall(r =>
+      r.getAs[Long]("n_src") <= r.getAs[Long]("n_events")))
+  }
+
   test("star parquet sink roundtrips partitioned by sensor") {
     val star = SnortStar.normalize(SnortOps.fixtureAlerts(spark))
     val out = "target/star_out"
