@@ -386,6 +386,44 @@ object Analytics3 {
         SELECT user_id, MIN(us) AS start_us, MAX(us) AS end_us,
           COUNT(*) AS n_events,
           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sess_value
-        FROM t GROUP BY user_id, sess_id ORDER BY user_id, start_us"""))
+        FROM t GROUP BY user_id, sess_id ORDER BY user_id, start_us""")),
+
+    Entry(
+      "q64_cumulative_distinct",
+      // Cumulative COUNT(DISTINCT) over an ordered window — supported
+      // by NEITHER engine as a window aggregate. The scalable
+      // decomposition: distinct-so-far at day d = users whose FIRST
+      // day ≤ d, i.e. min-day per user → new-user counts per day →
+      // running sum over the (tiny) day spine. No collect_set state
+      // that grows with cardinality — the window input is one row per
+      // day regardless of user count.
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .select(to_date(col("ts")).as("day"), col("user_id"))
+        val perDay = ev.groupBy(col("user_id"))
+          .agg(min(col("day")).as("day"))
+          .groupBy(col("day")).agg(count(lit(1)).as("new_users"))
+        val days = ev.select(col("day")).distinct()
+        val w = org.apache.spark.sql.expressions.Window.orderBy(col("day"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, 0)
+        days.join(perDay, Seq("day"), "left")
+          .withColumn("new_users", coalesce(col("new_users"), lit(0L)))
+          .withColumn("cum_users", sum(col("new_users")).over(w))
+          .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+            col("new_users"), col("cum_users"))
+          .orderBy(col("day"))
+      },
+      Some("""WITH ev AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+          user_id FROM events),
+        fd AS (SELECT user_id, MIN(day) AS first_day FROM ev GROUP BY 1),
+        pd AS (SELECT first_day AS day, COUNT(*) AS new_users
+          FROM fd GROUP BY 1),
+        days AS (SELECT DISTINCT day FROM ev)
+        SELECT strftime(d.day, '%Y-%m-%d') AS day,
+          COALESCE(p.new_users, 0) AS new_users,
+          CAST(SUM(COALESCE(p.new_users, 0)) OVER (ORDER BY d.day
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+        FROM days d LEFT JOIN pd p ON d.day = p.day ORDER BY day"""))
   )
 }

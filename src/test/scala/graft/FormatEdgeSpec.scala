@@ -54,6 +54,42 @@ class FormatEdgeSpec extends AnyFunSuite {
     assert(recs.head.event_id.contains(1L))
   }
 
+  test("readRange streams records and stops on torn/oversized/shrunk input") {
+    import java.nio.channels.FileChannel
+    import java.nio.file.{Files, StandardOpenOption}
+    val full = Unified2Fixture.eventV2(1, 7, 1700000000L, 100, 1, 1, 1, 1,
+      ip(1, 1, 1, 1), ip(2, 2, 2, 2), 1, 2, 6)
+    def withFile[T](bytes: Array[Byte])(f: (FileChannel, Long) => T): T = {
+      val p = Files.createTempFile("graft_rr", ".u2")
+      Files.write(p, bytes)
+      val ch = FileChannel.open(p, StandardOpenOption.READ)
+      try f(ch, Files.size(p)) finally { ch.close(); Files.delete(p) }
+    }
+    // clean span: both records stream out with continued numbering
+    withFile(full ++ full) { (ch, size) =>
+      val recs = Unified2.readRange(ch, "f", 0, size, 5).toSeq
+      assert(recs.map(_.rec_index) == Seq(5, 6))
+      assert(recs.forall(_.event_id.contains(7L)))
+    }
+    // torn tail inside the span: parses the whole record, stops at tear
+    withFile(full ++ full.take(full.length / 2)) { (ch, size) =>
+      assert(Unified2.readRange(ch, "f", 0, size, 0).size == 1)
+    }
+    // garbage length field larger than the remaining span: stops
+    withFile {
+      val b = ByteBuffer.allocate(8)
+      b.putInt(104).putInt(Int.MaxValue)
+      full ++ b.array()
+    } { (ch, size) =>
+      assert(Unified2.readRange(ch, "f", 0, size, 0).size == 1)
+    }
+    // planned span longer than the file (file shrunk after planning):
+    // short read ends the iterator instead of failing
+    withFile(full) { (ch, size) =>
+      assert(Unified2.readRange(ch, "f", 0, size + 64, 0).size == 1)
+    }
+  }
+
   test("parseFile keeps framing for unknown record types") {
     val body = Array[Byte](1, 2, 3, 4)
     val rec = ByteBuffer.allocate(8 + body.length)
