@@ -212,6 +212,60 @@ object MultimodalOps {
           .mapPartitions(frameSampleBatch)(Encoders.product[MMFrame])
           .toDF()
           .orderBy(col("doc_id"), col("frame_idx")),
+      None),
+
+    Entry(
+      "mm_embed_knn",
+      // the full multimodal retrieval composition: binary payload →
+      // batch STUB encoder (real encoders run the same mapPartitions
+      // batch shape) → unit vectors → broadcast-query ANN top-3. One
+      // corpus scan, no corpus shuffle; the encode step pipelines into
+      // the similarity projection.
+      (s, dir) => {
+        val vecs = mmSource(s, dir).as(Encoders.product[MMIn])
+          .mapPartitions(embedBatch)(Encoders.product[MMVec])
+          .toDF()
+        val q = vecs.filter(col("doc_id") < 5)
+          .select(col("doc_id").as("qid"), col("vec").as("qvec"))
+        val w = Window.partitionBy(col("qid"))
+          .orderBy(col("sim").desc, col("doc_id"))
+        vecs.crossJoin(broadcast(q))
+          .filter(col("doc_id") =!= col("qid"))
+          .withColumn("sim", Vectors.dot(col("vec"), col("qvec")))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .select(col("qid"), col("rank"), col("doc_id"), col("sim"))
+          .orderBy(col("qid"), col("rank"))
+      },
       None)
   )
+
+  case class MMVec(doc_id: Long, vec: Array[Double])
+
+  /** STUB encoder: payload bytes folded into a deterministic 64-dim
+    * unit vector (identical payloads → identical vectors, cosine 1).
+    * A real image/text encoder replaces ONLY the arithmetic here — the
+    * batch iterator shape and schema are the production topology.
+    */
+  private def embedBatch(it: Iterator[MMIn]): Iterator[MMVec] =
+    it.map { r =>
+      val v = new Array[Double](64)
+      var i = 0
+      while (i < r.payload.length) {
+        val h = (r.payload(i) & 0xffL) * 2654435761L +
+          i.toLong * 0x9e3779b97f4a7c15L
+        v(((h % 64) + 64).toInt % 64) += ((h >> 8) & 0xff).toInt - 128
+        i += 1
+      }
+      var norm = 0.0
+      var d = 0
+      while (d < 64) { norm += v(d) * v(d); d += 1 }
+      if (norm == 0.0) v(0) = 1.0
+      else {
+        val inv = 1.0 / math.sqrt(norm)
+        d = 0
+        while (d < 64) { v(d) *= inv; d += 1 }
+      }
+      MMVec(r.doc_id, v)
+    }
 }

@@ -71,6 +71,20 @@ class TextSpec extends SparkSuite {
 
 class KnnSpec extends SparkSuite {
 
+  test("mm_embed_knn: identical payloads embed identically and rank first") {
+    val rows = q("mm_embed_knn", Fixtures.dir).collect()
+    assert(rows.nonEmpty)
+    // fixture docs 0 and 1 have IDENTICAL text → identical stub
+    // embeddings → each is the other's top neighbor at cosine ~1
+    val top0 = rows.filter(r => r.getAs[Long]("qid") == 0L &&
+      r.getAs[Int]("rank") == 1).head
+    assert(top0.getAs[Long]("doc_id") == 1L)
+    assert(math.abs(top0.getAs[Double]("sim") - 1.0) < 1e-9)
+    val top1 = rows.filter(r => r.getAs[Long]("qid") == 1L &&
+      r.getAs[Int]("rank") == 1).head
+    assert(top1.getAs[Long]("doc_id") == 0L)
+  }
+
   test("knn_brute ranks the planted near-identical vector first") {
     val rows = q("knn_brute", Fixtures.dir).collect()
     val top0 = rows.find(r => r.getAs[Long]("qid") == 0L &&
