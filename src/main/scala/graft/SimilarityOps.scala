@@ -51,7 +51,69 @@ object SimilarityOps {
     cen.persist()
   }
 
+  /** Persist the IVF index (centroids + cell assignments) as parquet —
+    * the build-once half of the index lifecycle. At cluster scale the
+    * assignments table is written partitioned by cell so a probe reads
+    * only its probed cells' files (partition pruning = the IVF posting
+    * lists).
+    */
+  def writeIndex(s: SparkSession, dir: String, outPath: String): Unit = {
+    val emb = embeddings(s, dir)
+    val cen = centroids(s, dir)
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("csim").desc, col("cell"))
+    val assigned = emb.crossJoin(broadcast(cen))
+      .withColumn("csim", Vectors.dot(col("embedding"), col("cvec")))
+      .withColumn("crank", row_number().over(wAssign))
+      .filter(col("crank") === 1)
+      .select(col("cell"), col("vec_id"), col("embedding"))
+    cen.write.mode("overwrite").parquet(s"$outPath/centroids")
+    assigned.write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$outPath/assignments")
+  }
+
+  /** Probe a persisted IVF index: nearest `nProbe` cells per query,
+    * scan only those cells' assignment partitions, exact top-k within.
+    */
+  def probeIndex(s: SparkSession, indexPath: String, queries: DataFrame,
+      nProbe: Int, k: Int): DataFrame = {
+    val cen = s.read.parquet(s"$indexPath/centroids")
+    val assigned = s.read.parquet(s"$indexPath/assignments")
+    val wProbe = Window.partitionBy(col("qid"))
+      .orderBy(col("csim").desc, col("cell"))
+    val probes = queries.crossJoin(broadcast(cen))
+      .withColumn("csim", Vectors.dot(col("qvec"), col("cvec")))
+      .withColumn("crank", row_number().over(wProbe))
+      .filter(col("crank") <= nProbe)
+      .select(col("qid"), col("qvec"), col("cell"))
+    val wTop = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    assigned.join(broadcast(probes), "cell")
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("sim", Vectors.dot(col("embedding"), col("qvec")))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("vec_id"), col("sim"))
+  }
+
   val entries: Seq[Entry] = Seq(
+    Entry(
+      "knn_ivf_persist",
+      // index LIFECYCLE: build + write the IVF index (centroids and
+      // cell-partitioned assignments), reopen it cold, probe — the
+      // build-once/probe-many deployment. Cell partitioning makes the
+      // probe's cell filter a partition-pruned read (the on-disk form
+      // of IVF posting lists). KnnSpec pins persisted ≡ in-memory.
+      (s, dir) => {
+        val idx = s"target/graft_scratch/ivf_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        writeIndex(s, dir, idx)
+        val q = embeddings(s, dir).filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        probeIndex(s, idx, q, nProbe = 4, k = 5)
+          .orderBy(col("qid"), col("rank"))
+      },
+      None),
+
     Entry(
       "knn_brute",
       // Brute-force cosine top-k: broadcast the 10 query vectors past

@@ -112,6 +112,13 @@ class KnnSpec extends SparkSuite {
     assert(top0.getAs[Long]("vec_id") == 1L)
   }
 
+  test("persisted IVF index probes identically to the in-memory form") {
+    val mem = q("knn_ivf", Fixtures.dir).collect().toSeq
+    val persisted = q("knn_ivf_persist", Fixtures.dir).collect().toSeq
+    assert(persisted == mem,
+      "index write→read→probe must not change results")
+  }
+
   test("knn results are deterministic") {
     val a = q("knn_brute", sfDir).collect().map(_.toString)
     val b = q("knn_brute", sfDir).collect().map(_.toString)
