@@ -28,7 +28,16 @@ object SimilarityOps {
     * re-normalize. Each iteration is one broadcast join + one shuffle
     * on (cell, dim); the same plan trains on a 1000-executor corpus.
     */
-  private def centroids(s: SparkSession, dir: String): DataFrame = {
+  // one training run per (session, corpus): knn_ivf and
+  // knn_ivf_persist share the trained centroids like a real deployment
+  // shares its index, instead of re-running Lloyd per query entry
+  private val centroidCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def centroids(s: SparkSession, dir: String): DataFrame =
+    centroidCache.getOrElseUpdate((s, dir), trainCentroids(s, dir))
+
+  private def trainCentroids(s: SparkSession, dir: String): DataFrame = {
     val emb = embeddings(s, dir)
     var cen = emb.filter(col("vec_id") % 37 === 0)
       .select(col("vec_id").as("cell"), col("embedding").as("cvec"))
@@ -68,7 +77,11 @@ object SimilarityOps {
       .filter(col("crank") === 1)
       .select(col("cell"), col("vec_id"), col("embedding"))
     cen.write.mode("overwrite").parquet(s"$outPath/centroids")
-    assigned.write.mode("overwrite").partitionBy("cell")
+    // repartition on the partition column first: one file per cell
+    // instead of (tasks × cells) small files — the small-files guard
+    // every partitioned write at scale needs
+    assigned.repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$outPath/assignments")
   }
 
