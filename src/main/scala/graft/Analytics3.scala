@@ -424,6 +424,108 @@ object Analytics3 {
           COALESCE(p.new_users, 0) AS new_users,
           CAST(SUM(COALESCE(p.new_users, 0)) OVER (ORDER BY d.day
             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
-        FROM days d LEFT JOIN pd p ON d.day = p.day ORDER BY day"""))
+        FROM days d LEFT JOIN pd p ON d.day = p.day ORDER BY day""")),
+
+    Entry(
+      "q65_frame_exclude_group",
+      // Completes the SQL:2011 EXCLUDE family (q60 did CURRENT ROW):
+      // EXCLUDE GROUP and EXCLUDE TIES composed from a RANGE frame
+      // (yesterday+today per row) minus the peer-group sum (± own
+      // value). With a RANGE frame the peer group is always wholly
+      // inside the frame, so the subtraction is exact — that's why
+      // this uses RANGE, not ROWS. Oracled against DuckDB's NATIVE
+      // EXCLUDE GROUP / EXCLUDE TIES.
+      (s, dir) => {
+        val vd = dec(col("value"))
+        val base = t(s, dir, "events")
+          .withColumn("day_num", datediff(to_date(col("ts")),
+            lit("2024-01-01").cast("date")))
+        val wRange = Window.partitionBy(col("event_type"))
+          .orderBy(col("day_num")).rangeBetween(-1, 0)
+        val wPeers = Window.partitionBy(col("event_type"), col("day_num"))
+        base
+          .withColumn("range_sum", sum(vd).over(wRange))
+          .withColumn("range_cnt", count(lit(1)).over(wRange))
+          .withColumn("peer_sum", sum(vd).over(wPeers))
+          .withColumn("peer_cnt", count(lit(1)).over(wPeers))
+          .select(col("event_type"), col("event_id"),
+            // SUM over an empty excluded frame is NULL, not 0 — guard
+            // by count, not by sum equality (a zero-sum day would lie)
+            when(col("range_cnt") > col("peer_cnt"),
+              (col("range_sum") - col("peer_sum")).cast("double"))
+              .as("excl_group"),
+            (col("range_sum") - col("peer_sum") + vd).cast("double")
+              .as("excl_ties"))
+          .orderBy(col("event_type"), col("event_id"))
+      },
+      Some("""SELECT event_type, event_id,
+        CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER (
+          PARTITION BY event_type
+          ORDER BY date_diff('day', DATE '2024-01-01',
+            CAST(date_trunc('day', ts) AS DATE))
+          RANGE BETWEEN 1 PRECEDING AND CURRENT ROW
+          EXCLUDE GROUP) AS DOUBLE) AS excl_group,
+        CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER (
+          PARTITION BY event_type
+          ORDER BY date_diff('day', DATE '2024-01-01',
+            CAST(date_trunc('day', ts) AS DATE))
+          RANGE BETWEEN 1 PRECEDING AND CURRENT ROW
+          EXCLUDE TIES) AS DOUBLE) AS excl_ties
+        FROM events ORDER BY event_type, event_id""")),
+
+    Entry(
+      "q66_grouping_id",
+      // GROUPING()/grouping_id markers distinguish "aggregated-away"
+      // from literal NULL in super-aggregate rows — the machine-
+      // readable form of q21/q30/q36's '__ALL__' placeholders.
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .cube(col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("n"),
+            grouping(col("l_returnflag")).cast("int").as("g_rf"),
+            grouping(col("l_linestatus")).cast("int").as("g_ls"))
+          .select(
+            coalesce(col("l_returnflag"), lit("-")).as("rf"),
+            coalesce(col("l_linestatus"), lit("-")).as("ls"),
+            col("n"), col("g_rf"), col("g_ls"))
+          .orderBy(col("g_rf"), col("g_ls"), col("rf"), col("ls")),
+      Some("""SELECT COALESCE(l_returnflag, '-') AS rf,
+        COALESCE(l_linestatus, '-') AS ls, COUNT(*) AS n,
+        CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+        CAST(GROUPING(l_linestatus) AS INT) AS g_ls
+        FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        ORDER BY g_rf, g_ls, rf, ls""")),
+
+    Entry(
+      "q67_percentile_disc",
+      // DISCRETE percentiles: the value at ceil(p·n) in sort order —
+      // an actual data value, no interpolation, so unlike q23 the
+      // result is integer-exact and hash-matches across engines even
+      // for irrational-looking inputs. Composed with row_number (one
+      // shuffle per group), the form that scales past
+      // percentile()'s per-group memory.
+      (s, dir) => {
+        val w = Window.partitionBy(col("l_returnflag"))
+          .orderBy(col("l_extendedprice"), col("l_orderkey"),
+            col("l_linenumber"))
+        val wn = Window.partitionBy(col("l_returnflag"))
+        val ranked = t(s, dir, "lineitem")
+          .withColumn("rn", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(wn))
+        // index = ceil(p·n) in pure integer math ((k·n+99) div 100 for
+        // p = k/100) — float ceil(0.9·n) can double-round past the
+        // true integer and shift the pick by one
+        def pick(k: Int, name: String) =
+          max(when(col("rn") ===
+            expr(s"($k * n + 99) DIV 100"), col("l_extendedprice"))).as(name)
+        ranked.groupBy(col("l_returnflag"))
+          .agg(pick(25, "p25"), pick(50, "p50"), pick(90, "p90"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag,
+        quantile_disc(l_extendedprice, 0.25 ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS p25,
+        quantile_disc(l_extendedprice, 0.5 ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS p50,
+        quantile_disc(l_extendedprice, 0.9 ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS p90
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
   )
 }

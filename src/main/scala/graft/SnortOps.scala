@@ -114,6 +114,34 @@ object SnortOps {
       star("event").orderBy(col("sid"), col("cid"))
     }, None),
 
+    Entry("u2_extra", (s, _) => {
+      // typed EXTRA_DATA rendering (public unified2 spec type ids —
+      // snort EventExtraData; the reference only prints the raw dict,
+      // __init__.py:322): IP payload types render dotted-quad via the
+      // native inet expression, text types render UTF-8 — giving the
+      // analyst columns, not blobs.
+      val typeNames = typedLit(Map(
+        1 -> "xff_ipv4", 2 -> "xff_ipv6", 4 -> "http_uri",
+        5 -> "http_hostname", 6 -> "gzip_data", 7 -> "smtp_filename",
+        8 -> "smtp_mail_from", 9 -> "smtp_rcpt_to",
+        10 -> "smtp_headers", 13 -> "normalized_js"))
+      val spool = Unified2Fixture.writeSpool(
+        s"${Unified2Fixture.defaultRoot()}/spool")
+      graft.sources.Unified2
+        .records(s, Seq(spool), "snort.log", "sensor1")
+        .filter(col("rec_type") === graft.sources.Unified2.ExtraData)
+        .select(col("sensor"), col("event_id"), col("event_second"),
+          col("extra_type").cast("int").as("extra_type"),
+          coalesce(typeNames(col("extra_type").cast("int")),
+            lit("unknown")).as("type_name"),
+          when(col("extra_type").isin(1, 11),
+              Net.inet_ntoa(conv(hex(col("extra_blob")), 16, 10)
+                .cast("long")))
+            .otherwise(col("extra_blob").cast("string"))
+            .as("value_text"))
+        .orderBy(col("event_id"), col("extra_type"))
+    }, None),
+
     Entry("star_report", (s, _) => {
       // the Snorby-style dashboard rollup over the NORMALIZED star:
       // per-signature event counts + distinct talker counts, events ⋈

@@ -138,6 +138,15 @@ class SnortSpec extends SparkSuite {
     assert(sigs.length == 4) // 3 mapped sigs + 1 unknown
   }
 
+  test("u2_extra renders the planted extra-data blob as typed text") {
+    val rows = q("u2_extra", sfDir).collect()
+    assert(rows.nonEmpty)
+    val planted = rows.find(_.getAs[Long]("event_id") == 5L).get
+    assert(planted.getAs[Int]("extra_type") == 9)
+    assert(planted.getAs[String]("type_name") == "smtp_rcpt_to")
+    assert(planted.getAs[String]("value_text") == "http://evil.example/")
+  }
+
   test("star_report totals reconcile with the event fact table") {
     val star = SnortStar.normalize(SnortOps.fixtureAlerts(spark))
     val report = q("star_report", sfDir).collect()
