@@ -138,6 +138,33 @@ object PipelineOps {
       },
       Some("""SELECT doc_id, lang, source, n_chars,
         CAST(len(text) AS BIGINT) AS len_rt
+        FROM documents ORDER BY doc_id""")),
+
+    Entry(
+      "corpus_csv",
+      // CSV interchange round-trip with an explicit schema and full
+      // quoting/escaping: free text (commas, quotes, embedded
+      // newlines) survives only with multiLine read + escaped quotes —
+      // exactly the options a naive export gets wrong. Hash-checked
+      // against the source table like corpus_jsonl.
+      (s, dir) => {
+        val out = s"target/graft_scratch/corpus_csv_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        t(s, dir, "documents")
+          .write.mode("overwrite")
+          .option("header", "true").option("escape", "\"")
+          .csv(out)
+        s.read
+          .schema("doc_id BIGINT, text STRING, lang STRING, " +
+            "source STRING, n_chars BIGINT")
+          .option("header", "true").option("escape", "\"")
+          .option("multiLine", "true")
+          .csv(out)
+          .select(col("doc_id"), col("lang"), col("source"),
+            col("n_chars"), length(col("text")).cast("long").as("len_rt"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, lang, source, n_chars,
+        CAST(len(text) AS BIGINT) AS len_rt
         FROM documents ORDER BY doc_id"""))
   )
 }

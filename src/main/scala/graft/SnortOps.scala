@@ -124,7 +124,8 @@ object SnortOps {
         1 -> "xff_ipv4", 2 -> "xff_ipv6", 4 -> "http_uri",
         5 -> "http_hostname", 6 -> "gzip_data", 7 -> "smtp_filename",
         8 -> "smtp_mail_from", 9 -> "smtp_rcpt_to",
-        10 -> "smtp_headers", 13 -> "normalized_js"))
+        10 -> "smtp_headers", 11 -> "src_ipv6", 12 -> "dst_ipv6",
+        13 -> "normalized_js"))
       val spool = Unified2Fixture.writeSpool(
         s"${Unified2Fixture.defaultRoot()}/spool")
       graft.sources.Unified2
@@ -134,9 +135,13 @@ object SnortOps {
           col("extra_type").cast("int").as("extra_type"),
           coalesce(typeNames(col("extra_type").cast("int")),
             lit("unknown")).as("type_name"),
-          when(col("extra_type").isin(1, 11),
+          when(col("extra_type") === 1,
+              // IPv4 payload → dotted quad (4-byte blob fits a long;
+              // the IPv6 types 2/11/12 would overflow conv — hex them)
               Net.inet_ntoa(conv(hex(col("extra_blob")), 16, 10)
                 .cast("long")))
+            .when(col("extra_type").isin(2, 11, 12),
+              lower(hex(col("extra_blob"))))
             .otherwise(col("extra_blob").cast("string"))
             .as("value_text"))
         .orderBy(col("event_id"), col("extra_type"))
