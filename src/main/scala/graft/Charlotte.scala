@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+
+import graft.snort.{GraftConfig, GraftConfigError, Maps, SnortStar}
+import graft.sources.Unified2
+import graft.streaming.Spool
+
+/** Drop-in CLI parity with the reference daemon
+  * (`/root/reference/scripts/charlotte`: `charlotte <config> [test]`):
+  *
+  *   runMain graft.Charlotte <charlotte.conf> test
+  *     — TextOutput mode: drain every configured spool once and print
+  *       u2fast-style alert lines (the reference's `test` argument).
+  *   runMain graft.Charlotte <charlotte.conf> parquet <outDir>
+  *     — sink mode: one AvailableNow drain of every spool through the
+  *       full assemble→enrich loop into parquet under
+  *       `<outDir>/<sensor>`, checkpointed under `<outDir>/_ckpt` —
+  *       rerun to ingest whatever arrived since (the daemon loop as a
+  *       scheduled batch).
+  *   runMain graft.Charlotte <charlotte.conf> follow <outDir>
+  *     — stay tailing until killed: the daemon-equivalent continuous
+  *       mode. The snortdb JDBC sink (`SnortSinks`) takes the
+  *       `plugin_snortdb` section where a database exists.
+  *
+  * Exit code 1 on config error, like the reference.
+  */
+object Charlotte {
+
+  /** Test mode: enriched u2fast lines for one spool (the reference's
+    * TextOutput), returned for printing or assertion.
+    */
+  def textLines(spark: SparkSession, config: GraftConfig,
+      spool: graft.snort.SpoolConfig): Seq[String] = {
+    val recs = Unified2.records(spark, spool.directories, spool.filename,
+      spool.name)
+    val alerts = Maps.enrichClassifications(
+      Maps.enrichSignatures(Unified2.alerts(recs),
+        Maps.combinedSigMap(spark, config.signatureMap,
+          config.generatorMap)),
+      Maps.classMap(spark, config.classificationMap))
+    SnortStar.textFormat(alerts)
+      .orderBy(col("sensor"), col("event_id"))
+      .collect().map(_.getAs[String]("line")).toSeq
+  }
+
+  /** Run every configured spool in the given mode; returns after the
+    * drain (`test`/`parquet`) or leaves the tail queries running
+    * (`follow`).
+    */
+  def run(spark: SparkSession, config: GraftConfig, mode: String,
+      outDir: String): Unit =
+    config.spools.foreach { sp =>
+      mode match {
+        case "test" =>
+          textLines(spark, config, sp).foreach(println)
+        case "parquet" | "follow" =>
+          Spool.tailIngest(spark, sp.directories, sp.filename, sp.name,
+            config.signatureMap, config.generatorMap,
+            config.classificationMap,
+            s"$outDir/${sp.name}", s"$outDir/_ckpt/${sp.name}",
+            availableNow = mode == "parquet")
+          ()
+        case other =>
+          throw new IllegalArgumentException(s"unknown mode: $other")
+      }
+    }
+
+  def main(args: Array[String]): Unit = {
+    if (args.isEmpty) {
+      System.err.println("usage: Charlotte <config> [test|parquet|follow] [outDir]")
+      sys.exit(1)
+    }
+    val config = try GraftConfig.load(args(0))
+      catch { case e: GraftConfigError =>
+        System.err.println(s"ERROR: ${e.message}")
+        sys.exit(1); throw e
+      }
+    val mode = args.lift(1).getOrElse("test")
+    val outDir = args.lift(2).getOrElse("target/charlotte_out")
+
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .appName("graft-charlotte")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    try run(spark, config, mode, outDir)
+    finally if (mode != "follow") spark.stop()
+    if (mode == "follow") spark.streams.awaitAnyTermination()
+  }
+}
