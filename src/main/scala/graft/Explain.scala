@@ -13,7 +13,9 @@ object Explain {
     val names = if (args.length > 1) args.drop(1).toSeq
       else Seq("q01_agg", "q03_join_agg", "q05_multijoin", "q06_selective",
         "q22_pivot", "dedup_exact", "knn_brute", "q37_range_join",
-        "q42_bloom_semijoin", "text_tfidf", "pipeline_corpus")
+        "q42_bloom_semijoin", "text_tfidf", "pipeline_corpus",
+        "q54_gapfill", "q57_topk_agg", "q58_salted_join",
+        "q59_latest_per_key", "dedup_minhash", "mm_embed_knn")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
