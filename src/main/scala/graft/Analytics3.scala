@@ -79,9 +79,9 @@ object Analytics3 {
       "q54_gapfill",
       // Calendar gap-fill: zero-filled daily event counts per type over
       // the observed [min day, max day] span. The day spine comes from
-      // `sequence(...)` + explode; the (type × day) grid is tiny and
-      // broadcasts into the left join against the aggregated counts —
-      // the fact scan shuffles once (the groupBy), the grid never does.
+      // `sequence(...)` + explode; the aggregated counts (type × day)
+      // broadcast as the build side of the left join — the fact scan
+      // shuffles once (the groupBy) and the tiny grid never does.
       (s, dir) => {
         val ev = t(s, dir, "events")
           .select(col("event_type"), to_date(col("ts")).as("day"))
@@ -93,7 +93,12 @@ object Analytics3 {
           .crossJoin(days)
         val counts = ev.groupBy(col("event_type"), col("day"))
           .agg(count(lit(1)).as("cnt"))
-        broadcast(grid).join(counts, Seq("event_type", "day"), "left")
+        // broadcast the BUILD side: a left-outer BroadcastHashJoin can
+        // only build the right side, so a broadcast hint on the
+        // streamed grid would be silently discarded and both sides
+        // would shuffle. counts (types × days after aggregation) is
+        // the tiny side anyway.
+        grid.join(broadcast(counts), Seq("event_type", "day"), "left")
           .select(col("event_type"),
             date_format(col("day"), "yyyy-MM-dd").as("day"),
             coalesce(col("cnt"), lit(0L)).as("n"))

@@ -50,22 +50,25 @@ object Charlotte {
     * (`follow`).
     */
   def run(spark: SparkSession, config: GraftConfig, mode: String,
-      outDir: String): Unit =
+      outDir: String): Unit = {
+    // validate once, BEFORE the loop — inside it a bad mode would pass
+    // silently on an empty spool list and per-spool otherwise
+    if (!Set("test", "parquet", "follow").contains(mode))
+      throw new IllegalArgumentException(s"unknown mode: $mode")
     config.spools.foreach { sp =>
       mode match {
         case "test" =>
           textLines(spark, config, sp).foreach(println)
-        case "parquet" | "follow" =>
+        case _ =>
           Spool.tailIngest(spark, sp.directories, sp.filename, sp.name,
             config.signatureMap, config.generatorMap,
             config.classificationMap,
             s"$outDir/${sp.name}", s"$outDir/_ckpt/${sp.name}",
             availableNow = mode == "parquet")
           ()
-        case other =>
-          throw new IllegalArgumentException(s"unknown mode: $other")
       }
     }
+  }
 
   def main(args: Array[String]): Unit = {
     if (args.isEmpty) {

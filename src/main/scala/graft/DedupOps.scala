@@ -46,6 +46,21 @@ object DedupOps {
       .distinct()
   }
 
+  // shingles feed both dedup_minhash and dedup_clusters: share ONE
+  // persisted copy per (session, dir) instead of leaking a new persist
+  // per entry invocation (weak session keys, as in SimilarityOps)
+  private val shingleCache =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, DataFrame]]()
+
+  private def shingledCached(s: SparkSession, dir: String): DataFrame = {
+    val perSession = shingleCache.synchronized {
+      shingleCache.computeIfAbsent(s,
+        _ => scala.collection.concurrent.TrieMap.empty[String, DataFrame])
+    }
+    perSession.getOrElseUpdate(dir, shingled(s, dir).persist())
+  }
+
   /** MinHash-LSH verified near-dup pairs `(a, b, jaccard)` — the body
     * of `dedup_minhash`, shared with `dedup_clusters`.
     */
@@ -54,16 +69,23 @@ object DedupOps {
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_minhash", exprs => graft.functions.MinHashSig(exprs.head),
       "scala_udf")
-    val sh = shingled(s, dir).persist()
+    val sh = shingledCached(s, dir)
     // native single-pass signature: one hash per shingle + 64
-    // (a·h+b) permutations, vs 64 interpreted array_min lambdas
-    val sig = sh.withColumn("sig", expr("graft_minhash(shingles)"))
-    val banded = sig.select(col("doc_id"),
-        posexplode(expr(
-          "transform(sequence(0, 15), b -> xxhash64(slice(sig, b * 4 + 1, 4)))"))
-          .as(Seq("band", "bkey")))
-      .select(col("band"), col("bkey"), col("doc_id"))
-      .persist()
+    // (a·h+b) permutations, vs 64 interpreted array_min lambdas.
+    // banded is self-joined by pairsFromBuckets — cache it in the same
+    // per-session map (key suffix) rather than persisting per call
+    val banded = shingleCache.synchronized {
+      shingleCache.computeIfAbsent(s,
+        _ => scala.collection.concurrent.TrieMap.empty[String, DataFrame])
+    }.getOrElseUpdate(s"$dir#banded", {
+      val sig = sh.withColumn("sig", expr("graft_minhash(shingles)"))
+      sig.select(col("doc_id"),
+          posexplode(expr(
+            "transform(sequence(0, 15), b -> xxhash64(slice(sig, b * 4 + 1, 4)))"))
+            .as(Seq("band", "bkey")))
+        .select(col("band"), col("bkey"), col("doc_id"))
+        .persist()
+    })
     val pairs = pairsFromBuckets(banded, Seq("band", "bkey"))
     val sa = sh.toDF("a", "sh_a")
     val sb = sh.toDF("b", "sh_b")
@@ -105,7 +127,10 @@ object DedupOps {
       // LAZY checkpoint: the convergence probe below is the round's
       // single action — it materializes the checkpointed labels AND
       // answers "did anything change", instead of paying one eager
-      // materialization plus one probe per round
+      // materialization plus one probe per round. Superseded rounds'
+      // checkpoint blocks are released by the ContextCleaner once the
+      // old `labels` reference drops — storage is bounded by GC
+      // cadence, not by total rounds.
       val next = edges
         .join(labels, edges("src") === labels("id"))
         .select(col("dst").as("id"), col("label"))

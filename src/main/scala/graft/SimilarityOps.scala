@@ -30,12 +30,22 @@ object SimilarityOps {
     */
   // one training run per (session, corpus): knn_ivf and
   // knn_ivf_persist share the trained centroids like a real deployment
-  // shares its index, instead of re-running Lloyd per query entry
+  // shares its index, instead of re-running Lloyd per query entry.
+  // WEAK session keys so a stopped/discarded SparkSession doesn't stay
+  // pinned (with its persisted blocks) by this cache; regenerating the
+  // parquet under `dir` in place requires a fresh session (or
+  // restart), the same contract as a versioned on-disk index.
   private val centroidCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, DataFrame]]()
 
-  private def centroids(s: SparkSession, dir: String): DataFrame =
-    centroidCache.getOrElseUpdate((s, dir), trainCentroids(s, dir))
+  private def centroids(s: SparkSession, dir: String): DataFrame = {
+    val perSession = centroidCache.synchronized {
+      centroidCache.computeIfAbsent(s,
+        _ => scala.collection.concurrent.TrieMap.empty[String, DataFrame])
+    }
+    perSession.getOrElseUpdate(dir, trainCentroids(s, dir))
+  }
 
   private def trainCentroids(s: SparkSession, dir: String): DataFrame = {
     val emb = embeddings(s, dir)

@@ -114,12 +114,7 @@ object ExprKernels {
     val seen = new java.util.HashSet[java.lang.Long]()
     val out = scala.collection.mutable.ArrayBuffer.empty[Long]
     if (bytes.length < n) {
-      var h = 0xcbf29ce484222325L
-      var i = 0
-      while (i < bytes.length) {
-        h ^= (bytes(i) & 0xffL); h *= 0x100000001b3L; i += 1
-      }
-      out += h
+      out += fnv1a64(bytes)
     } else {
       var start = 0
       while (start + n <= bytes.length) {

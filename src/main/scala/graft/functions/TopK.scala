@@ -3,7 +3,7 @@ package graft.functions
 import java.nio.ByteBuffer
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpectsInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
@@ -33,9 +33,13 @@ case class TopKAgg(
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[TopKBuffer] {
+  extends TypedImperativeAggregate[TopKBuffer] with ExpectsInputTypes {
 
   require(k > 0, "TopKAgg requires k > 0")
+
+  // fail at ANALYSIS time on a wrong-typed ord/key (the update() casts
+  // are unchecked) — callers cast explicitly, like every built-in agg
+  override def inputTypes: Seq[DataType] = Seq(DoubleType, LongType)
 
   override def children: Seq[Expression] = Seq(ord, key)
   override def nullable: Boolean = false

@@ -131,9 +131,12 @@ object Spool {
     if (committed.isEmpty) return Seq.empty
     val offFile = Paths.get(checkpoint, "offsets", committed.max.toString)
     if (!Files.isRegularFile(offFile)) return Seq.empty
-    // OffsetSeqLog layout: "v1" / metadata json / one offset per source
+    // OffsetSeqLog layout: "v1" / metadata json / one offset per source.
+    // Refuse any checkpoint with MORE than one source line too — a
+    // composite query's last line is some other source's offset JSON,
+    // and deleting files off the wrong source's bookkeeping is data loss
     val lines = Files.readAllLines(offFile).asScala.toSeq
-    if (lines.length < 3) return Seq.empty
+    if (lines.length != 3) return Seq.empty
     val offsets = SpoolTailOffset.parse(lines.last).files
     val active: Set[String] = offsets.keys
       .groupBy(p => Paths.get(p).getParent)
