@@ -1,0 +1,440 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import Tables._
+
+/** Round-5 widening of the relational core (SURVEY.md §2.B): the
+  * sessionization-adjacent pattern family (gaps-and-islands streaks,
+  * funnels, cohort retention, interval coalescing, id-gap QA), blocked
+  * fuzzy matching, higher-order array/map functions, IGNORE-NULLS
+  * fill-forward, argmax/boolean aggregates, fixed-width time bucketing
+  * and a nearest-in-time join composed from the custom as-of operator.
+  * All DuckDB-oracled.
+  *
+  * Scale notes: every window here partitions by a real key (user_id /
+  * event_type), so state is per-partition bounded; the fuzzy match is
+  * BLOCKED (equi-join on block keys, never a cross join); the funnel is
+  * three key-local aggregations, not a per-user sort of the fact table;
+  * the nearest join is two merge-based as-of passes, each one shuffle.
+  */
+object Analytics4 {
+
+  /** Event-time day ordinal (days since 2024-01-01), shared by the
+    * streak/retention entries so both engines bucket identically.
+    */
+  private def dayNum = datediff(to_date(col("ts")),
+    lit("2024-01-01").cast("date"))
+
+  val entries: Seq[Entry] = Seq(
+    Entry(
+      "q68_streaks",
+      // Gaps-and-islands: per-user consecutive-active-day streaks via
+      // the classic day_num − row_number() group key (consecutive days
+      // share one key — no self-join, one shuffle on user_id). Output:
+      // streak count + longest streak per user, earliest-start
+      // tiebreak via max(struct(len, −start)).
+      (s, dir) => {
+        val days = t(s, dir, "events")
+          .select(col("user_id"), dayNum.as("day_num")).distinct()
+        val w = Window.partitionBy(col("user_id")).orderBy(col("day_num"))
+        val streaks = days
+          .withColumn("grp", col("day_num") - row_number().over(w))
+          .groupBy(col("user_id"), col("grp"))
+          .agg(count(lit(1)).as("len"), min(col("day_num")).as("start_day"))
+        streaks.groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_streaks"),
+            max(struct(col("len"), (-col("start_day")).as("neg"))).as("best"))
+          .select(col("user_id"), col("n_streaks"),
+            col("best.len").as("longest"),
+            (-col("best.neg")).cast("long").as("longest_start_day"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH d AS (SELECT DISTINCT user_id,
+          date_diff('day', DATE '2024-01-01',
+            CAST(date_trunc('day', ts) AS DATE)) AS day_num FROM events),
+        g AS (SELECT user_id, day_num, day_num - ROW_NUMBER() OVER (
+            PARTITION BY user_id ORDER BY day_num) AS grp FROM d),
+        st AS (SELECT user_id, grp, COUNT(*) AS len,
+          MIN(day_num) AS start_day FROM g GROUP BY 1, 2),
+        best AS (SELECT user_id, len, start_day, ROW_NUMBER() OVER (
+            PARTITION BY user_id ORDER BY len DESC, start_day) AS rn FROM st)
+        SELECT a.user_id, a.n_streaks, b.len AS longest,
+          CAST(b.start_day AS BIGINT) AS longest_start_day
+        FROM (SELECT user_id, COUNT(*) AS n_streaks FROM st GROUP BY 1) a
+        JOIN best b ON a.user_id = b.user_id AND b.rn = 1
+        ORDER BY a.user_id""")),
+
+    Entry(
+      "q69_funnel",
+      // Strictly-ordered funnel (view → click after it → purchase
+      // after that): each stage is a key-local conditional MIN over the
+      // previous stage's users — three small aggregations + broadcast
+      // joins on user_id, never a per-user event sort. One summary row.
+      (s, dir) => {
+        val ev = t(s, dir, "events").select(col("user_id"),
+          col("event_type"), unix_micros(col("ts")).as("us"))
+        val v = ev.filter(col("event_type") === "view")
+          .groupBy(col("user_id")).agg(min(col("us")).as("v_us"))
+        val c = ev.filter(col("event_type") === "click")
+          .join(broadcast(v), "user_id").filter(col("us") > col("v_us"))
+          .groupBy(col("user_id")).agg(min(col("us")).as("c_us"))
+        val p = ev.filter(col("event_type") === "purchase")
+          .join(broadcast(c), "user_id").filter(col("us") > col("c_us"))
+          .groupBy(col("user_id")).agg(min(col("us")).as("p_us"))
+        ev.agg(count_distinct(col("user_id")).as("n_users"))
+          .crossJoin(v.agg(count(lit(1)).as("n_view")))
+          .crossJoin(c.agg(count(lit(1)).as("n_view_click")))
+          .crossJoin(p.agg(count(lit(1)).as("n_view_click_purchase")))
+      },
+      Some("""WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us
+          FROM events),
+        v AS (SELECT user_id, MIN(us) AS v_us FROM ev
+          WHERE event_type = 'view' GROUP BY 1),
+        c AS (SELECT e.user_id, MIN(e.us) AS c_us FROM ev e
+          JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click' AND e.us > v.v_us GROUP BY 1),
+        p AS (SELECT e.user_id, MIN(e.us) AS p_us FROM ev e
+          JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND e.us > c.c_us GROUP BY 1)
+        SELECT (SELECT COUNT(DISTINCT user_id) FROM ev) AS n_users,
+          (SELECT COUNT(*) FROM v) AS n_view,
+          (SELECT COUNT(*) FROM c) AS n_view_click,
+          (SELECT COUNT(*) FROM p) AS n_view_click_purchase""")),
+
+    Entry(
+      "q70_retention",
+      // Cohort retention: cohort = each user's first active day;
+      // activity at day offsets 0..7 counted per (cohort, offset).
+      // Two aggregations on user_id + one on the (tiny) cohort grid —
+      // the fact table never sorts.
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .select(col("user_id"), dayNum.as("day_num")).distinct()
+        val first = ev.groupBy(col("user_id"))
+          .agg(min(col("day_num")).as("cohort_day"))
+        ev.join(first, "user_id")
+          .withColumn("day_offset",
+            (col("day_num") - col("cohort_day")).cast("long"))
+          .filter(col("day_offset") <= 7)
+          .groupBy(col("cohort_day").cast("long").as("cohort_day"),
+            col("day_offset"))
+          .agg(count(lit(1)).as("n_active"))
+          .orderBy(col("cohort_day"), col("day_offset"))
+      },
+      Some("""WITH d AS (SELECT DISTINCT user_id,
+          date_diff('day', DATE '2024-01-01',
+            CAST(date_trunc('day', ts) AS DATE)) AS day_num FROM events),
+        f AS (SELECT user_id, MIN(day_num) AS cohort_day FROM d GROUP BY 1)
+        SELECT CAST(f.cohort_day AS BIGINT) AS cohort_day,
+          CAST(d.day_num - f.cohort_day AS BIGINT) AS day_offset,
+          COUNT(*) AS n_active
+        FROM d JOIN f ON d.user_id = f.user_id
+        WHERE d.day_num - f.cohort_day <= 7
+        GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    Entry(
+      "q71_fuzzy_match",
+      // Blocked fuzzy matching (the entity-resolution pattern): only
+      // pairs sharing a block key (nation, mktsegment) are compared —
+      // an equi-join shuffle, never an n² cross join — then exact
+      // levenshtein ≤ 2 on the candidates. At 100 TB the block key is
+      // the whole game: candidate count stays linear in block size.
+      (s, dir) => {
+        val c = t(s, dir, "customer").select(col("c_nationkey"),
+          col("c_mktsegment"), col("c_custkey"), col("c_name"))
+        val a = c.select(col("c_nationkey"), col("c_mktsegment"),
+          col("c_custkey").as("a_key"), col("c_name").as("a_name"))
+        val b = c.select(col("c_nationkey"), col("c_mktsegment"),
+          col("c_custkey").as("b_key"), col("c_name").as("b_name"))
+        a.join(b, Seq("c_nationkey", "c_mktsegment"))
+          .filter(col("a_key") < col("b_key"))
+          .withColumn("dist",
+            levenshtein(col("a_name"), col("b_name")).cast("long"))
+          .filter(col("dist") <= 2)
+          .select(col("a_key"), col("a_name"), col("b_key"), col("b_name"),
+            col("dist"))
+          .orderBy(col("a_key"), col("b_key"))
+      },
+      Some("""SELECT a.c_custkey AS a_key, a.c_name AS a_name,
+          b.c_custkey AS b_key, b.c_name AS b_name,
+          CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+        FROM customer a JOIN customer b
+          ON a.c_nationkey = b.c_nationkey
+          AND a.c_mktsegment = b.c_mktsegment
+          AND a.c_custkey < b.c_custkey
+        WHERE levenshtein(a.c_name, b.c_name) <= 2
+        ORDER BY a_key, b_key""")),
+
+    Entry(
+      "q72_higher_order",
+      // Higher-order array functions (transform / filter / aggregate /
+      // exists / forall) over per-order quantity arrays — all codegen'd
+      // lambda expressions, evaluated per row with no extra shuffle
+      // beyond the building groupBy. Arrays sorted so rendering is
+      // deterministic under any partitioning.
+      (s, dir) => {
+        val arrs = t(s, dir, "lineitem")
+          .filter(col("l_orderkey") % 97 === 0)
+          .select(col("l_orderkey"), col("l_quantity").cast("int").as("q"))
+          .groupBy(col("l_orderkey"))
+          .agg(array_sort(collect_list(col("q"))).as("qs"))
+        def render(c: org.apache.spark.sql.Column) =
+          concat_ws(",", transform(c, _.cast("string")))
+        arrs.select(col("l_orderkey"),
+            render(col("qs")).as("quantities"),
+            render(transform(col("qs"), _ * 2)).as("doubled"),
+            render(filter(col("qs"), _ > 25)).as("big"),
+            aggregate(col("qs"), lit(0L), (a, x) => a + x).as("total"),
+            exists(col("qs"), _ === 40).as("has40"),
+            forall(col("qs"), _ > 0).as("all_pos"))
+          .orderBy(col("l_orderkey"))
+      },
+      Some("""WITH a AS (SELECT l_orderkey,
+          list_sort(list(CAST(l_quantity AS INT))) AS qs
+        FROM lineitem WHERE l_orderkey % 97 = 0 GROUP BY 1)
+        SELECT l_orderkey,
+          array_to_string(qs, ',') AS quantities,
+          array_to_string(list_transform(qs, x -> x * 2), ',') AS doubled,
+          COALESCE(array_to_string(list_filter(qs, x -> x > 25), ','), '')
+            AS big,
+          CAST(list_sum(qs) AS BIGINT) AS total,
+          list_contains(qs, 40) AS has40,
+          len(list_filter(qs, x -> x <= 0)) = 0 AS all_pos
+        FROM a ORDER BY l_orderkey""")),
+
+    Entry(
+      "q73_fill_forward",
+      // IGNORE NULLS fill-forward (sensor/price carry-forward): each
+      // event carries the user's most recent purchase value via
+      // last(_, ignoreNulls) over an unbounded-preceding frame — one
+      // shuffle on user_id; the carried value is a raw passthrough so
+      // it hash-matches DuckDB's native LAST_VALUE ... IGNORE NULLS.
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("us"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        t(s, dir, "events")
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts")).as("us"), col("event_type"), col("value"))
+          .withColumn("last_purchase_value",
+            last(when(col("event_type") === "purchase", col("value")),
+              ignoreNulls = true).over(w))
+          .select(col("user_id"), col("event_id"), col("us"),
+            col("last_purchase_value"))
+          .orderBy(col("user_id"), col("us"), col("event_id"))
+      },
+      Some("""SELECT user_id, event_id, epoch_us(ts) AS us,
+          LAST_VALUE(CASE WHEN event_type = 'purchase' THEN value END
+            IGNORE NULLS) OVER (PARTITION BY user_id
+            ORDER BY epoch_us(ts), event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS last_purchase_value
+        FROM events ORDER BY user_id, us, event_id""")),
+
+    Entry(
+      "q74_argmax_bool",
+      // count_if / bool_and / bool_or / max_by / min_by aggregates —
+      // all order-independent (argmax keyed on the UNIQUE event_id, so
+      // no tie nondeterminism) and map-side partial-aggregable.
+      (s, dir) =>
+        t(s, dir, "events")
+          .groupBy(col("event_type"))
+          .agg(
+            count_if(col("value") > 500).as("n_hi"),
+            bool_and(col("value") > 0).as("all_pos"),
+            bool_or(col("value") > 990).as("any_huge"),
+            max_by(col("user_id"), col("event_id")).as("last_user"),
+            min_by(col("user_id"), col("event_id")).as("first_user"))
+          .orderBy(col("event_type")),
+      Some("""SELECT event_type,
+          COUNT(*) FILTER (WHERE value > 500) AS n_hi,
+          bool_and(value > 0) AS all_pos,
+          bool_or(value > 990) AS any_huge,
+          arg_max(user_id, event_id) AS last_user,
+          arg_min(user_id, event_id) AS first_user
+        FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    Entry(
+      "q75_time_bucket",
+      // Fixed-width time bucketing (date_bin / time_bucket): 15-minute
+      // buckets from pure integer µs division — engine-independent,
+      // pushdown-friendly, and the bucket key is a perfect shuffle key
+      // (uniform, no timezone edge cases).
+      (s, dir) =>
+        t(s, dir, "events")
+          .select(col("event_type"),
+            unix_micros(col("ts")).as("us"), col("value"))
+          .withColumn("bucket_us",
+            expr("us DIV 900000000") * lit(900000000L))
+          .groupBy(col("event_type"), col("bucket_us"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+          .orderBy(col("event_type"), col("bucket_us")),
+      Some("""SELECT event_type,
+          epoch_us(ts) // 900000000 * 900000000 AS bucket_us,
+          COUNT(*) AS n,
+          CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+        FROM events GROUP BY 1, 2 ORDER BY event_type, bucket_us""")),
+
+    Entry(
+      "q76_interval_merge",
+      // Interval coalescing (range union): each event opens a 10-minute
+      // interval; overlapping intervals merge via the running-max-end
+      // island technique (new island iff start > max end so far), then
+      // per-user coverage = Σ island spans. One shuffle on user_id,
+      // window state O(1) per row — the scalable form of interval
+      // union (no pairwise overlap join).
+      (s, dir) => {
+        val spanUs = 600000000L
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("s"), col("event_id"))
+        val prevMax = max(col("e"))
+          .over(w.rowsBetween(Window.unboundedPreceding, -1))
+        val iv = t(s, dir, "events")
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts")).as("s"))
+          .withColumn("e", col("s") + spanUs)
+          .withColumn("new_island",
+            when(prevMax.isNull || col("s") > prevMax, 1L).otherwise(0L))
+          .withColumn("island",
+            sum(col("new_island")).over(w.rowsBetween(
+              Window.unboundedPreceding, 0)))
+        iv.groupBy(col("user_id"), col("island"))
+          .agg(min(col("s")).as("st"), max(col("e")).as("en"))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_intervals"),
+            sum(col("en") - col("st")).as("covered_us"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH iv AS (SELECT user_id, event_id,
+          epoch_us(ts) AS s, epoch_us(ts) + 600000000 AS e FROM events),
+        m AS (SELECT *, MAX(e) OVER (PARTITION BY user_id
+            ORDER BY s, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+          FROM iv),
+        fl AS (SELECT *, CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END
+          AS new_island FROM m),
+        isl AS (SELECT *, SUM(new_island) OVER (PARTITION BY user_id
+            ORDER BY s, event_id ROWS UNBOUNDED PRECEDING) AS island
+          FROM fl),
+        sp AS (SELECT user_id, island, MIN(s) AS st, MAX(e) AS en
+          FROM isl GROUP BY 1, 2)
+        SELECT user_id, COUNT(*) AS n_intervals,
+          CAST(SUM(en - st) AS BIGINT) AS covered_us
+        FROM sp GROUP BY user_id ORDER BY user_id""")),
+
+    Entry(
+      "q77_nearest_event",
+      // Nearest-in-time join: each purchase pairs with the user's
+      // closest click in EITHER direction — composed from the custom
+      // as-of operator run backward then forward (two merge passes,
+      // one shuffle each), tie → earlier click. The oracle runs
+      // DuckDB's native ASOF both ways and picks the same winner.
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val p = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"),
+            unix_micros(col("ts")).as("us"))
+        def clicks(pfx: String) = ev.filter(col("event_type") === "click")
+          .select(col("user_id").as(s"${pfx}_user_id"),
+            col("event_id").as(s"${pfx}_id"),
+            unix_micros(col("ts")).as(s"${pfx}_us"))
+        val back = graft.plans.AsOf.join(p, clicks("b"),
+          Seq("user_id"), "us", Seq("b_user_id"), "b_us")
+        val both = graft.plans.AsOf.joinForward(back, clicks("f"),
+          Seq("user_id"), "us", Seq("f_user_id"), "f_us")
+        val bDiff = col("us") - col("b_us")
+        val fDiff = col("f_us") - col("us")
+        val takeBack = col("f_us").isNull ||
+          (col("b_us").isNotNull && bDiff <= fDiff)
+        both.select(col("event_id"), col("user_id"), col("us"),
+            when(takeBack, col("b_id")).otherwise(col("f_id"))
+              .as("nearest_click_id"),
+            when(takeBack, bDiff).otherwise(fDiff).as("nearest_diff_us"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS us,
+          event_type FROM events),
+        p AS (SELECT event_id, user_id, us FROM ev
+          WHERE event_type = 'purchase'),
+        c AS (SELECT event_id, user_id, us FROM ev
+          WHERE event_type = 'click'),
+        b AS (SELECT p.event_id, p.user_id, p.us,
+            c.event_id AS b_id, c.us AS b_us
+          FROM p ASOF LEFT JOIN c
+            ON p.user_id = c.user_id AND p.us >= c.us),
+        f AS (SELECT p.event_id, c.event_id AS f_id, c.us AS f_us
+          FROM p ASOF LEFT JOIN c
+            ON p.user_id = c.user_id AND p.us <= c.us)
+        SELECT b.event_id, b.user_id, b.us,
+          CASE WHEN f.f_us IS NULL OR (b.b_us IS NOT NULL
+              AND b.us - b.b_us <= f.f_us - b.us)
+            THEN b.b_id ELSE f.f_id END AS nearest_click_id,
+          CASE WHEN f.f_us IS NULL OR (b.b_us IS NOT NULL
+              AND b.us - b.b_us <= f.f_us - b.us)
+            THEN b.us - b.b_us ELSE f.f_us - b.us END AS nearest_diff_us
+        FROM b JOIN f ON b.event_id = f.event_id
+        ORDER BY b.event_id""")),
+
+    Entry(
+      "q78_map_funcs",
+      // MapType end-to-end: per-user event-type→count maps built from
+      // SORTED entries (map_from_entries preserves entry order, so the
+      // rendered form is deterministic), filtered with map_filter, and
+      // rendered via map_entries + transform. The oracle builds the
+      // identical strings relationally.
+      (s, dir) => {
+        val m = t(s, dir, "events")
+          .groupBy(col("user_id"), col("event_type"))
+          .agg(count(lit(1)).as("cnt"))
+          .groupBy(col("user_id"))
+          .agg(map_from_entries(array_sort(collect_list(
+            struct(col("event_type"), col("cnt"))))).as("m"))
+        m.select(col("user_id"),
+            size(col("m")).cast("long").as("n_types"),
+            aggregate(map_values(col("m")), lit(0L), (a, x) => a + x)
+              .as("n_events"),
+            concat_ws(",", transform(
+              map_entries(map_filter(col("m"), (_, v) => v >= 3)),
+              e => concat(e.getField("key"), lit(":"),
+                e.getField("value").cast("string")))).as("frequent"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH c AS (SELECT user_id, event_type, COUNT(*) AS cnt
+          FROM events GROUP BY 1, 2)
+        SELECT user_id, COUNT(*) AS n_types,
+          CAST(SUM(cnt) AS BIGINT) AS n_events,
+          COALESCE(string_agg(event_type || ':' || cnt, ','
+            ORDER BY event_type) FILTER (WHERE cnt >= 3), '') AS frequent
+        FROM c GROUP BY user_id ORDER BY user_id""")),
+
+    Entry(
+      "q79_id_gaps",
+      // Sequence-gap QA (the ingestion completeness check): missing
+      // event_id ranges within each event_type via lag — emitted only
+      // when ≥ 8 ids are missing, so the report stays small. Window
+      // partitions on event_type; at scale you'd sub-partition by id
+      // range and stitch boundaries.
+      (s, dir) => {
+        val w = Window.partitionBy(col("event_type")).orderBy(col("event_id"))
+        t(s, dir, "events")
+          .select(col("event_type"), col("event_id"))
+          .withColumn("prev", lag(col("event_id"), 1).over(w))
+          .filter(col("event_id") - col("prev") >= 9)
+          .select(col("event_type"),
+            (col("prev") + 1).as("gap_start"),
+            (col("event_id") - 1).as("gap_end"),
+            (col("event_id") - col("prev") - 1).as("n_missing"))
+          .orderBy(col("event_type"), col("gap_start"))
+      },
+      Some("""WITH g AS (SELECT event_type, event_id,
+          LAG(event_id) OVER (PARTITION BY event_type
+            ORDER BY event_id) AS prev
+        FROM events)
+        SELECT event_type, prev + 1 AS gap_start, event_id - 1 AS gap_end,
+          event_id - prev - 1 AS n_missing
+        FROM g WHERE event_id - prev >= 9
+        ORDER BY event_type, gap_start"""))
+  )
+}

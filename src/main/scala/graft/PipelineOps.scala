@@ -165,6 +165,38 @@ object PipelineOps {
       },
       Some("""SELECT doc_id, lang, source, n_chars,
         CAST(len(text) AS BIGINT) AS len_rt
-        FROM documents ORDER BY doc_id"""))
+        FROM documents ORDER BY doc_id""")),
+
+    Entry(
+      "sample_temperature",
+      // Temperature-sampling weights (α = 0.5) — the multilingual
+      // rebalancing rule for LLM data mixes: lang weight ∝ √(n/n_max),
+      // boosting low-resource languages. Every float op here (cast,
+      // divide, sqrt, multiply, floor) is IEEE correctly-rounded and
+      // applied in the same order on both engines, so the doubles
+      // hash-match exactly — no Σ-of-doubles whose order could drift.
+      (s, dir) => {
+        val langs = t(s, dir, "documents")
+          .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+        val mx = langs.agg(max(col("n_docs")).as("n_max"))
+        langs.crossJoin(broadcast(mx))
+          .withColumn("rel_weight",
+            sqrt(col("n_docs").cast("double") / col("n_max").cast("double")))
+          .withColumn("target_docs",
+            floor(col("rel_weight") * col("n_max").cast("double"))
+              .cast("long"))
+          .select(col("lang"), col("n_docs"), col("rel_weight"),
+            col("target_docs"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH l AS (SELECT lang, COUNT(*) AS n_docs FROM documents
+          GROUP BY 1),
+        m AS (SELECT MAX(n_docs) AS n_max FROM l)
+        SELECT lang, n_docs,
+          sqrt(CAST(n_docs AS DOUBLE) / CAST(n_max AS DOUBLE))
+            AS rel_weight,
+          CAST(FLOOR(sqrt(CAST(n_docs AS DOUBLE) / CAST(n_max AS DOUBLE))
+            * CAST(n_max AS DOUBLE)) AS BIGINT) AS target_docs
+        FROM l, m ORDER BY lang"""))
   )
 }

@@ -195,7 +195,39 @@ object SimilarityOps {
           .select(col("qid"), col("rank"), col("vec_id"), col("sim"))
           .orderBy(col("qid"), col("rank"))
       },
-      None)
+      None),
+
+    Entry(
+      "emb_centroid",
+      // Per-label embedding centroids with EXACTLY-reproducible float
+      // reduction: a double Σ is order-dependent, so each (label, dim)
+      // slot sorts its values and folds left — Spark's aggregate() and
+      // DuckDB's list_reduce() then add in the identical sequence and
+      // the means hash-match bit-for-bit. The reproducible-training-
+      // statistics pattern: one shuffle on (label, dim), state bounded
+      // by class count × dims. (float→double is exact; 0.0 + x = x, so
+      // the differing fold seeds agree.)
+      (s, dir) =>
+        t(s, dir, "embeddings")
+          .select(col("label"), posexplode(col("embedding"))
+            .as(Seq("pos", "v")))
+          .select(col("label"), col("pos"), col("v").cast("double").as("v"))
+          .groupBy(col("label"), col("pos"))
+          .agg(aggregate(array_sort(collect_list(col("v"))), lit(0.0),
+              (a, x) => a + x).as("ssum"),
+            count(lit(1)).as("n"))
+          .select(col("label"), col("pos").cast("long").as("dim"),
+            (col("ssum") / col("n")).as("mean"))
+          .orderBy(col("label"), col("dim")),
+      Some("""WITH e AS (SELECT label, i - 1 AS pos,
+          CAST(embedding[i] AS DOUBLE) AS v
+        FROM embeddings,
+          unnest(generate_series(1, len(embedding))) AS t(i)),
+        s AS (SELECT label, pos,
+          list_reduce(list(v ORDER BY v), (a, x) -> a + x) AS ssum,
+          COUNT(*) AS n FROM e GROUP BY 1, 2)
+        SELECT label, CAST(pos AS BIGINT) AS dim, ssum / n AS mean
+        FROM s ORDER BY label, dim"""))
   )
 }
 

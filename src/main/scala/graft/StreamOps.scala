@@ -4,7 +4,7 @@ import java.util.concurrent.atomic.AtomicInteger
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, MapState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
 
 import Tables._
 import graft.sources.Unified2Fixture
@@ -145,6 +145,47 @@ object StreamOps {
       }
       st.update(agg)
       Iterator.single(agg)
+    }
+  }
+
+  case class TypeEv(user_id: Long, event_type: String, event_id: Long,
+      us: Long)
+  case class TypeAgg(user_id: Long, event_type: String, n: Long,
+      last_us: Long, last_event_id: Long)
+
+  /** transformWithState with a MapState: one map entry per event type
+    * under each user key — the per-key sub-keyed state shape (feature
+    * profiles, per-device counters) that a ValueState would force into
+    * a read-modify-write of the whole profile. Only the types touched
+    * in a batch are read or written.
+    */
+  class ProfileProcessor extends StatefulProcessor[Long, TypeEv, TypeAgg] {
+    @transient private var st: MapState[String, TypeAgg] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getMapState[String, TypeAgg]("profile",
+        Encoders.STRING, Encoders.product[TypeAgg], TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[TypeEv],
+        tv: TimerValues): Iterator[TypeAgg] = {
+      // fold the batch locally, one state read + write per touched type;
+      // "latest" compares (us, event_id) so arrival order can't matter
+      val touched = scala.collection.mutable.LinkedHashMap.empty[String, TypeAgg]
+      rows.foreach { e =>
+        val cur = touched.get(e.event_type).orElse(
+          if (st.containsKey(e.event_type)) Some(st.getValue(e.event_type))
+          else None)
+        val next = cur match {
+          case Some(a) =>
+            val later = e.us > a.last_us ||
+              (e.us == a.last_us && e.event_id > a.last_event_id)
+            TypeAgg(key, e.event_type, a.n + 1,
+              if (later) e.us else a.last_us,
+              if (later) e.event_id else a.last_event_id)
+          case None => TypeAgg(key, e.event_type, 1L, e.us, e.event_id)
+        }
+        touched(e.event_type) = next
+      }
+      touched.foreach { case (t, a) => st.updateValue(t, a) }
+      touched.valuesIterator.toSeq.iterator
     }
   }
 
@@ -327,6 +368,49 @@ object StreamOps {
       Some("""SELECT user_id, COUNT(*) AS n_events,
         CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
         FROM events GROUP BY user_id ORDER BY user_id""")),
+
+    Entry(
+      "stream_latest_profile",
+      // transformWithState MapState per-user profile: per event type a
+      // (count, latest event) entry maintained incrementally — the
+      // streaming-native form of q59's latest-per-key compaction, with
+      // sub-keyed state so a batch touches only the types it saw.
+      // Oracle: the batch grouped aggregate with arg_max.
+      (s, dir) => {
+        import s.implicits._
+        val provKey = "spark.sql.streaming.stateStore.providerClass"
+        val prev = s.conf.getOption(provKey)
+        s.conf.set(provKey, "org.apache.spark.sql.execution.streaming." +
+          "state.RocksDBStateStoreProvider")
+        try {
+          val evs: Dataset[TypeEv] = eventStream(s, dir)
+            .select(col("user_id"), col("event_type"), col("event_id"),
+              unix_micros(col("ts").cast("timestamp")).as("us"))
+            .as[TypeEv]
+          val prof = evs.groupByKey(_.user_id)
+            .transformWithState(new ProfileProcessor,
+              TimeMode.None(), OutputMode.Update())
+          // Update-mode sink keeps one row per (user, type) PER batch;
+          // n grows monotonically, so max(struct(...)) is the final one
+          withShufflePartitions(s, 8)(
+            runOnce(s, prof.toDF(), OutputMode.Update()))
+            .groupBy(col("user_id"), col("event_type"))
+            .agg(max(struct(col("n"), col("last_us"), col("last_event_id")))
+              .as("last"))
+            .select(col("user_id"), col("event_type"),
+              col("last.n").as("n"),
+              col("last.last_event_id").as("last_event_id"),
+              col("last.last_us").as("last_us"))
+            .orderBy(col("user_id"), col("event_type"))
+        } finally prev match {
+          case Some(p) => s.conf.set(provKey, p)
+          case None => s.conf.unset(provKey)
+        }
+      },
+      Some("""SELECT user_id, event_type, COUNT(*) AS n,
+        arg_max(event_id, epoch_us(ts)) AS last_event_id,
+        MAX(epoch_us(ts)) AS last_us
+        FROM events GROUP BY 1, 2 ORDER BY user_id, event_type""")),
 
     Entry(
       "u2_tail",

@@ -218,6 +218,88 @@ object TextOps {
           .orderBy(col("score").desc, col("doc_id"))
           .limit(20)
       },
-      None)
+      None),
+
+    Entry(
+      "text_chunk",
+      // Fixed-size overlapping chunking (the RAG / context-window
+      // splitter): 200-char windows on a 150-char stride from pure
+      // integer math + substring — per-row explode, no shuffle, and
+      // chunk boundaries are identical on any engine.
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("text"),
+            expr("(length(text) + 149) DIV 150").as("n_chunks"))
+          .select(col("doc_id"), col("text"),
+            explode(sequence(lit(0), col("n_chunks") - 1)).as("ci"))
+          .select(col("doc_id"),
+            col("ci").cast("long").as("chunk_idx"),
+            (col("ci") * 150).cast("long").as("chunk_start"),
+            expr("substring(text, ci * 150 + 1, 200)").as("chunk"))
+          .withColumn("chunk_len", length(col("chunk")).cast("long"))
+          .orderBy(col("doc_id"), col("chunk_idx")),
+      Some("""SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+          CAST(i * 150 AS BIGINT) AS chunk_start,
+          substr(text, i * 150 + 1, 200) AS chunk,
+          CAST(len(substr(text, i * 150 + 1, 200)) AS BIGINT) AS chunk_len
+        FROM documents,
+          unnest(generate_series(0, (len(text) + 149) // 150 - 1)) AS t(i)
+        ORDER BY doc_id, chunk_idx""")),
+
+    Entry(
+      "text_bigrams",
+      // Adjacent-token-pair frequencies — the BPE-training inner-loop
+      // statistic (the most frequent pair is the next merge). Pairs
+      // come from a higher-order transform over the token array (one
+      // pass, no self-join); one shuffle for the global count, top-30
+      // under a total order.
+      (s, dir) => {
+        val toks = words(lower(col("text")))
+        t(s, dir, "documents")
+          .select(toks.as("w"))
+          .filter(size(col("w")) >= 2)
+          .select(explode(transform(sequence(lit(1), size(col("w")) - 1),
+            i => concat(element_at(col("w"), i), lit(" "),
+              element_at(col("w"), i + 1)))).as("pair"))
+          .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("pair"))
+          .limit(30)
+      },
+      Some("""WITH toks AS (SELECT list_filter(string_split(lower(text),
+          ' '), x -> len(x) > 0) AS l FROM documents),
+        pairs AS (SELECT unnest(list_transform(range(1, len(l)),
+            i -> l[i] || ' ' || l[i + 1])) AS pair
+          FROM toks WHERE len(l) >= 2)
+        SELECT pair, COUNT(*) AS cnt FROM pairs
+        GROUP BY pair ORDER BY cnt DESC, pair LIMIT 30""")),
+
+    Entry(
+      "text_vocab",
+      // Vocabulary coverage / OOV-rate QA: corpus top-20 tokens by
+      // (count DESC, token ASC) become the vocabulary (two-pass, the
+      // vocab side broadcasts); each document reports its token and
+      // out-of-vocabulary counts. The scale shape of tokenizer-
+      // coverage checks before an expensive training run.
+      (s, dir) => {
+        val tok = t(s, dir, "documents")
+          .select(col("doc_id"), explode(words(lower(col("text")))).as("tok"))
+        val vocab = tok.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+          .orderBy(col("c").desc, col("tok")).limit(20)
+          .select(col("tok"), lit(1).as("in_v"))
+        tok.join(broadcast(vocab), Seq("tok"), "left")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tokens"),
+            count_if(col("in_v").isNull).as("n_oov"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH tok AS (SELECT doc_id,
+          unnest(list_filter(string_split(lower(text), ' '),
+            x -> len(x) > 0)) AS tok FROM documents),
+        vocab AS (SELECT tok FROM (SELECT tok, COUNT(*) AS c FROM tok
+          GROUP BY tok ORDER BY c DESC, tok LIMIT 20))
+        SELECT t.doc_id, COUNT(*) AS n_tokens,
+          COUNT(*) FILTER (WHERE v.tok IS NULL) AS n_oov
+        FROM tok t LEFT JOIN vocab v ON t.tok = v.tok
+        GROUP BY t.doc_id ORDER BY t.doc_id"""))
   )
 }
