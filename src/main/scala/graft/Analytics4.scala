@@ -435,6 +435,71 @@ object Analytics4 {
         SELECT event_type, prev + 1 AS gap_start, event_id - 1 AS gap_end,
           event_id - prev - 1 AS n_missing
         FROM g WHERE event_id - prev >= 9
-        ORDER BY event_type, gap_start"""))
+        ORDER BY event_type, gap_start""")),
+
+    Entry(
+      "q80_mode",
+      // Deterministic MODE: both engines' mode() leaves ties
+      // unspecified, so the portable form is count + rank with a total
+      // (cnt DESC, value ASC) order — two shuffles, map-side partials
+      // on the first, and the window input is one row per distinct
+      // value, not the fact table.
+      (s, dir) => {
+        val cnts = t(s, dir, "lineitem")
+          .select(col("l_returnflag"), col("l_quantity").cast("int").as("q"))
+          .groupBy(col("l_returnflag"), col("q"))
+          .agg(count(lit(1)).as("cnt"))
+        val w = Window.partitionBy(col("l_returnflag"))
+          .orderBy(col("cnt").desc, col("q").asc)
+        cnts.withColumn("r", row_number().over(w))
+          .filter(col("r") === 1)
+          .select(col("l_returnflag"), col("q").as("mode_qty"), col("cnt"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""WITH c AS (SELECT l_returnflag, CAST(l_quantity AS INT) AS q,
+          COUNT(*) AS cnt FROM lineitem GROUP BY 1, 2),
+        r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY l_returnflag
+            ORDER BY cnt DESC, q ASC) AS r FROM c)
+        SELECT l_returnflag, q AS mode_qty, cnt FROM r WHERE r = 1
+        ORDER BY l_returnflag""")),
+
+    Entry(
+      "q81_weighted_median",
+      // Weighted median (quantity-weighted price): smallest price whose
+      // cumulative weight reaches half the total — integer weights and
+      // the 2·cum ≥ total comparison keep it division-free, so the
+      // picked value is exact on both engines. One shuffle per group;
+      // the running sum is the only window.
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .select(col("l_returnflag"), col("l_extendedprice"),
+            col("l_quantity").cast("long").as("wt"),
+            col("l_orderkey"), col("l_linenumber"))
+        val ord = Seq(col("l_extendedprice"), col("l_orderkey"),
+          col("l_linenumber"))
+        val wCum = Window.partitionBy(col("l_returnflag"))
+          .orderBy(ord: _*)
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val wTot = Window.partitionBy(col("l_returnflag"))
+        li.withColumn("cum", sum(col("wt")).over(wCum))
+          .withColumn("tot", sum(col("wt")).over(wTot))
+          .filter(col("cum") * 2 >= col("tot"))
+          .groupBy(col("l_returnflag"))
+          .agg(min(col("l_extendedprice")).as("wmedian"),
+            max(col("tot")).as("total_weight"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""WITH r AS (SELECT l_returnflag, l_extendedprice,
+          CAST(l_quantity AS BIGINT) AS wt,
+          SUM(CAST(l_quantity AS BIGINT)) OVER (PARTITION BY l_returnflag
+            ORDER BY l_extendedprice, l_orderkey, l_linenumber
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+          SUM(CAST(l_quantity AS BIGINT)) OVER (PARTITION BY l_returnflag)
+            AS tot
+        FROM lineitem)
+        SELECT l_returnflag, MIN(l_extendedprice) AS wmedian,
+          CAST(MAX(tot) AS BIGINT) AS total_weight
+        FROM r WHERE cum * 2 >= tot
+        GROUP BY l_returnflag ORDER BY l_returnflag"""))
   )
 }

@@ -300,6 +300,49 @@ object DedupOps {
           .distinct()
           .orderBy(col("a"), col("b"))
       },
+      None),
+
+    Entry(
+      "dedup_substring",
+      // Substring-level near-dup pairs (the "docs share a long common
+      // substring" detector, the contamination/boilerplate shape exact
+      // shingle-Jaccard misses): winnowing fingerprints (k=8 chars,
+      // window 4 — text_fingerprint's scheme) → keep DISCRIMINATIVE
+      // fingerprints only (doc-frequency 2..8; dropping df=1 removes
+      // non-candidates, dropping df>8 is the stop-shingle cut that
+      // bounds any bucket's pair fan-out at C(8,2)) → count shared
+      // fingerprints per pair, keep ≥ 3. Shuffles: one on the
+      // fingerprint (bucket join), one on the pair — never n².
+      (s, dir) => substringPairs(
+        t(s, dir, "documents").select(col("doc_id"), col("text"))),
       None)
   )
+
+  /** Winnowing-fingerprint shared-substring candidate pairs; see the
+    * `dedup_substring` entry. Factored out so specs can run it on
+    * planted fixtures.
+    */
+  def substringPairs(docs: DataFrame, minDf: Int = 2, maxDf: Int = 8,
+      minShared: Int = 3): DataFrame = {
+    val fp = docs
+      .withColumn("kgrams",
+        expr("transform(sequence(1, greatest(length(text) - 7, 1)), " +
+          "i -> xxhash64(substring(text, i, 8)))"))
+      .withColumn("fp",
+        explode(expr("array_distinct(transform(" +
+          "sequence(1, greatest(size(kgrams) - 3, 1), 1), " +
+          "j -> array_min(slice(kgrams, j, 4))))")))
+      .select(col("doc_id"), col("fp"))
+    val rare = fp.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf && col("df") <= maxDf)
+      .select(col("fp"))
+    val keyed = fp.join(rare, "fp")
+    keyed.select(col("fp"), col("doc_id").as("a"))
+      .join(keyed.select(col("fp"), col("doc_id").as("b")), "fp")
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .orderBy(col("a"), col("b"))
+  }
 }

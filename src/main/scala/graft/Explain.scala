@@ -15,7 +15,9 @@ object Explain {
         "q22_pivot", "dedup_exact", "knn_brute", "q37_range_join",
         "q42_bloom_semijoin", "text_tfidf", "pipeline_corpus",
         "q54_gapfill", "q57_topk_agg", "q58_salted_join",
-        "q59_latest_per_key", "dedup_minhash", "mm_embed_knn")
+        "q59_latest_per_key", "dedup_minhash", "mm_embed_knn",
+        "q68_streaks", "q69_funnel", "q71_fuzzy_match", "q76_interval_merge",
+        "q77_nearest_event", "text_vocab", "emb_centroid")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -227,8 +227,134 @@ object SimilarityOps {
           list_reduce(list(v ORDER BY v), (a, x) -> a + x) AS ssum,
           COUNT(*) AS n FROM e GROUP BY 1, 2)
         SELECT label, CAST(pos AS BIGINT) AS dim, ssum / n AS mean
-        FROM s ORDER BY label, dim"""))
+        FROM s ORDER BY label, dim""")),
+
+    Entry(
+      "knn_pq",
+      // Product-quantization ANN (the compressed-vector scale path):
+      // 64-dim vectors → 8 subspaces × 16 codes = 8 bytes per vector
+      // (32× smaller than float32), scored by asymmetric distance —
+      // per-query lookup tables replace per-pair float dot products.
+      // This is the exhaustive-but-cheap complement to knn_ivf's
+      // pruning; production systems compose both (IVF-PQ). Recall on
+      // the uniform-random test vectors is quantization-bound; PQSpec
+      // proves exact retrieval on separable planted clusters.
+      (s, dir) => {
+        val emb = embeddings(s, dir)
+        val (cen, codes) = pqIndex(s, dir, emb)
+        val q = emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        pqSearch(cen, codes, q, 5)
+      },
+      None)
   )
+
+  /** Number of PQ subspaces (64 dims / 8 = 8-dim sub-vectors). */
+  private val PqM = 8
+  /** Codebook size per subspace. */
+  private val PqK = 16
+
+  private val pqIndexCache =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, (DataFrame, DataFrame)]]()
+
+  /** Train-or-reuse the PQ index for the session corpus (same caching
+    * contract as the IVF centroids).
+    */
+  private def pqIndex(s: SparkSession, dir: String,
+      emb: DataFrame): (DataFrame, DataFrame) = {
+    val perSession = pqIndexCache.synchronized {
+      pqIndexCache.computeIfAbsent(s,
+        _ => scala.collection.concurrent.TrieMap.empty[String, (DataFrame, DataFrame)])
+    }
+    perSession.getOrElseUpdate(dir, trainPq(emb))
+  }
+
+  /** Squared L2 distance between two equal-length double arrays. */
+  private def l2sq(a: String, b: String) =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), " +
+      "0D, (acc, v) -> acc + v)")
+
+  /** Per-(vec, subspace) rows: vec_id, m, sub (8-dim slice). */
+  private def subvecs(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), col("embedding"),
+        explode(sequence(lit(0), lit(PqM - 1))).as("m"))
+      .select(col("vec_id"), col("m"),
+        expr("transform(slice(embedding, m * 8 + 1, 8), " +
+          "x -> CAST(x AS DOUBLE))").as("sub"))
+
+  /** Train PQ codebooks (deterministic seeds + 2 Lloyd iterations, all
+    * DataFrame ops like the IVF trainer) and encode the corpus.
+    * Returns (codebooks: (m, code, cvec), codes: (vec_id, codes[8])).
+    */
+  def trainPq(emb: DataFrame): (DataFrame, DataFrame) = {
+    val sv = subvecs(emb)
+    // seeds: the first PqK vectors' sub-vectors, code = seed ordinal
+    var cen = sv.filter(col("vec_id") < PqK)
+      .select(col("m"), col("vec_id").cast("int").as("code"),
+        col("sub").as("cvec"))
+    for (_ <- 1 to 2) {
+      val assigned = assign(sv, cen)
+      cen = assigned
+        .select(col("m"), col("code"),
+          posexplode(col("sub")).as(Seq("d", "x")))
+        .groupBy(col("m"), col("code"), col("d"))
+        .agg(avg(col("x")).as("cx"))
+        .groupBy(col("m"), col("code"))
+        .agg(array_sort(collect_list(struct(col("d"), col("cx")))).as("dm"))
+        .select(col("m"), col("code"), expr("transform(dm, e -> e.cx)")
+          .as("cvec"))
+    }
+    cen = cen.persist()
+    val codes = assign(sv, cen)
+      .groupBy(col("vec_id"))
+      .agg(array_sort(collect_list(struct(col("m"), col("code"))))
+        .as("mc"))
+      .select(col("vec_id"), expr("transform(mc, e -> e.code)").as("codes"))
+      .persist()
+    (cen, codes)
+  }
+
+  /** Nearest codebook entry per (vec, subspace); ties → smaller code. */
+  private def assign(sv: DataFrame, cen: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vec_id"), col("m"))
+      .orderBy(col("d2").asc, col("code").asc)
+    sv.join(broadcast(cen), "m")
+      .withColumn("d2", l2sq("sub", "cvec"))
+      .withColumn("r", row_number().over(w))
+      .filter(col("r") === 1)
+      .select(col("vec_id"), col("m"), col("code"), col("sub"))
+  }
+
+  /** ADC search: per-query lookup table tdot[m][code] = ⟨q_m, c_mc⟩
+    * (so Σ_m tdot[m][code_m] = ⟨q, reconstruction⟩), then each corpus
+    * vector is scored by 8 table lookups — the only float math per
+    * (query, vector) pair is 8 adds. Scoring joins on the BROADCAST
+    * table; one shuffle for the (qid, vec_id) sum.
+    */
+  def pqSearch(cen: DataFrame, codes: DataFrame, queries: DataFrame,
+      k: Int): DataFrame = {
+    val qsub = subvecs(queries.select(col("qid").as("vec_id"),
+        col("qvec").as("embedding")))
+      .select(col("vec_id").as("qid"), col("m"), col("sub").as("qsub"))
+    val table = qsub.join(broadcast(cen), "m")
+      .select(col("qid"), col("m"), col("code"),
+        expr("aggregate(zip_with(qsub, cvec, (x, y) -> x * y), " +
+          "0D, (acc, v) -> acc + v)").as("tdot"))
+    val scored = codes
+      .select(col("vec_id"), posexplode(col("codes")).as(Seq("m", "code")))
+      .join(broadcast(table), Seq("m", "code"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(sum(col("tdot")).as("approx_dot"), count(lit(1)).as("nm"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("approx_dot").desc, col("vec_id"))
+    scored
+      .filter(col("nm") === PqM && col("vec_id") =!= col("qid"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("vec_id"), col("approx_dot"))
+      .orderBy(col("qid"), col("rank"))
+  }
 }
 
 /** Multimodal column plumbing (SURVEY.md §2.C `mm_meta`): media as an

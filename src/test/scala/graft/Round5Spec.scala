@@ -88,6 +88,23 @@ class Round5Spec extends SparkSuite {
     assert(got == Seq((1L, 2L, 3L, 1L)))
   }
 
+  test("dedup_substring: shared long substring detected, disjoint docs are not") {
+    import spark.implicits._
+    val shared = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq(
+      (1L, s"alpha beta $shared gamma delta epsilon zeta"),
+      (2L, s"one two three $shared four five six seven"),
+      (3L, "completely different content with no overlap whatsoever here"),
+      (4L, "another unrelated document about entirely other things indeed"))
+      .toDF("doc_id", "text")
+    val pairs = DedupOps.substringPairs(docs, minDf = 2, maxDf = 8,
+        minShared = 3)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(pairs.map(p => (p._1, p._2)) == Seq((1L, 2L)),
+      s"only the planted pair should surface: $pairs")
+    assert(pairs.head._3 >= 3)
+  }
+
   test("text_chunk boundary math: exact cover, no empty chunks") {
     import spark.implicits._
     // len 150 -> 1 chunk; len 151 -> 2 chunks (second of length 1);
