@@ -189,6 +189,18 @@ object StreamOps {
     }
   }
 
+  /** Newest row per user_id under the (us, event_id) total order —
+    * the associative merge step of the `stream_upsert` store (same
+    * narrow schema in and out, so batches chain).
+    */
+  def upsertCompact(df: DataFrame): DataFrame =
+    df.groupBy(col("user_id"))
+      .agg(max(struct(col("us"), col("event_id"), col("event_type")))
+        .as("m"))
+      .select(col("user_id"), col("m.us").as("us"),
+        col("m.event_id").as("event_id"),
+        col("m.event_type").as("event_type"))
+
   /** The open sessions left in the state store after a bounded drain,
     * read back via Spark's state data source — the streaming-native way
     * to flush tail sessions when the source is known exhausted.
@@ -411,6 +423,52 @@ object StreamOps {
         arg_max(event_id, epoch_us(ts)) AS last_event_id,
         MAX(epoch_us(ts)) AS last_us
         FROM events GROUP BY 1, 2 ORDER BY user_id, event_type""")),
+
+    Entry(
+      "stream_upsert",
+      // foreachBatch keyed-upsert sink: each micro-batch MERGEs its
+      // newest-per-key rows into a versioned parquet store (read
+      // store vN ∪ batch → compact → write vN+1) — the exactly-once
+      // CDC-compaction pattern you'd run with MERGE INTO on a real
+      // table format; raw-parquet versioning keeps the per-batch
+      // write idempotent. The merge is an associative struct-max, so
+      // the final store equals the batch latest-per-key regardless of
+      // how the drain splits into micro-batches (the oracle).
+      (s, dir) => {
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_upsert").toString
+        val evs = eventStream(s, dir).select(
+          col("user_id"), col("event_id"),
+          unix_micros(col("ts").cast("timestamp")).as("us"),
+          col("event_type"))
+        val version = new AtomicInteger(0)
+        val q = evs.writeStream
+          .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
+              _: Long) =>
+            val v = version.get()
+            val prev =
+              if (v == 0) batch.toDF().limit(0)
+              else s.read.parquet(s"$root/v$v")
+            upsertCompact(prev.unionByName(batch.toDF()))
+              .write.mode("overwrite").parquet(s"$root/v${v + 1}")
+            version.incrementAndGet()
+            ()
+          }
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        s.read.parquet(s"$root/v${version.get()}")
+          .select(col("user_id"), col("us").as("last_us"),
+            col("event_id").as("last_event_id"),
+            col("event_type").as("last_event_type"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH r AS (SELECT user_id, epoch_us(ts) AS us, event_id,
+          event_type, ROW_NUMBER() OVER (PARTITION BY user_id
+            ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        FROM events)
+        SELECT user_id, us AS last_us, event_id AS last_event_id,
+          event_type AS last_event_type
+        FROM r WHERE rn = 1 ORDER BY user_id""")),
 
     Entry(
       "u2_tail",

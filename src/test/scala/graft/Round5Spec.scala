@@ -88,6 +88,26 @@ class Round5Spec extends SparkSuite {
     assert(got == Seq((1L, 2L, 3L, 1L)))
   }
 
+  test("stream_upsert merge: batch splits don't change the final store") {
+    import spark.implicits._
+    // same user across batches, newer event in the second; a ts tie
+    // broken by event_id; a user only in batch one
+    val b1 = Seq((1L, 10L, 100L, "view"), (2L, 11L, 200L, "click"),
+      (3L, 12L, 300L, "view")).toDF("user_id", "event_id", "us", "event_type")
+    val b2 = Seq((1L, 20L, 150L, "purchase"), (2L, 21L, 200L, "error"))
+      .toDF("user_id", "event_id", "us", "event_type")
+    val chained = StreamOps.upsertCompact(
+      StreamOps.upsertCompact(b1).unionByName(b2))
+      .orderBy(col("user_id"))
+      .as[(Long, Long, Long, String)].collect().toSeq
+    val direct = StreamOps.upsertCompact(b1.unionByName(b2))
+      .orderBy(col("user_id"))
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(chained == direct)
+    assert(chained == Seq((1L, 150L, 20L, "purchase"),
+      (2L, 200L, 21L, "error"), (3L, 300L, 12L, "view")))
+  }
+
   test("dedup_substring: shared long substring detected, disjoint docs are not") {
     import spark.implicits._
     val shared = "the quick brown fox jumps over the lazy dog again and again"
