@@ -27,7 +27,12 @@ object Bench {
       // the real ingest pipeline end-to-end
       SnortOps.fixtureAlerts(spark).count()
     } catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // optional args = query-name subset (local iteration; the driver
+    // invokes with no args and gets the full suite)
+    val all = SparkEntry.queries
+    val sel = if (args.isEmpty) all
+      else all.view.filterKeys(args.toSet).toMap
+    val results = sel.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

@@ -324,6 +324,9 @@ object DedupOps {
     */
   def substringPairs(docs: DataFrame, minDf: Int = 2, maxDf: Int = 8,
       minShared: Int = 3): DataFrame = {
+    // the fingerprint relation feeds the df count AND both sides of the
+    // pair self-join — without a persist the winnowing pipeline (hash +
+    // window-min over every character position) re-executes per branch
     val fp = docs
       .withColumn("kgrams",
         expr("transform(sequence(1, greatest(length(text) - 7, 1)), " +
@@ -333,10 +336,11 @@ object DedupOps {
           "sequence(1, greatest(size(kgrams) - 3, 1), 1), " +
           "j -> array_min(slice(kgrams, j, 4))))")))
       .select(col("doc_id"), col("fp"))
+      .persist()
     val rare = fp.groupBy(col("fp")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDf && col("df") <= maxDf)
       .select(col("fp"))
-    val keyed = fp.join(rare, "fp")
+    val keyed = fp.join(broadcast(rare), "fp").persist()
     keyed.select(col("fp"), col("doc_id").as("a"))
       .join(keyed.select(col("fp"), col("doc_id").as("b")), "fp")
       .filter(col("a") < col("b"))

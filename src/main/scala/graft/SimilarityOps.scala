@@ -315,16 +315,19 @@ object SimilarityOps {
     (cen, codes)
   }
 
-  /** Nearest codebook entry per (vec, subspace); ties → smaller code. */
-  private def assign(sv: DataFrame, cen: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("vec_id"), col("m"))
-      .orderBy(col("d2").asc, col("code").asc)
+  /** Nearest codebook entry per (vec, subspace); ties → smaller code.
+    * min(struct) hash-aggregates with map-side partials — no per-group
+    * sort the row_number() formulation would pay. `sub` is constant
+    * within the group, so first() is deterministic.
+    */
+  private def assign(sv: DataFrame, cen: DataFrame): DataFrame =
     sv.join(broadcast(cen), "m")
       .withColumn("d2", l2sq("sub", "cvec"))
-      .withColumn("r", row_number().over(w))
-      .filter(col("r") === 1)
-      .select(col("vec_id"), col("m"), col("code"), col("sub"))
-  }
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min(struct(col("d2"), col("code"))).as("mc"),
+        first(col("sub")).as("sub"))
+      .select(col("vec_id"), col("m"), col("mc.code").as("code"),
+        col("sub"))
 
   /** ADC search: per-query lookup table tdot[m][code] = ⟨q_m, c_mc⟩
     * (so Σ_m tdot[m][code_m] = ⟨q, reconstruction⟩), then each corpus
