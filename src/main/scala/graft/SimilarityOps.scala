@@ -230,6 +230,54 @@ object SimilarityOps {
         FROM s ORDER BY label, dim""")),
 
     Entry(
+      "knn_ivf_pq",
+      // The production ANN composition: IVF cell PRUNING (probe the 4
+      // nearest cells, skip the rest of the corpus) × PQ COMPRESSION
+      // (candidates scored by 8 table adds against 8-byte codes, no
+      // float vectors touched) — both index artifacts come from the
+      // session caches the standalone entries train, exactly like a
+      // deployment sharing one index. Scan cost: |probed cells| rows
+      // of 8-byte codes instead of the full float corpus.
+      (s, dir) => {
+        val emb = embeddings(s, dir)
+        val cen = centroids(s, dir)
+        val (pqCen, codes) = pqIndex(s, dir, emb)
+        val wAssign = Window.partitionBy(col("vec_id"))
+          .orderBy(col("csim").desc, col("cell"))
+        val assigned = emb.crossJoin(broadcast(cen))
+          .withColumn("csim", Vectors.dot(col("embedding"), col("cvec")))
+          .withColumn("crank", row_number().over(wAssign))
+          .filter(col("crank") === 1)
+          .select(col("cell"), col("vec_id"))
+        val q = emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val wProbe = Window.partitionBy(col("qid"))
+          .orderBy(col("csim").desc, col("cell"))
+        val probes = q.crossJoin(broadcast(cen))
+          .withColumn("csim", Vectors.dot(col("qvec"), col("cvec")))
+          .withColumn("crank", row_number().over(wProbe))
+          .filter(col("crank") <= 4)
+          .select(col("qid"), col("cell"))
+        val table = pqTable(pqCen, q)
+        val w = Window.partitionBy(col("qid"))
+          .orderBy(col("approx_dot").desc, col("vec_id"))
+        assigned.join(broadcast(probes), "cell")
+          .filter(col("vec_id") =!= col("qid"))
+          .join(codes, "vec_id")
+          .select(col("qid"), col("vec_id"),
+            posexplode(col("codes")).as(Seq("m", "code")))
+          .join(broadcast(table), Seq("qid", "m", "code"))
+          .groupBy(col("qid"), col("vec_id"))
+          .agg(sum(col("tdot")).as("approx_dot"), count(lit(1)).as("nm"))
+          .filter(col("nm") === PqM)
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+          .select(col("qid"), col("rank"), col("vec_id"), col("approx_dot"))
+          .orderBy(col("qid"), col("rank"))
+      },
+      None),
+
+    Entry(
       "knn_pq",
       // Product-quantization ANN (the compressed-vector scale path):
       // 64-dim vectors → 8 subspaces × 16 codes = 8 bytes per vector
@@ -335,15 +383,19 @@ object SimilarityOps {
     * (query, vector) pair is 8 adds. Scoring joins on the BROADCAST
     * table; one shuffle for the (qid, vec_id) sum.
     */
-  def pqSearch(cen: DataFrame, codes: DataFrame, queries: DataFrame,
-      k: Int): DataFrame = {
-    val qsub = subvecs(queries.select(col("qid").as("vec_id"),
+  /** Per-query ADC lookup table: tdot[qid][m][code] = ⟨q_m, c_mc⟩. */
+  private def pqTable(cen: DataFrame, queries: DataFrame): DataFrame =
+    subvecs(queries.select(col("qid").as("vec_id"),
         col("qvec").as("embedding")))
       .select(col("vec_id").as("qid"), col("m"), col("sub").as("qsub"))
-    val table = qsub.join(broadcast(cen), "m")
+      .join(broadcast(cen), "m")
       .select(col("qid"), col("m"), col("code"),
         expr("aggregate(zip_with(qsub, cvec, (x, y) -> x * y), " +
           "0D, (acc, v) -> acc + v)").as("tdot"))
+
+  def pqSearch(cen: DataFrame, codes: DataFrame, queries: DataFrame,
+      k: Int): DataFrame = {
+    val table = pqTable(cen, queries)
     val scored = codes
       .select(col("vec_id"), posexplode(col("codes")).as(Seq("m", "code")))
       .join(broadcast(table), Seq("m", "code"))

@@ -146,7 +146,8 @@ object AsOfStrategy extends SparkStrategy {
   * `spark.builder.withExtensions(new GraftExtensions)` deployments;
   * [[AsOf.join]] also self-registers via experimental strategies).
   * After installation, plain SQL can use `graft_decode_packet`,
-  * `graft_simhash`, `graft_minhash`, `graft_jaccard`, `graft_dot`.
+  * `graft_simhash`, `graft_minhash`, `graft_jaccard`, `graft_dot`,
+  * `graft_lev_band`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -170,6 +171,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       xs => graft.functions.JaccardSim(xs(0), xs(1))))
     e.injectFunction(fn("graft_dot",
       xs => graft.functions.DotProd(xs(0), xs(1))))
+    e.injectFunction(fn("graft_lev_band",
+      xs => graft.functions.LevenshteinBand(xs(0), xs(1),
+        xs(2).eval().asInstanceOf[Int])))
   }
 }
 
