@@ -4,7 +4,7 @@ import java.util.concurrent.atomic.AtomicInteger
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, MapState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, MapState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
 
 import Tables._
 import graft.sources.Unified2Fixture
@@ -187,6 +187,63 @@ object StreamOps {
       touched.foreach { case (t, a) => st.updateValue(t, a) }
       touched.valuesIterator.toSeq.iterator
     }
+  }
+
+  case class TimerEv(user_id: Long, event_id: Long, us: Long,
+      ts: java.sql.Timestamp)
+  case class TimerSess(user_id: Long, start_us: Long, end_us: Long,
+      n_events: Long)
+
+  /** transformWithState with EVENT-TIME TIMERS: the open session per
+    * user closes either when a later event exceeds the gap (in-batch)
+    * or when the WATERMARK passes end + gap (timer fires) — the
+    * streaming-native session close that needs no subsequent event.
+    * Timers are never deleted: session expiries only move forward, so
+    * a stale timer always fires strictly before the live one and the
+    * `expiryMs(open) <= fired` guard discards it.
+    */
+  class TimerSessProcessor(gapUs: Long)
+      extends StatefulProcessor[Long, TimerEv, TimerSess] {
+    @transient private var st: ValueState[TimerSess] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[TimerSess]("open",
+        Encoders.product[TimerSess], TTLConfig.NONE)
+    // ceil to ms: the timer may only fire once the ms-truncated
+    // watermark PROVABLY covers the µs expiry
+    private def expiryMs(sess: TimerSess): Long =
+      (sess.end_us + gapUs + 999) / 1000
+    override def handleInputRows(key: Long, rows: Iterator[TimerEv],
+        tv: TimerValues): Iterator[TimerSess] = {
+      val evs = rows.toSeq.sortBy(e => (e.us, e.event_id))
+      val out = Seq.newBuilder[TimerSess]
+      var open = if (st.exists()) Some(st.get()) else None
+      evs.foreach { e =>
+        open match {
+          case Some(sess) if e.us - sess.end_us < gapUs =>
+            open = Some(sess.copy(end_us = math.max(sess.end_us, e.us),
+              n_events = sess.n_events + 1))
+          case Some(sess) =>
+            out += sess
+            open = Some(TimerSess(key, e.us, e.us, 1L))
+          case None =>
+            open = Some(TimerSess(key, e.us, e.us, 1L))
+        }
+      }
+      open.foreach { sess =>
+        st.update(sess)
+        getHandle.registerTimer(expiryMs(sess))
+      }
+      out.result().iterator
+    }
+    override def handleExpiredTimer(key: Long, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[TimerSess] =
+      if (st.exists()) {
+        val sess = st.get()
+        if (expiryMs(sess) <= info.getExpiryTimeInMs) {
+          st.clear()
+          Iterator.single(sess)
+        } else Iterator.empty
+      } else Iterator.empty
   }
 
   /** Newest row per user_id under the (us, event_id) total order —
@@ -423,6 +480,79 @@ object StreamOps {
         arg_max(event_id, epoch_us(ts)) AS last_event_id,
         MAX(epoch_us(ts)) AS last_us
         FROM events GROUP BY 1, 2 ORDER BY user_id, event_type""")),
+
+    Entry(
+      "stream_timer_sessions",
+      // Event-time-TIMER sessionization (completes the
+      // transformWithState surface: ValueState ✓ MapState ✓ timers ✓):
+      // sessions close when the watermark passes end + gap, with no
+      // need for a subsequent event. The drain feeds 4 time-ordered
+      // bucket files one per micro-batch (sequential appends →
+      // increasing mtimes → in-order file-source batches), so the
+      // watermark ratchets 4 times and fires the timers of every
+      // session except those ending within one gap of the stream max.
+      // The oracle replays the same rule declaratively — including the
+      // ms-truncation of Spark's watermark clock, matched exactly with
+      // integer arithmetic on both sides.
+      (s, dir) => {
+        val gapUs = 1800000000L
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_timer_sess").toString
+        val ev = t(s, dir, "events").select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"))
+        val Array(lo, hi) = ev.agg(min(col("us")), max(col("us")))
+          .head().toSeq.map(_.asInstanceOf[Long]).toArray
+        val span = hi - lo + 1
+        (0 until 4).foreach { i =>
+          ev.filter(col("us") >= lo + span * i / 4 &&
+              col("us") < lo + span * (i + 1) / 4)
+            .coalesce(1).write.mode("append").parquet(root)
+        }
+        import s.implicits._
+        // timers keep a second column family → RocksDB provider, like
+        // the other transformWithState entries
+        val provKey = "spark.sql.streaming.stateStore.providerClass"
+        val prev = s.conf.getOption(provKey)
+        s.conf.set(provKey, "org.apache.spark.sql.execution.streaming." +
+          "state.RocksDBStateStoreProvider")
+        try {
+          val stream = s.readStream
+            .schema("user_id BIGINT, event_id BIGINT, us BIGINT")
+            .option("maxFilesPerTrigger", "1").parquet(root)
+            .withColumn("ts", timestamp_micros(col("us")))
+            .withWatermark("ts", "0 seconds")
+            .as[TimerEv]
+          val sessions = stream.groupByKey(_.user_id)
+            .transformWithState(new TimerSessProcessor(gapUs),
+              TimeMode.EventTime(), OutputMode.Append())
+          withShufflePartitions(s, 8)(
+            runOnce(s, sessions.toDF(), OutputMode.Append()))
+            .orderBy(col("user_id"), col("start_us"))
+        } finally prev match {
+          case Some(p) => s.conf.set(provKey, p)
+          case None => s.conf.unset(provKey)
+        }
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us
+          FROM events),
+        s AS (SELECT *, CASE WHEN LAG(us) OVER w IS NULL
+              OR us - LAG(us) OVER w >= 1800000000 THEN 1 ELSE 0 END
+            AS new_sess
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        t AS (SELECT *, SUM(new_sess) OVER (PARTITION BY user_id
+            ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS sess_id
+          FROM s),
+        sess AS (SELECT user_id, sess_id, MIN(us) AS start_us,
+            MAX(us) AS end_us, COUNT(*) AS n_events
+          FROM t GROUP BY 1, 2),
+        sl AS (SELECT *, MAX(sess_id) OVER (PARTITION BY user_id)
+            AS last_id FROM sess),
+        mx AS (SELECT MAX(us) AS mu FROM e)
+        SELECT user_id, start_us, end_us, n_events
+        FROM sl, mx
+        WHERE sess_id < last_id
+          OR (end_us + 1800000000 + 999) // 1000 <= mu // 1000
+        ORDER BY user_id, start_us""")),
 
     Entry(
       "stream_upsert",

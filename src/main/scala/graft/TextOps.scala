@@ -300,6 +300,46 @@ object TextOps {
         SELECT t.doc_id, COUNT(*) AS n_tokens,
           COUNT(*) FILTER (WHERE v.tok IS NULL) AS n_oov
         FROM tok t LEFT JOIN vocab v ON t.tok = v.tok
-        GROUP BY t.doc_id ORDER BY t.doc_id"""))
+        GROUP BY t.doc_id ORDER BY t.doc_id""")),
+
+    Entry(
+      "text_repetition",
+      // Repetition quality signal (the Gopher-style duplicate-n-gram
+      // filter): per document, the fraction of bigrams that are
+      // repeats — pure per-row array math (no shuffle), integer counts
+      // plus one correctly-rounded division so the ratio hash-matches.
+      (s, dir) => {
+        val toks = words(lower(col("text")))
+        t(s, dir, "documents")
+          .select(col("doc_id"), toks.as("w"))
+          .withColumn("bi",
+            when(size(col("w")) >= 2,
+              transform(sequence(lit(1), size(col("w")) - 1),
+                i => concat(element_at(col("w"), i), lit(" "),
+                  element_at(col("w"), i + 1))))
+              .otherwise(array().cast("array<string>")))
+          .select(col("doc_id"),
+            size(col("bi")).cast("long").as("n_bigrams"),
+            size(array_distinct(col("bi"))).cast("long")
+              .as("n_distinct_bigrams"))
+          .withColumn("dup_frac",
+            when(col("n_bigrams") > 0,
+              (col("n_bigrams") - col("n_distinct_bigrams"))
+                .cast("double") / col("n_bigrams").cast("double"))
+              .otherwise(lit(0.0)))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH b AS (SELECT doc_id,
+          CASE WHEN len(l) >= 2 THEN list_transform(range(1, len(l)),
+            i -> l[i] || ' ' || l[i + 1]) ELSE [] END AS bi
+        FROM (SELECT doc_id, list_filter(string_split(lower(text), ' '),
+          x -> len(x) > 0) AS l FROM documents))
+        SELECT doc_id, CAST(len(bi) AS BIGINT) AS n_bigrams,
+          CAST(len(list_distinct(bi)) AS BIGINT) AS n_distinct_bigrams,
+          CASE WHEN len(bi) > 0 THEN
+            CAST(len(bi) - len(list_distinct(bi)) AS DOUBLE) /
+              CAST(len(bi) AS DOUBLE)
+          ELSE 0.0 END AS dup_frac
+        FROM b ORDER BY doc_id"""))
   )
 }
