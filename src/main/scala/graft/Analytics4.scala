@@ -471,25 +471,44 @@ object Analytics4 {
 
     Entry(
       "q81_weighted_median",
-      // Weighted median (quantity-weighted price): smallest price whose
-      // cumulative weight reaches half the total — integer weights and
-      // the 2·cum ≥ total comparison keep it division-free, so the
-      // picked value is exact on both engines. One shuffle per group;
-      // the running sum is the only window.
+      // Weighted median (quantity-weighted price), TWO-PASS: a naive
+      // running-weight window sorts every row of the group — with 3
+      // groups that is a 3-way-parallel sort of the whole fact table.
+      // Instead, pass 1 masses weights into price buckets (tiny grid)
+      // and locates the single bucket where the cumulative weight
+      // crosses half; pass 2 sorts ONLY that bucket's rows, offset by
+      // the mass of all earlier buckets. Integer weights and the
+      // division-free 2·cum ≥ total rule keep the picked value exact;
+      // the result is identical to the one-pass form (the global
+      // running sum at any row = earlier-bucket mass + in-bucket
+      // running sum, and buckets are monotone in price).
       (s, dir) => {
         val li = t(s, dir, "lineitem")
           .select(col("l_returnflag"), col("l_extendedprice"),
             col("l_quantity").cast("long").as("wt"),
             col("l_orderkey"), col("l_linenumber"))
-        val ord = Seq(col("l_extendedprice"), col("l_orderkey"),
-          col("l_linenumber"))
-        val wCum = Window.partitionBy(col("l_returnflag"))
-          .orderBy(ord: _*)
-          .rowsBetween(Window.unboundedPreceding, 0)
+          .withColumn("b",
+            floor(col("l_extendedprice") / 1000).cast("long"))
         val wTot = Window.partitionBy(col("l_returnflag"))
-        li.withColumn("cum", sum(col("wt")).over(wCum))
-          .withColumn("tot", sum(col("wt")).over(wTot))
-          .filter(col("cum") * 2 >= col("tot"))
+        val wCumB = Window.partitionBy(col("l_returnflag"))
+          .orderBy(col("b"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val target = li.groupBy(col("l_returnflag"), col("b"))
+          .agg(sum(col("wt")).as("bw"))
+          .withColumn("cum", sum(col("bw")).over(wCumB))
+          .withColumn("tot", sum(col("bw")).over(wTot))
+          .withColumn("prev_cum", col("cum") - col("bw"))
+          .filter(col("cum") * 2 >= col("tot") &&
+            col("prev_cum") * 2 < col("tot"))
+          .select(col("l_returnflag"), col("b"), col("prev_cum"),
+            col("tot"))
+        val wIn = Window.partitionBy(col("l_returnflag"))
+          .orderBy(col("l_extendedprice"), col("l_orderkey"),
+            col("l_linenumber"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        li.join(broadcast(target), Seq("l_returnflag", "b"))
+          .withColumn("cum_in", sum(col("wt")).over(wIn))
+          .filter((col("prev_cum") + col("cum_in")) * 2 >= col("tot"))
           .groupBy(col("l_returnflag"))
           .agg(min(col("l_extendedprice")).as("wmedian"),
             max(col("tot")).as("total_weight"))

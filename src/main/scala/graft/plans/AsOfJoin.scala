@@ -57,6 +57,12 @@ case class AsOfJoinExec(
 
   override def outputPartitioning: Partitioning = left.outputPartitioning
 
+  // rows stream out in the left child's order (the merge maps lIt in
+  // place), so chained as-of joins on the same key+axis reuse both the
+  // partitioning AND the sort — N enrichment passes cost one shuffle
+  // and one sort of the probe side, total
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
 

@@ -125,6 +125,74 @@ class Round5Spec extends SparkSuite {
     assert(pairs.head._3 >= 3)
   }
 
+  test("two-pass weighted median equals the one-pass window form on edges") {
+    import spark.implicits._
+    // group a: crossing row at a bucket boundary (price 2000 = start of
+    // bucket 2) and an exact 2·cum = tot tie; group b: all in one bucket
+    val rows = Seq(
+      ("a", 500.0, 3L), ("a", 1500.0, 3L), ("a", 2000.0, 6L),
+      ("a", 2100.0, 6L), ("a", 3999.0, 2L),
+      ("b", 100.0, 1L), ("b", 150.0, 1L), ("b", 120.0, 5L))
+      .zipWithIndex.map { case ((g, p, w), i) => (g, p, w, i.toLong) }
+      .toDF("g", "price", "wt", "id")
+    def onePass = {
+      val wC = Window.partitionBy(col("g")).orderBy(col("price"), col("id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wT = Window.partitionBy(col("g"))
+      rows.withColumn("cum", sum(col("wt")).over(wC))
+        .withColumn("tot", sum(col("wt")).over(wT))
+        .filter(col("cum") * 2 >= col("tot"))
+        .groupBy(col("g")).agg(min(col("price")).as("m"))
+    }
+    def twoPass = {
+      val b = rows.withColumn("b", floor(col("price") / 1000).cast("long"))
+      val wT = Window.partitionBy(col("g"))
+      val wB = Window.partitionBy(col("g")).orderBy(col("b"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val target = b.groupBy(col("g"), col("b")).agg(sum(col("wt")).as("bw"))
+        .withColumn("cum", sum(col("bw")).over(wB))
+        .withColumn("tot", sum(col("bw")).over(wT))
+        .withColumn("prev_cum", col("cum") - col("bw"))
+        .filter(col("cum") * 2 >= col("tot") && col("prev_cum") * 2 < col("tot"))
+        .select(col("g"), col("b"), col("prev_cum"), col("tot"))
+      val wI = Window.partitionBy(col("g")).orderBy(col("price"), col("id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      b.join(broadcast(target), Seq("g", "b"))
+        .withColumn("ci", sum(col("wt")).over(wI))
+        .filter((col("prev_cum") + col("ci")) * 2 >= col("tot"))
+        .groupBy(col("g")).agg(min(col("price")).as("m"))
+    }
+    val a = onePass.orderBy(col("g")).as[(String, Double)].collect().toSeq
+    val c = twoPass.orderBy(col("g")).as[(String, Double)].collect().toSeq
+    assert(a == c)
+    assert(a == Seq(("a", 2000.0), ("b", 120.0)))
+  }
+
+  test("chained same-direction as-of joins reuse the left side's sort") {
+    import spark.implicits._
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.get(aqeKey)
+    spark.conf.set(aqeKey, "false")
+    try {
+      val l = Seq((1L, 100L), (1L, 200L), (2L, 150L))
+        .toDF("k", "ts")
+      val r1 = Seq((1L, 90L, "x"), (2L, 140L, "y"))
+        .toDF("r1_k", "r1_ts", "r1_v")
+      val r2 = Seq((1L, 95L, "p"), (2L, 100L, "q"))
+        .toDF("r2_k", "r2_ts", "r2_v")
+      val j = graft.plans.AsOf.join(
+        graft.plans.AsOf.join(l, r1, Seq("k"), "ts", Seq("r1_k"), "r1_ts"),
+        r2, Seq("k"), "ts", Seq("r2_k"), "r2_ts")
+      assert(j.count() == 3)
+      val sorts = j.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.SortExec => s
+      }.size
+      // one sort per INPUT side (l, r1, r2) — the second join reuses
+      // the first's output ordering instead of re-sorting the probe
+      assert(sorts == 3, s"expected 3 sorts, got $sorts")
+    } finally spark.conf.set(aqeKey, prev)
+  }
+
   test("text_chunk boundary math: exact cover, no empty chunks") {
     import spark.implicits._
     // len 150 -> 1 chunk; len 151 -> 2 chunks (second of length 1);
