@@ -14,7 +14,7 @@ final case class Entry(
 object Registry {
   def all: Seq[Entry] =
     Analytics.entries ++ Analytics2.entries ++ Analytics3.entries ++
-      Analytics4.entries ++
+      Analytics4.entries ++ Analytics5.entries ++
       SketchOps.entries ++
       TextOps.entries ++ DedupOps.entries ++ PipelineOps.entries ++
       SimilarityOps.entries ++ MultimodalOps.entries ++
