@@ -196,6 +196,39 @@ object Analytics5 {
           SELECT u.b, w.d + 1 FROM walk w
           JOIN und u ON u.a = w.node WHERE w.d < 4)
         SELECT node, CAST(MIN(d) AS BIGINT) AS dist
-        FROM walk GROUP BY node ORDER BY node"""))
+        FROM walk GROUP BY node ORDER BY node""")),
+
+    Entry(
+      "q85_rolling_median",
+      // Rolling EXACT median of the last 7 events per user. Restricted
+      // to full 7-row frames so the median is always the one middle
+      // element of an odd window — pure selection, no interpolation
+      // arithmetic to diverge between engines. One shuffle on user_id;
+      // per-row state is the 7-row frame, O(1) per partition.
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val ord = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val frame = ord.rowsBetween(-6, 0)
+        t(s, dir, "events")
+          .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+          .withColumn("rn", row_number().over(ord))
+          // Spark disallows frames on median(); the exact middle of the
+          // 7-row frame via sorted collect_list is the same selection
+          .withColumn("med", element_at(
+            array_sort(collect_list(col("value")).over(frame)), 4))
+          .filter(col("rn") >= 7)
+          .select(col("user_id"), col("event_id"), col("med"))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      Some("""SELECT user_id, event_id, med FROM (
+          SELECT user_id, event_id,
+            ROW_NUMBER() OVER (PARTITION BY user_id
+              ORDER BY ts, event_id) AS rn,
+            MEDIAN(value) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id
+              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS med
+          FROM events)
+        WHERE rn >= 7 ORDER BY user_id, event_id"""))
   )
 }

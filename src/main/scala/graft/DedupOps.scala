@@ -315,7 +315,51 @@ object DedupOps {
       // fingerprint (bucket join), one on the pair — never n².
       (s, dir) => substringPairs(
         t(s, dir, "documents").select(col("doc_id"), col("text"))),
-      None)
+      None),
+
+    Entry(
+      "dedup_decontaminate",
+      // Train/eval DECONTAMINATION: flag training docs sharing any
+      // verbatim 8-gram with the eval split (doc_id % 50 == 0 stands in
+      // for the benchmark set). Exact 8-gram strings on both engines
+      // (the space tokenizer with proven DuckDB parity), so this one is
+      // fully oracled, unlike the hash-based dedup family. Plan shape:
+      // the eval side is tiny by construction (benchmarks are), so its
+      // distinct grams BROADCAST past the full training scan — one
+      // shuffle total, on the output doc_id. At 100 TB the eval-gram
+      // set is still MBs, exactly this plan.
+      (s, dir) => {
+        val toks = t(s, dir, "documents")
+          .select(col("doc_id"),
+            filter(split(lower(col("text")), " "),
+              x => length(x) > lit(0)).as("tk"))
+        val grams = toks.select(col("doc_id"),
+          explode(when(size(col("tk")) >= 8,
+            transform(sequence(lit(1), size(col("tk")) - lit(7)),
+              i => array_join(slice(col("tk"), i, lit(8)), " ")))
+            .otherwise(array().cast("array<string>"))).as("gram"))
+        val ev = grams.filter(col("doc_id") % 50 === 0)
+          .select(col("doc_id").as("eval_doc"), col("gram")).distinct()
+        grams.filter(col("doc_id") % 50 =!= 0)
+          .join(broadcast(ev), "gram")
+          .groupBy(col("doc_id"))
+          .agg(countDistinct(col("gram")).as("n_shared"),
+            countDistinct(col("eval_doc")).as("n_eval_docs"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH toks AS (SELECT doc_id,
+            list_filter(string_split(lower(text), ' '),
+              x -> len(x) > 0) AS tk FROM documents),
+        grams AS (SELECT doc_id, unnest([array_to_string(tk[i:i+7], ' ')
+            for i in range(1, greatest(len(tk) - 7, 0) + 1)]) AS gram
+          FROM toks),
+        ev AS (SELECT DISTINCT doc_id AS eval_doc, gram FROM grams
+          WHERE doc_id % 50 = 0),
+        tr AS (SELECT doc_id, gram FROM grams WHERE doc_id % 50 <> 0)
+        SELECT tr.doc_id, COUNT(DISTINCT tr.gram) AS n_shared,
+          COUNT(DISTINCT ev.eval_doc) AS n_eval_docs
+        FROM tr JOIN ev ON tr.gram = ev.gram
+        GROUP BY tr.doc_id ORDER BY tr.doc_id"""))
   )
 
   /** Winnowing-fingerprint shared-substring candidate pairs; see the

@@ -197,6 +197,34 @@ object PipelineOps {
             AS rel_weight,
           CAST(FLOOR(sqrt(CAST(n_docs AS DOUBLE) / CAST(n_max AS DOUBLE))
             * CAST(n_max AS DOUBLE)) AS BIGINT) AS target_docs
-        FROM l, m ORDER BY lang"""))
+        FROM l, m ORDER BY lang""")),
+
+    Entry(
+      "sample_stratified",
+      // Exact-k stratified sample: exactly min(k, |stratum|) docs per
+      // language, chosen by rank over a scrambled key — deterministic
+      // (reruns and engines agree) yet unbiased w.r.t. insertion
+      // order. Complements sample_split's hash-threshold sampling
+      // (expected-size) with the exact-size variant a balanced eval
+      // set needs. One shuffle on lang; the rank is a per-stratum
+      // window, never a global sort.
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val h = pmod(col("doc_id") * lit(2654435761L), lit(1000000007L))
+        val w = Window.partitionBy(col("lang")).orderBy(h, col("doc_id"))
+        t(s, dir, "documents")
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 20)
+          .select(col("lang"), col("rk").cast("long").as("rk"),
+            col("doc_id"))
+          .orderBy(col("lang"), col("rk"))
+      },
+      Some("""SELECT lang, rk, doc_id FROM (
+          SELECT lang, doc_id, CAST(ROW_NUMBER() OVER (
+              PARTITION BY lang
+              ORDER BY (doc_id * 2654435761) % 1000000007, doc_id)
+            AS BIGINT) AS rk
+          FROM documents)
+        WHERE rk <= 20 ORDER BY lang, rk"""))
   )
 }

@@ -136,12 +136,14 @@ object SnortOps {
           coalesce(typeNames(col("extra_type").cast("int")),
             lit("unknown")).as("type_name"),
           when(col("extra_type") === 1,
-              // IPv4 payload → dotted quad (4-byte blob fits a long;
-              // the IPv6 types 2/11/12 would overflow conv — hex them)
+              // IPv4 payload → dotted quad (4-byte blob fits a long)
               Net.inet_ntoa(conv(hex(col("extra_blob")), 16, 10)
                 .cast("long")))
             .when(col("extra_type").isin(2, 11, 12),
-              lower(hex(col("extra_blob"))))
+              // IPv6 payload → RFC 5952; malformed lengths fall back
+              // to inspectable hex
+              coalesce(Net.inet6_ntoa(col("extra_blob")),
+                lower(hex(col("extra_blob")))))
             .otherwise(col("extra_blob").cast("string"))
             .as("value_text"))
         .orderBy(col("event_id"), col("extra_type"))

@@ -655,6 +655,50 @@ object StreamOps {
             ROW_NUMBER() OVER (PARTITION BY date_trunc('day', ts)
               ORDER BY COUNT(*) DESC, user_id) AS rnk
           FROM events GROUP BY date_trunc('day', ts), user_id)
-        WHERE rnk <= 3 ORDER BY day, rnk"""))
+        WHERE rnk <= 3 ORDER BY day, rnk""")),
+
+    Entry(
+      "stream_knn",
+      // Streaming ANN serving: incoming query vectors (a bounded file
+      // stream over the embeddings table, vec_id < 32 as the simulated
+      // query traffic) are scored against a BROADCAST in-memory index
+      // of the full corpus, emitting each query's top-5 by the same
+      // dot-product kernel the batch knn entries use. Zero shuffle:
+      // every micro-batch row maps to its answer locally, which is the
+      // production low-latency serving shape. At 100 TB the broadcast
+      // would hold the IVF centroids + cell shard directory instead of
+      // raw vectors (cells resident per-executor, queries routed by
+      // cell) — same plan shape, sharded payload. StreamSpec asserts
+      // exact agreement with the batch brute-force top-k.
+      (s, dir) => {
+        import s.implicits._
+        val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        val corpus = emb
+          .select(col("vec_id").cast("long"), col("embedding"))
+          .as[(Long, Array[Float])].collect()
+        val bc = s.sparkContext.broadcast(corpus)
+        val qs = s.readStream.schema(emb.schema)
+          .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+          .filter(col("vec_id") < 32)
+          .select(col("vec_id").cast("long"), col("embedding"))
+          .as[(Long, Array[Float])]
+        val hits = qs.flatMap { case (qid, qv) =>
+          // same accumulation as ExprKernels.dot: sequential double acc
+          def dot(a: Array[Float], b: Array[Float]): Double = {
+            var acc = 0.0; var i = 0
+            while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+            acc
+          }
+          bc.value.iterator
+            .filter(_._1 != qid)
+            .map { case (id, v) => (id, dot(qv, v)) }
+            .toArray.sortBy { case (id, sim) => (-sim, id) }
+            .take(5).zipWithIndex
+            .map { case ((id, sim), i) => (qid, i + 1, id, sim) }
+        }.toDF("qid", "rank", "vec_id", "sim")
+        runOnce(s, hits, OutputMode.Append())
+          .orderBy(col("qid"), col("rank"))
+      },
+      None)
   )
 }

@@ -188,4 +188,59 @@ object ExprKernels {
     }
     math.min(prev(m), inf)
   }
+
+  /** 16-byte address → RFC 5952 text: lowercase hex groups without
+    * leading zeros, the longest (leftmost on tie) run of >= 2 zero
+    * groups compressed to `::`. Returns null for any other length —
+    * the caller decides the fallback rendering.
+    */
+  def inet6(bytes: Array[Byte]): UTF8String = {
+    if (bytes == null || bytes.length != 16) return null
+    val g = new Array[Int](8)
+    var i = 0
+    while (i < 8) {
+      g(i) = ((bytes(2 * i) & 0xff) << 8) | (bytes(2 * i + 1) & 0xff)
+      i += 1
+    }
+    var bestStart = -1
+    var bestLen = 0
+    var runStart = -1
+    i = 0
+    while (i <= 8) {
+      if (i < 8 && g(i) == 0) {
+        if (runStart < 0) runStart = i
+      } else if (runStart >= 0) {
+        val len = i - runStart
+        if (len > bestLen) { bestLen = len; bestStart = runStart }
+        runStart = -1
+      }
+      i += 1
+    }
+    val sb = new java.lang.StringBuilder(41)
+    if (bestLen >= 2) {
+      i = 0
+      while (i < bestStart) {
+        if (i > 0) sb.append(':')
+        sb.append(Integer.toHexString(g(i)))
+        i += 1
+      }
+      sb.append("::")
+      i = bestStart + bestLen
+      var first = true
+      while (i < 8) {
+        if (!first) sb.append(':')
+        sb.append(Integer.toHexString(g(i)))
+        first = false
+        i += 1
+      }
+    } else {
+      i = 0
+      while (i < 8) {
+        if (i > 0) sb.append(':')
+        sb.append(Integer.toHexString(g(i)))
+        i += 1
+      }
+    }
+    UTF8String.fromString(sb.toString)
+  }
 }

@@ -1,7 +1,12 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.DatasetBridge
+import org.apache.spark.sql.types.{BinaryType, DataType, StringType}
 
 /** Network address helpers composed from built-in (whole-stage
   * codegen'd) functions — the MySQL `inet_aton`/`inet_ntoa` the
@@ -35,10 +40,54 @@ object Net {
   /** binascii.hexlify equivalent: binary → lowercase hex string. */
   def hexlify(c: Column): Column = lower(hex(c))
 
+  /** 16-byte binary address → RFC 5952 text (`2001:db8::1`). NULL for
+    * any other length.
+    */
+  def inet6_ntoa(c: Column): Column =
+    DatasetBridge.column(Inet6Ntoa(DatasetBridge.expression(c)))
+
   /** Render a unified2 address blob: dotted quad for 4-byte IPv4,
-    * lowercase hex for 16-byte IPv6 (keeps ANSI-mode arithmetic off
-    * the 128-bit path).
+    * RFC 5952 for 16-byte IPv6, lowercase hex for anything else
+    * (malformed captures stay inspectable).
     */
   def ipToString(c: Column): Column =
-    when(length(c) === 4, inet_ntoa(bytesToU32(c))).otherwise(hexlify(c))
+    when(length(c) === 4, inet_ntoa(bytesToU32(c)))
+      .when(length(c) === 16, inet6_ntoa(c))
+      .otherwise(hexlify(c))
+}
+
+/** Native RFC 5952 IPv6 renderer (kernel: [[ExprKernels.inet6]]); the
+  * string assembly (zero-run compression) doesn't decompose into
+  * built-in functions, so it's one codegen'd call instead of a UDF.
+  */
+case class Inet6Ntoa(child: Expression) extends UnaryExpression {
+
+  override def prettyName: String = "graft_inet6"
+  override def dataType: DataType = StringType
+
+  // NULL for non-16-byte input even when the child is non-nullable
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires binary, got ${child.dataType.simpleString}")
+
+  override protected def nullSafeEval(b: Any): Any =
+    ExprKernels.inet6(b.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b => {
+      val tmp = ctx.freshName("v6Res")
+      s"""
+      org.apache.spark.unsafe.types.UTF8String $tmp =
+        graft.functions.ExprKernels.inet6($b);
+      if ($tmp == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = $tmp; }
+      """
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Expression = copy(child = newChild)
 }

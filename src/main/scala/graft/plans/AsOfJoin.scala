@@ -153,7 +153,7 @@ object AsOfStrategy extends SparkStrategy {
   * [[AsOf.join]] also self-registers via experimental strategies).
   * After installation, plain SQL can use `graft_decode_packet`,
   * `graft_simhash`, `graft_minhash`, `graft_jaccard`, `graft_dot`,
-  * `graft_lev_band`.
+  * `graft_lev_band`, `graft_inet6`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -180,6 +180,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(fn("graft_lev_band",
       xs => graft.functions.LevenshteinBand(xs(0), xs(1),
         xs(2).eval().asInstanceOf[Int])))
+    e.injectFunction(fn("graft_inet6",
+      xs => graft.functions.Inet6Ntoa(xs.head)))
   }
 }
 

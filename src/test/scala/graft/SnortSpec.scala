@@ -42,9 +42,8 @@ class SnortSpec extends SparkSuite {
     assert(byId(4L).getAs[Int]("n_packets") == 2) // two-packet alert
     assert(byId(5L).getAs[Int]("n_extra") == 1) // extra-data alert
     assert(byId(6L).getAs[Int]("n_packets") == 0) // packet-less alert
-    // ipv6 alert renders as hex
-    assert(byId(7L).getAs[String]("src_ip") ==
-      "20010db8000000000000000000000001")
+    // ipv6 alert renders RFC 5952
+    assert(byId(7L).getAs[String]("src_ip") == "2001:db8::1")
   }
 
   test("map parsers recover sid/gen/class entries") {
