@@ -229,6 +229,54 @@ object Analytics5 {
               ORDER BY ts, event_id
               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS med
           FROM events)
-        WHERE rn >= 7 ORDER BY user_id, event_id"""))
+        WHERE rn >= 7 ORDER BY user_id, event_id""")),
+
+    Entry(
+      "q86_scd2_join",
+      // SCD2 point-in-time dimension join, the classic warehouse
+      // pattern, composed from the custom as-of operator: a 3-version
+      // slowly-changing customer dimension (versions derived
+      // deterministically so both engines build the identical dim),
+      // each order joined to the version in effect at order time —
+      // greatest valid_from <= o_date per customer, i.e. exactly
+      // AsOf.join (one shuffle per side + merge; orders before their
+      // customer's first version keep NULL attributes). Rolled up per
+      // credit tier. Scale: dim is |customer|×3 — same key
+      // distribution as the fact join key, no broadcast assumption.
+      (s, dir) => {
+        val dayUs = 86400000000L
+        val baseUs = 694224000000000L // 1992-01-01T00:00:00Z, µs
+        val dim = t(s, dir, "customer")
+          .select(col("c_custkey"))
+          .withColumn("k", explode(array(lit(0L), lit(1L), lit(2L))))
+          .select(col("c_custkey").as("d_custkey"),
+            (lit(baseUs) + (col("k") * 800 + col("c_custkey") % 90)
+              * dayUs).as("valid_from_us"),
+            ((col("c_custkey") * 7 + col("k") * 3) % 5).as("credit_tier"))
+        val f = t(s, dir, "orders")
+          .select(col("o_custkey"), unix_micros(col("o_orderdate").cast("timestamp")).as("o_us"),
+            col("o_totalprice"))
+        graft.plans.AsOf.join(f, dim, Seq("o_custkey"), "o_us",
+            Seq("d_custkey"), "valid_from_us")
+          .groupBy(col("credit_tier"))
+          .agg(count(lit(1)).as("n_orders"),
+            dsum(col("o_totalprice")).as("total_price"))
+          .orderBy(col("credit_tier").asc_nulls_first)
+      },
+      Some("""WITH dim AS (
+          SELECT c_custkey AS d_custkey,
+            epoch_us(TIMESTAMP '1992-01-01')
+              + (k*800 + c_custkey%90) * 86400000000 AS valid_from_us,
+            (c_custkey*7 + k*3) % 5 AS credit_tier
+          FROM customer, (SELECT unnest([0,1,2]) AS k)),
+        f AS (SELECT o_custkey, epoch_us(o_orderdate) AS o_us,
+            o_totalprice FROM orders)
+        SELECT d.credit_tier, COUNT(*) AS n_orders,
+          CAST(SUM(CAST(f.o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+            AS total_price
+        FROM f ASOF LEFT JOIN dim d
+          ON f.o_custkey = d.d_custkey AND f.o_us >= d.valid_from_us
+        GROUP BY d.credit_tier
+        ORDER BY d.credit_tier NULLS FIRST"""))
   )
 }
