@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import Tables._
@@ -277,6 +277,180 @@ object Analytics5 {
         FROM f ASOF LEFT JOIN dim d
           ON f.o_custkey = d.d_custkey AND f.o_us >= d.valid_from_us
         GROUP BY d.credit_tier
-        ORDER BY d.credit_tier NULLS FIRST"""))
+        ORDER BY d.credit_tier NULLS FIRST""")),
+
+    Entry(
+      "dq_report",
+      // Rule-based data-quality audit — the pre-ingest gate an
+      // analytics engine runs before trusting a drop: per-table rule
+      // violations in ONE pass per table (conditional sums), FK orphan
+      // checks as anti-joins (shuffle joins — neither side assumed
+      // broadcastable), assembled into a (rule, n_violations,
+      // n_checked) report via 1×1-row cross joins.
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val ord = t(s, dir, "orders")
+        val cust = t(s, dir, "customer")
+        val liAgg = li.agg(
+          count(lit(1)).as("n_li"),
+          sum(when(col("l_quantity") <= 0, 1).otherwise(0)).as("bad_qty"),
+          sum(when(!(col("l_discount") >= 0 && col("l_discount") <= 0.1), 1)
+            .otherwise(0)).as("bad_disc"),
+          sum(when(col("l_shipdate") >
+            lit("1999-01-01").cast("timestamp_ntz"), 1)
+            .otherwise(0)).as("bad_ship"))
+        val liOrph = li.join(ord,
+            li("l_orderkey") === ord("o_orderkey"), "left_anti")
+          .agg(count(lit(1)).as("li_orph"))
+        val ordAgg = ord.agg(count(lit(1)).as("n_ord"),
+          sum(when(col("o_custkey").isNull, 1).otherwise(0)).as("null_ck"))
+        val ordOrph = ord.join(cust,
+            ord("o_custkey") === cust("c_custkey"), "left_anti")
+          .agg(count(lit(1)).as("ord_orph"))
+        liAgg.crossJoin(liOrph).crossJoin(ordAgg).crossJoin(ordOrph)
+          .select(explode(array(
+            struct(lit("lineitem_discount_range").as("rule"),
+              col("bad_disc").cast("long").as("n_violations"),
+              col("n_li").as("n_checked")),
+            struct(lit("lineitem_future_shipdate").as("rule"),
+              col("bad_ship").cast("long").as("n_violations"),
+              col("n_li").as("n_checked")),
+            struct(lit("lineitem_nonpositive_qty").as("rule"),
+              col("bad_qty").cast("long").as("n_violations"),
+              col("n_li").as("n_checked")),
+            struct(lit("lineitem_orphan_orderkey").as("rule"),
+              col("li_orph").as("n_violations"), col("n_li").as("n_checked")),
+            struct(lit("orders_null_custkey").as("rule"),
+              col("null_ck").cast("long").as("n_violations"),
+              col("n_ord").as("n_checked")),
+            struct(lit("orders_orphan_custkey").as("rule"),
+              col("ord_orph").as("n_violations"),
+              col("n_ord").as("n_checked")))).as("r"))
+          .select(col("r.rule").as("rule"),
+            col("r.n_violations").as("n_violations"),
+            col("r.n_checked").as("n_checked"))
+          .orderBy(col("rule"))
+      },
+      Some("""WITH li AS (SELECT COUNT(*) n,
+            SUM(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) bad_qty,
+            SUM(CASE WHEN NOT (l_discount >= 0 AND l_discount <= 0.1)
+              THEN 1 ELSE 0 END) bad_disc,
+            SUM(CASE WHEN l_shipdate > TIMESTAMP '1999-01-01'
+              THEN 1 ELSE 0 END) bad_ship
+          FROM lineitem),
+        lo AS (SELECT COUNT(*) c FROM lineitem l WHERE NOT EXISTS
+          (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)),
+        o AS (SELECT COUNT(*) n, SUM(CASE WHEN o_custkey IS NULL
+            THEN 1 ELSE 0 END) nullck FROM orders),
+        oo AS (SELECT COUNT(*) c FROM orders od WHERE NOT EXISTS
+          (SELECT 1 FROM customer c WHERE c.c_custkey = od.o_custkey))
+        SELECT * FROM (
+          SELECT 'lineitem_discount_range' AS rule,
+            CAST(li.bad_disc AS BIGINT) AS n_violations,
+            li.n AS n_checked FROM li
+          UNION ALL SELECT 'lineitem_future_shipdate',
+            CAST(li.bad_ship AS BIGINT), li.n FROM li
+          UNION ALL SELECT 'lineitem_nonpositive_qty',
+            CAST(li.bad_qty AS BIGINT), li.n FROM li
+          UNION ALL SELECT 'lineitem_orphan_orderkey', lo.c, li.n
+            FROM lo, li
+          UNION ALL SELECT 'orders_null_custkey',
+            CAST(o.nullck AS BIGINT), o.n FROM o
+          UNION ALL SELECT 'orders_orphan_custkey', oo.c, o.n
+            FROM oo, o)
+        ORDER BY rule""")),
+
+    Entry(
+      "table_profile",
+      // Column profiling (the ANALYZE surface): one aggregation pass
+      // emits per-column null count, exact distinct count and min/max,
+      // pivoted to a row per column. Values render through stable
+      // cross-engine formats (integers, DECIMAL(12,2) for money,
+      // formatted timestamps) so the report hash-matches the oracle.
+      // Multi-countDistinct expands the scan 5× pre-shuffle — the
+      // standard profiling cost; swap in approx_count_distinct when
+      // exactness isn't required.
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        def nulls(c: String) =
+          sum(when(col(c).isNull, 1).otherwise(0)).cast("long")
+        val a = li.agg(
+          count(lit(1)).as("n_rows"),
+          nulls("l_orderkey").as("ok_nulls"),
+          countDistinct(col("l_orderkey")).as("ok_d"),
+          min(col("l_orderkey")).as("ok_min"),
+          max(col("l_orderkey")).as("ok_max"),
+          nulls("l_quantity").as("q_nulls"),
+          countDistinct(col("l_quantity")).as("q_d"),
+          min(col("l_quantity")).as("q_min"),
+          max(col("l_quantity")).as("q_max"),
+          nulls("l_extendedprice").as("ep_nulls"),
+          countDistinct(col("l_extendedprice")).as("ep_d"),
+          min(dec(col("l_extendedprice"))).as("ep_min"),
+          max(dec(col("l_extendedprice"))).as("ep_max"),
+          nulls("l_returnflag").as("rf_nulls"),
+          countDistinct(col("l_returnflag")).as("rf_d"),
+          min(col("l_returnflag")).as("rf_min"),
+          max(col("l_returnflag")).as("rf_max"),
+          nulls("l_shipdate").as("sd_nulls"),
+          countDistinct(col("l_shipdate")).as("sd_d"),
+          min(col("l_shipdate")).as("sd_min"),
+          max(col("l_shipdate")).as("sd_max"))
+        def row(name: String, p: String, minV: Column, maxV: Column) =
+          struct(lit(name).as("col_name"), col("n_rows"),
+            col(s"${p}_nulls").as("n_nulls"), col(s"${p}_d").as("n_distinct"),
+            minV.as("min_v"), maxV.as("max_v"))
+        def ts(c: Column) =
+          date_format(c.cast("timestamp"), "yyyy-MM-dd HH:mm:ss")
+        a.select(explode(array(
+            row("l_extendedprice", "ep",
+              col("ep_min").cast("string"), col("ep_max").cast("string")),
+            row("l_orderkey", "ok",
+              col("ok_min").cast("string"), col("ok_max").cast("string")),
+            row("l_quantity", "q", col("q_min").cast("long").cast("string"),
+              col("q_max").cast("long").cast("string")),
+            row("l_returnflag", "rf", col("rf_min"), col("rf_max")),
+            row("l_shipdate", "sd", ts(col("sd_min")), ts(col("sd_max")))))
+            .as("r"))
+          .select(col("r.col_name").as("col_name"),
+            col("r.n_rows").as("n_rows"), col("r.n_nulls").as("n_nulls"),
+            col("r.n_distinct").as("n_distinct"),
+            col("r.min_v").as("min_v"), col("r.max_v").as("max_v"))
+          .orderBy(col("col_name"))
+      },
+      Some("""WITH a AS (SELECT COUNT(*) n_rows,
+          SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) ok_nulls,
+          COUNT(DISTINCT l_orderkey) ok_d,
+          MIN(l_orderkey) ok_min, MAX(l_orderkey) ok_max,
+          SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) q_nulls,
+          COUNT(DISTINCT l_quantity) q_d,
+          MIN(l_quantity) q_min, MAX(l_quantity) q_max,
+          SUM(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) ep_nulls,
+          COUNT(DISTINCT l_extendedprice) ep_d,
+          MIN(CAST(l_extendedprice AS DECIMAL(12,2))) ep_min,
+          MAX(CAST(l_extendedprice AS DECIMAL(12,2))) ep_max,
+          SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) rf_nulls,
+          COUNT(DISTINCT l_returnflag) rf_d,
+          MIN(l_returnflag) rf_min, MAX(l_returnflag) rf_max,
+          SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) sd_nulls,
+          COUNT(DISTINCT l_shipdate) sd_d,
+          MIN(l_shipdate) sd_min, MAX(l_shipdate) sd_max
+        FROM lineitem)
+        SELECT * FROM (
+          SELECT 'l_extendedprice' AS col_name, n_rows,
+            CAST(ep_nulls AS BIGINT) AS n_nulls, ep_d AS n_distinct,
+            CAST(ep_min AS VARCHAR) AS min_v, CAST(ep_max AS VARCHAR) AS max_v
+            FROM a
+          UNION ALL SELECT 'l_orderkey', n_rows, CAST(ok_nulls AS BIGINT),
+            ok_d, CAST(ok_min AS VARCHAR), CAST(ok_max AS VARCHAR) FROM a
+          UNION ALL SELECT 'l_quantity', n_rows, CAST(q_nulls AS BIGINT),
+            q_d, CAST(CAST(q_min AS BIGINT) AS VARCHAR),
+            CAST(CAST(q_max AS BIGINT) AS VARCHAR) FROM a
+          UNION ALL SELECT 'l_returnflag', n_rows, CAST(rf_nulls AS BIGINT),
+            rf_d, rf_min, rf_max FROM a
+          UNION ALL SELECT 'l_shipdate', n_rows, CAST(sd_nulls AS BIGINT),
+            sd_d, strftime(sd_min, '%Y-%m-%d %H:%M:%S'),
+            strftime(sd_max, '%Y-%m-%d %H:%M:%S') FROM a)
+        ORDER BY col_name"""))
   )
 }
