@@ -66,6 +66,9 @@ object SimilarityOps {
         .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
         .select(col("cell"),
           Vectors.normalized(expr("transform(dm, e -> e.m)")).as("cvec"))
+        // materialize per Lloyd round (same nested-broadcast lineage
+        // replay as trainPq — round k+1's broadcast re-ran round k)
+        .localCheckpoint(true)
     }
     cen.persist()
   }
@@ -336,7 +339,7 @@ object SimilarityOps {
     * Returns (codebooks: (m, code, cvec), codes: (vec_id, codes[8])).
     */
   def trainPq(emb: DataFrame): (DataFrame, DataFrame) = {
-    val sv = subvecs(emb)
+    val sv = subvecs(emb).persist()
     // seeds: the first PqK vectors' sub-vectors, code = seed ordinal
     var cen = sv.filter(col("vec_id") < PqK)
       .select(col("m"), col("vec_id").cast("int").as("code"),
@@ -352,6 +355,9 @@ object SimilarityOps {
         .agg(array_sort(collect_list(struct(col("d"), col("cx")))).as("dm"))
         .select(col("m"), col("code"), expr("transform(dm, e -> e.cx)")
           .as("cvec"))
+        // materialize per Lloyd round: the next round's broadcast must
+        // not re-derive this round (nested-broadcast lineage replay)
+        .localCheckpoint(true)
     }
     cen = cen.persist()
     val codes = assign(sv, cen)
