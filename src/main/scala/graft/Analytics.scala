@@ -557,15 +557,19 @@ object Analytics {
           .select(
             col("l_returnflag"),
             col("nl").cast("double").as("n"),
+            // wide-decimal → double via STRING on both engines: the
+            // direct int128 cast double-rounds in DuckDB (1 ulp off at
+            // sf0.1), the string parse is correctly rounded once
             sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
-              .cast("double") /
+              .cast("string").cast("double") /
               (col("nl").cast("double") * (col("nl") - 1).cast("double")))
               .as("std_qty"),
-            ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            ((col("n") * col("sxy") - col("sx") * col("sy"))
+              .cast("string").cast("double") /
               (sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
-                .cast("double")) *
+                .cast("string").cast("double")) *
                sqrt((col("n") * col("syy") - col("sy") * col("sy"))
-                .cast("double"))))
+                .cast("string").cast("double"))))
               .as("corr_qty_price"))
           .orderBy(col("l_returnflag"))
       },
@@ -580,11 +584,12 @@ object Analytics {
             SUM(CAST(l_quantity AS DECIMAL(4,2)) * CAST(l_extendedprice AS DECIMAL(8,2))) AS sxy
           FROM lineitem GROUP BY l_returnflag)
         SELECT l_returnflag, CAST(nl AS DOUBLE) AS n,
-          sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+          sqrt(CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE)
             / (CAST(nl AS DOUBLE) * CAST(nl - 1 AS DOUBLE))) AS std_qty,
-          CAST(n * sxy - sx * sy AS DOUBLE)
-            / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
-               * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS corr_qty_price
+          CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE)
+            / (sqrt(CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE))
+               * sqrt(CAST(CAST(n * syy - sy * sy AS VARCHAR) AS DOUBLE)))
+            AS corr_qty_price
         FROM m ORDER BY l_returnflag""")),
 
     Entry(

@@ -18,7 +18,8 @@ object Explain {
         "q59_latest_per_key", "dedup_minhash", "mm_embed_knn",
         "q68_streaks", "q69_funnel", "q71_fuzzy_match", "q76_interval_merge",
         "q77_nearest_event", "text_vocab", "emb_centroid",
-        "q82_bom_closure", "q84_bfs_hops")
+        "q82_bom_closure", "q84_bfs_hops", "q86_scd2_join",
+        "dedup_decontaminate")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
