@@ -46,9 +46,10 @@ object Analytics5 {
   /** Transitive closure (part, anc, lvl): every ancestor of every part,
     * with lvl = #edges on the chain. Fixpoint loop: the level-k frontier
     * joined to the edge list yields level k+1; terminates because
-    * parent < child strictly (a DAG by construction). Frontier rows are
-    * materialized per level (localCheckpoint) and the previous level is
-    * unpersisted as soon as the next exists.
+    * parent < child strictly (a DAG by construction). Each level is
+    * materialized exactly once (localCheckpoint) and every level is
+    * kept — the closure IS their union; blocks free with the session
+    * (or the ContextCleaner once the result's references drop).
     */
   private def closure(s: SparkSession, dir: String): DataFrame = {
     val e = edges(s, dir).persist()
@@ -166,24 +167,27 @@ object Analytics5 {
         val und = e.select(col("child").as("a"), col("parent").as("b"))
           .union(e.select(col("parent").as("a"), col("child").as("b")))
           .persist()
-        var visited = s.range(1)
+        var levels = List(s.range(1)
           .select(lit(1L).as("node"), lit(0).as("d"))
-          .localCheckpoint(true)
-        var frontier = visited
+          .localCheckpoint(true))
+        var frontier = levels.head
         var hop = 0
         while (hop < 4 && !frontier.isEmpty) {
           hop += 1
+          // the visited set is the union of already-materialized level
+          // scans — nothing is re-checkpointed as it grows
+          val visited = levels.reduce(_ union _)
           val next = frontier.alias("f")
             .join(und.alias("u"), col("f.node") === col("u.a"))
             .select(col("u.b").as("node")).distinct()
             .join(visited, Seq("node"), "left_anti")
             .withColumn("d", lit(hop))
             .localCheckpoint(true)
-          visited = visited.union(next).localCheckpoint(true)
+          if (!next.isEmpty) levels ::= next
           frontier = next
         }
         und.unpersist()
-        visited
+        levels.reduce(_ union _)
           .select(col("node"), col("d").cast("long").as("dist"))
           .orderBy(col("node"))
       },
@@ -212,6 +216,10 @@ object Analytics5 {
         val frame = ord.rowsBetween(-6, 0)
         t(s, dir, "events")
           .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+          // NULL values would desync from the oracle (collect_list
+          // drops them, MEDIAN ignores them but interpolates the even
+          // remainder) — exclude them identically on both engines
+          .filter(col("value").isNotNull)
           .withColumn("rn", row_number().over(ord))
           // Spark disallows frames on median(); the exact middle of the
           // 7-row frame via sorted collect_list is the same selection
@@ -228,7 +236,7 @@ object Analytics5 {
             MEDIAN(value) OVER (PARTITION BY user_id
               ORDER BY ts, event_id
               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS med
-          FROM events)
+          FROM events WHERE value IS NOT NULL)
         WHERE rn >= 7 ORDER BY user_id, event_id""")),
 
     Entry(

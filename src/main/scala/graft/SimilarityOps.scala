@@ -366,6 +366,10 @@ object SimilarityOps {
         .as("mc"))
       .select(col("vec_id"), expr("transform(mc, e -> e.code)").as("codes"))
       .persist()
+    // materialize codes, then release the 8×-exploded training relation
+    // — only (cen, codes) outlive training
+    codes.count()
+    sv.unpersist()
     (cen, codes)
   }
 

@@ -696,8 +696,11 @@ object StreamOps {
             .take(5).zipWithIndex
             .map { case ((id, sim), i) => (qid, i + 1, id, sim) }
         }.toDF("qid", "rank", "vec_id", "sim")
-        runOnce(s, hits, OutputMode.Append())
-          .orderBy(col("qid"), col("rank"))
+        val res = runOnce(s, hits, OutputMode.Append())
+        // the memory sink holds the materialized rows; release the
+        // per-invocation index broadcast instead of leaking one per call
+        bc.destroy()
+        res.orderBy(col("qid"), col("rank"))
       },
       None)
   )

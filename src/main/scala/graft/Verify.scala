@@ -7,6 +7,10 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir, rest @ _*) = args
     val only = rest.toSet // optional query-name subset for local iteration
+    val unknown = only.diff(SparkEntry.queries.keySet)
+    // a typo'd subset name would otherwise "verify" nothing, silently
+    if (unknown.nonEmpty)
+      sys.error(s"unknown query name(s): ${unknown.mkString(", ")}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -191,8 +191,9 @@ object ExprKernels {
 
   /** 16-byte address → RFC 5952 text: lowercase hex groups without
     * leading zeros, the longest (leftmost on tie) run of >= 2 zero
-    * groups compressed to `::`. Returns null for any other length —
-    * the caller decides the fallback rendering.
+    * groups compressed to `::`; IPv4-mapped addresses use the §5 mixed
+    * notation (`::ffff:192.0.2.1`), like inet_ntop. Returns null for
+    * any other length — the caller decides the fallback rendering.
     */
   def inet6(bytes: Array[Byte]): UTF8String = {
     if (bytes == null || bytes.length != 16) return null
@@ -202,6 +203,11 @@ object ExprKernels {
       g(i) = ((bytes(2 * i) & 0xff) << 8) | (bytes(2 * i + 1) & 0xff)
       i += 1
     }
+    if (g(0) == 0 && g(1) == 0 && g(2) == 0 && g(3) == 0 && g(4) == 0 &&
+        g(5) == 0xffff)
+      return UTF8String.fromString("::ffff:" +
+        (bytes(12) & 0xff) + "." + (bytes(13) & 0xff) + "." +
+        (bytes(14) & 0xff) + "." + (bytes(15) & 0xff))
     var bestStart = -1
     var bestLen = 0
     var runStart = -1

@@ -39,6 +39,14 @@ class Inet6Spec extends SparkSuite {
     assert(render(Array.fill[Byte](17)(1)) == null)
   }
 
+  test("kernel: IPv4-mapped addresses use the RFC 5952 §5 mixed notation") {
+    val mapped = Array[Byte](0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+      0xff.toByte, 0xff.toByte, 192.toByte, 0, 2, 1)
+    assert(render(mapped) == "::ffff:192.0.2.1")
+    // v4-COMPATIBLE (::x.y.z.w, deprecated) stays hex-grouped
+    assert(render(v6(0, 0, 0, 0, 0, 0, 0xc000, 0x201)) == "::c000:201")
+  }
+
   test("expression matches the kernel through codegen and handles NULLs") {
     import spark.implicits._
     val df = Seq(
