@@ -288,6 +288,40 @@ object Analytics5 {
         ORDER BY d.credit_tier NULLS FIRST""")),
 
     Entry(
+      "q87_pagerank",
+      // PageRank (damping 0.85, 3 fixed iterations, init 1.0) over the
+      // undirected part hierarchy — the numeric-fixpoint loop rounding
+      // out the iterative family (closure = set growth, CC = label
+      // min, BFS = frontier, this = float mass flow). Per iteration:
+      // one join rank⋈edges + one shuffle on the destination key —
+      // the textbook distributed PR step; per-level localCheckpoint
+      // keeps the plan one iteration deep. Hub skew at scale is the
+      // usual AQE-skew/salting case. Rows-only (Σ-of-doubles is
+      // partition-order dependent); GraphSpec asserts mass
+      // conservation and hub-over-leaf ordering instead.
+      (s, dir) => {
+        val e = edges(s, dir)
+        val und = e.select(col("child").as("a"), col("parent").as("b"))
+          .union(e.select(col("parent").as("a"), col("child").as("b")))
+        val deg = und.groupBy(col("a"))
+          .agg(count(lit(1)).cast("double").as("deg"))
+        val und2 = und.join(deg, "a").persist()
+        var r = deg.select(col("a").as("node"), lit(1.0).as("rank"))
+          .localCheckpoint(true)
+        for (_ <- 1 to 3) {
+          r = und2.join(r, und2("a") === r("node"))
+            .select(col("b"), (col("rank") / col("deg")).as("c"))
+            .groupBy(col("b"))
+            .agg((lit(0.15) + lit(0.85) * sum(col("c"))).as("rank"))
+            .select(col("b").as("node"), col("rank"))
+            .localCheckpoint(true)
+        }
+        und2.unpersist()
+        r.orderBy(col("node"))
+      },
+      None),
+
+    Entry(
       "dq_report",
       // Rule-based data-quality audit — the pre-ingest gate an
       // analytics engine runs before trusting a drop: per-table rule

@@ -40,4 +40,15 @@ class GraphSpec extends SparkSuite {
     assert(!rows.contains(2L)) // other trees of the forest: no path
     assert(rows.size == 111)
   }
+
+  test("q87 pagerank: mass conserved, hubs outrank leaves") {
+    val rows = q("q87_pagerank", sfDir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(rows.size == 199) // parts 1..199 (0 is edge-less)
+    // undirected damping conserves total mass: sum(rank) == |V|
+    assert(math.abs(rows.values.sum - rows.size) < 1e-6)
+    // an internal hub (1: ten children + their subtree mass) must far
+    // outrank a leaf (199: degree 1)
+    assert(rows(1L) > rows(199L) * 2)
+  }
 }
