@@ -702,6 +702,50 @@ object StreamOps {
         bc.destroy()
         res.orderBy(col("qid"), col("rank"))
       },
-      None)
+      None),
+
+    Entry(
+      "stream_asof",
+      // Micro-batch AS-OF enrichment: each streamed batch of purchases
+      // runs through the custom AsOfJoin operator against the static
+      // signup dimension inside foreachBatch — the standard recipe for
+      // operators Structured Streaming can't express natively (no
+      // stream-side window/merge): batch-local as-of is CORRECT here
+      // because the right side is static, so batch boundaries can't
+      // split a match. Output accumulates to parquet (idempotent per
+      // epoch via overwrite-by-batch dirs). Oracle: the batch as-of
+      // (q29's shape) — stream splitting must not change a single row.
+      (s, dir) => {
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_stream_asof").toString
+        val ev = t(s, dir, "events")
+        val sg = ev.filter(col("event_type") === "signup")
+          .select(col("user_id").as("s_user_id"),
+            col("event_id").as("s_event_id"),
+            unix_micros(col("ts").cast("timestamp")).as("s_us"))
+        val purchases = eventStream(s, dir)
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"),
+            unix_micros(col("ts").cast("timestamp")).as("p_us"))
+        val q = purchases.writeStream
+          .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
+              epoch: Long) =>
+            graft.plans.AsOf.join(batch.toDF(), sg, Seq("user_id"),
+                "p_us", Seq("s_user_id"), "s_us")
+              .select(col("event_id"), col("user_id"), col("p_us"),
+                col("s_event_id"), col("s_us"))
+              .write.mode("overwrite").parquet(s"$root/b$epoch")
+            ()
+          }
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        s.read.parquet(s"$root/b*").orderBy(col("event_id"))
+      },
+      Some("""SELECT p.event_id, p.user_id, epoch_us(p.ts) AS p_us,
+        s.event_id AS s_event_id, epoch_us(s.ts) AS s_us
+        FROM (SELECT * FROM events WHERE event_type='purchase') p
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type='signup') s
+        ON p.user_id = s.user_id AND p.ts >= s.ts
+        ORDER BY p.event_id"""))
   )
 }

@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Compact
+
+/** Compaction must shrink the file count to the byte-target and keep
+  * the data bit-identical — the invariants that make it safe to run
+  * against a live spool warehouse between ingest batches.
+  */
+class CompactSpec extends SparkSuite {
+
+  test("compactParquet merges a many-file directory losslessly") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_compact").toString + "/t"
+    // simulate 30 micro-batch appends: one small file each
+    (0 until 30).foreach { b =>
+      Seq.tabulate(100)(i => (b.toLong * 100 + i, s"row-$b-$i"))
+        .toDF("id", "payload")
+        .coalesce(1).write.mode("append").parquet(dir)
+    }
+    val beforeRows = spark.read.parquet(dir)
+      .orderBy("id").as[(Long, String)].collect().toSeq
+
+    val (nBefore, nAfter, rows) =
+      Compact.compactParquet(spark, dir, targetBytes = 1L << 20)
+    assert(nBefore >= 30)
+    assert(nAfter == 1) // 30 tiny files ≪ 1 MiB target
+    assert(rows == 3000)
+
+    val afterRows = spark.read.parquet(dir)
+      .orderBy("id").as[(Long, String)].collect().toSeq
+    assert(afterRows == beforeRows)
+
+    // idempotent: compacting a compacted dir is a no-op in file count
+    val (b2, a2, r2) = Compact.compactParquet(spark, dir, 1L << 20)
+    assert(b2 == 1 && a2 == 1 && r2 == 3000)
+  }
+}
