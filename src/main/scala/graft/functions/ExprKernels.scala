@@ -189,6 +189,21 @@ object ExprKernels {
     math.min(prev(m), inf)
   }
 
+  /** Spread the lower 31 bits of `v` to even bit positions. */
+  private def spread31(v: Long): Long = {
+    var x = v & 0x7fffffffL
+    x = (x | (x << 16)) & 0x0000ffff0000ffffL
+    x = (x | (x << 8)) & 0x00ff00ff00ff00ffL
+    x = (x | (x << 4)) & 0x0f0f0f0f0f0f0f0fL
+    x = (x | (x << 2)) & 0x3333333333333333L
+    x = (x | (x << 1)) & 0x5555555555555555L
+    x
+  }
+
+  /** 62-bit Morton code: a's bits at odd positions, b's at even. */
+  def zvalue(a: Long, b: Long): Long =
+    (spread31(a) << 1) | spread31(b)
+
   /** 16-byte address → RFC 5952 text: lowercase hex groups without
     * leading zeros, the longest (leftmost on tie) run of >= 2 zero
     * groups compressed to `::`; IPv4-mapped addresses use the §5 mixed

@@ -182,6 +182,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         xs(2).eval().asInstanceOf[Int])))
     e.injectFunction(fn("graft_inet6",
       xs => graft.functions.Inet6Ntoa(xs.head)))
+    e.injectFunction(fn("graft_zvalue",
+      xs => graft.functions.ZValue(xs(0), xs(1))))
   }
 }
 

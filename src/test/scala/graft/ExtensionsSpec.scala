@@ -28,11 +28,15 @@ class ExtensionsSpec extends org.scalatest.funsuite.AnyFunSuite {
       SELECT graft_jaccard(array('a','b','c'), array('b','c','d')) AS j,
              graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d,
              graft_simhash(array('x','y')) AS s,
-             size(graft_minhash(array('sh1','sh2'))) AS m
+             size(graft_minhash(array('sh1','sh2'))) AS m,
+             graft_zvalue(1L, 0L) AS z,
+             graft_inet6(unhex('20010db8000000000000000000000001')) AS i6
     """).head()
     assert(r.getAs[Double]("j") == 0.5)
     assert(r.getAs[Double]("d") == 11.0)
     assert(r.getAs[Int]("m") == 64)
+    assert(r.getAs[Long]("z") == 2L)
+    assert(r.getAs[String]("i6") == "2001:db8::1")
   }
 
   test("packet decode is SQL-callable") {
