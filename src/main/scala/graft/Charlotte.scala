@@ -23,6 +23,10 @@ import graft.streaming.Spool
   *     — stay tailing until killed: the daemon-equivalent continuous
   *       mode. The snortdb JDBC sink (`SnortSinks`) takes the
   *       `plugin_snortdb` section where a database exists.
+  *   runMain graft.Charlotte <charlotte.conf> compact <outDir>
+  *     — maintenance: rewrite each sensor's warehouse dir into
+  *       ~128 MiB files ([[graft.sources.Compact]]) — run between
+  *       drains to undo per-micro-batch small-file buildup.
   *
   * Exit code 1 on config error, like the reference.
   */
@@ -53,12 +57,16 @@ object Charlotte {
       outDir: String): Unit = {
     // validate once, BEFORE the loop — inside it a bad mode would pass
     // silently on an empty spool list and per-spool otherwise
-    if (!Set("test", "parquet", "follow").contains(mode))
+    if (!Set("test", "parquet", "follow", "compact").contains(mode))
       throw new IllegalArgumentException(s"unknown mode: $mode")
     config.spools.foreach { sp =>
       mode match {
         case "test" =>
           textLines(spark, config, sp).foreach(println)
+        case "compact" =>
+          val (nb, na, rows) = graft.sources.Compact
+            .compactParquet(spark, s"$outDir/${sp.name}")
+          println(s"compacted ${sp.name}: $nb -> $na files, $rows rows")
         case _ =>
           Spool.tailIngest(spark, sp.directories, sp.filename, sp.name,
             config.signatureMap, config.generatorMap,
@@ -72,7 +80,7 @@ object Charlotte {
 
   def main(args: Array[String]): Unit = {
     if (args.isEmpty) {
-      System.err.println("usage: Charlotte <config> [test|parquet|follow] [outDir]")
+      System.err.println("usage: Charlotte <config> [test|parquet|follow|compact] [outDir]")
       sys.exit(1)
     }
     val config = try GraftConfig.load(args(0))

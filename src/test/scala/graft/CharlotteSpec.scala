@@ -52,5 +52,18 @@ class CharlotteSpec extends SparkSuite {
     Charlotte.run(spark, config, "parquet", out)
     val second = spark.read.parquet(s"$out/sensorX").count()
     assert(second == first + 1, s"expected one new alert: $first -> $second")
+
+    // maintenance mode: small per-drain files compact, rows unchanged
+    Charlotte.run(spark, config, "compact", out)
+    assert(spark.read.parquet(s"$out/sensorX").count() == second)
+
+    // the recommended loop is drain → compact → drain: ingest must
+    // still append correctly after the rewrite (checkpoint intact)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "snort.log.1800000199"),
+      Unified2Fixture.eventV2(1, 100, 1800000199L, 1000001, 1, 3, 2, 1,
+        Array[Byte](10, 0, 0, 11), Array[Byte](10, 0, 0, 12), 1, 2, 6))
+    Charlotte.run(spark, config, "parquet", out)
+    assert(spark.read.parquet(s"$out/sensorX").count() == second + 1)
   }
 }
