@@ -200,9 +200,19 @@ object ExprKernels {
     x
   }
 
-  /** 62-bit Morton code: a's bits at odd positions, b's at even. */
-  def zvalue(a: Long, b: Long): Long =
+  /** 62-bit Morton code: a's bits at odd positions, b's at even.
+    * Inputs must be in [0, 2^31): silently masking would COLLIDE
+    * distant keys (5 and 2^31+5) and send negatives above every
+    * positive code — destroying exactly the rectangle property the
+    * layout exists for — so out-of-domain input fails loudly. Rank
+    * or bucket wider keys into the domain first.
+    */
+  def zvalue(a: Long, b: Long): Long = {
+    if (((a | b) & ~0x7fffffffL) != 0L)
+      throw new IllegalArgumentException(
+        s"graft_zvalue domain is [0, 2^31): got ($a, $b)")
     (spread31(a) << 1) | spread31(b)
+  }
 
   /** 16-byte address → RFC 5952 text: lowercase hex groups without
     * leading zeros, the longest (leftmost on tie) run of >= 2 zero

@@ -153,7 +153,7 @@ object AsOfStrategy extends SparkStrategy {
   * [[AsOf.join]] also self-registers via experimental strategies).
   * After installation, plain SQL can use `graft_decode_packet`,
   * `graft_simhash`, `graft_minhash`, `graft_jaccard`, `graft_dot`,
-  * `graft_lev_band`, `graft_inet6`.
+  * `graft_lev_band`, `graft_inet6`, `graft_zvalue`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   import org.apache.spark.sql.catalyst.FunctionIdentifier

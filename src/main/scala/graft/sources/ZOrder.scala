@@ -21,7 +21,10 @@ object ZOrder {
       DatasetBridge.expression(a), DatasetBridge.expression(b)))
 
   /** Write `df` into `nFiles` z-clustered parquet files keyed on
-    * integral columns `a` and `b`.
+    * integral columns `a` and `b`. Keys must lie in [0, 2^31) — the
+    * Morton expression fails loudly outside it (silent masking would
+    * collide distant keys and void the pruning); rank or bucket wider
+    * keys first.
     */
   def writeClustered(df: DataFrame, a: String, b: String,
       path: String, nFiles: Int): Unit = {

@@ -37,4 +37,20 @@ class CompactSpec extends SparkSuite {
     val (b2, a2, r2) = Compact.compactParquet(spark, dir, 1L << 20)
     assert(b2 == 1 && a2 == 1 && r2 == 3000)
   }
+
+  test("missing dirs are skipped; an orphaned tmp rolls forward") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_compact2").toString
+    // a sensor that never alerted: no dir, no error, no-op report
+    assert(Compact.compactParquet(spark, s"$root/never") == (0, 0, 0L))
+
+    // crash between delete and rename: only the tmp survives —
+    // the next invocation must complete the swap and then compact
+    import spark.implicits._
+    Seq((1L, "x"), (2L, "y")).toDF("id", "v")
+      .write.parquet(s"$root/t.compact.tmp")
+    val (_, _, rows) = Compact.compactParquet(spark, s"$root/t")
+    assert(rows == 2L)
+    assert(spark.read.parquet(s"$root/t").count() == 2)
+  }
 }

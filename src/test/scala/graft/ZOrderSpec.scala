@@ -20,6 +20,9 @@ class ZOrderSpec extends SparkSuite {
       0x3fffffffffffffffL)
     // prefix property: both coords in [0, 2^k) => z < 4^k
     assert(ExprKernels.zvalue(255L, 255L) < (1L << 16))
+    // out-of-domain keys fail loudly instead of silently colliding
+    intercept[IllegalArgumentException](ExprKernels.zvalue(-1L, 0L))
+    intercept[IllegalArgumentException](ExprKernels.zvalue(1L << 31, 0L))
   }
 
   private def filesTouched(path: String, lo: Long, hi: Long): (Int, Int) = {
