@@ -67,7 +67,9 @@ object SimilarityOps {
         .select(col("cell"),
           Vectors.normalized(expr("transform(dm, e -> e.m)")).as("cvec"))
         // materialize per Lloyd round (same nested-broadcast lineage
-        // replay as trainPq — round k+1's broadcast re-ran round k)
+        // replay as trainPq — round k+1's broadcast re-ran round k);
+        // ~14 rows: one partition, one materialization task
+        .coalesce(1)
         .localCheckpoint(true)
     }
     cen.persist()
@@ -356,7 +358,9 @@ object SimilarityOps {
         .select(col("m"), col("code"), expr("transform(dm, e -> e.cx)")
           .as("cvec"))
         // materialize per Lloyd round: the next round's broadcast must
-        // not re-derive this round (nested-broadcast lineage replay)
+        // not re-derive this round (nested-broadcast lineage replay);
+        // 128 codebook rows: one partition, one materialization task
+        .coalesce(1)
         .localCheckpoint(true)
     }
     cen = cen.persist()
