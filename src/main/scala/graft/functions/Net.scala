@@ -49,6 +49,12 @@ object Net {
   /** Render a unified2 address blob: dotted quad for 4-byte IPv4,
     * RFC 5952 for 16-byte IPv6, lowercase hex for anything else
     * (malformed captures stay inspectable).
+    *
+    * MIGRATION: warehouses written before the RFC 5952 change store
+    * IPv6 as 32-char lowercase hex; joins/groupBys across old + new
+    * data would split one address into two keys. Normalize old rows
+    * once with `coalesce(graft_inet6(unhex(ip)), ip)` (hex parses,
+    * dotted-quad/other pass through).
     */
   def ipToString(c: Column): Column =
     when(length(c) === 4, inet_ntoa(bytesToU32(c)))

@@ -44,13 +44,24 @@ class CompactSpec extends SparkSuite {
     // a sensor that never alerted: no dir, no error, no-op report
     assert(Compact.compactParquet(spark, s"$root/never") == (0, 0, 0L))
 
-    // crash between delete and rename: only the tmp survives —
-    // the next invocation must complete the swap and then compact
+    // crash between the two swap renames: source moved aside, tmp is
+    // the complete rewrite — the next run must finish the swap
     import spark.implicits._
     Seq((1L, "x"), (2L, "y")).toDF("id", "v")
       .write.parquet(s"$root/t.compact.tmp")
+    Seq((9L, "stale")).toDF("id", "v")
+      .write.parquet(s"$root/t.compact.old")
     val (_, _, rows) = Compact.compactParquet(spark, s"$root/t")
     assert(rows == 2L)
     assert(spark.read.parquet(s"$root/t").count() == 2)
+
+    // crash mid-write: incomplete tmp next to the live dir is dropped,
+    // the live data is what gets compacted
+    Seq((7L, "junk")).toDF("id", "v")
+      .write.parquet(s"$root/t.compact.tmp")
+    val (_, _, r2) = Compact.compactParquet(spark, s"$root/t")
+    assert(r2 == 2L)
+    assert(spark.read.parquet(s"$root/t").as[(Long, String)]
+      .collect().map(_._1).sorted.toSeq == Seq(1L, 2L))
   }
 }
