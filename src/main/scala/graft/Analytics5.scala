@@ -288,6 +288,32 @@ object Analytics5 {
         ORDER BY d.credit_tier NULLS FIRST""")),
 
     Entry(
+      "q88_lateral",
+      // LATERAL correlated subquery with per-row ORDER BY + LIMIT (the
+      // top-N-per-key idiom in its SQL-standard form), through the
+      // spark.sql surface — Catalyst decorrelates it into the same
+      // ranked-window plan q59 writes by hand, so the SQL sugar costs
+      // nothing at scale. Inner lateral join: order-less customers drop
+      // on both engines.
+      (s, dir) => {
+        t(s, dir, "customer").createOrReplaceTempView("graft_cust")
+        t(s, dir, "orders").createOrReplaceTempView("graft_ord")
+        s.sql("""
+          SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+          FROM graft_cust c,
+          LATERAL (SELECT o_orderkey, o_totalprice
+                   FROM graft_ord o WHERE o.o_custkey = c.c_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+          ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""")
+      },
+      Some("""SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM customer c,
+        LATERAL (SELECT o_orderkey, o_totalprice
+                 FROM orders o WHERE o.o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""")),
+
+    Entry(
       "q87_pagerank",
       // PageRank (damping 0.85, 3 fixed iterations, init 1.0) over the
       // undirected part hierarchy — the numeric-fixpoint loop rounding
