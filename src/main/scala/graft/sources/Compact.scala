@@ -44,6 +44,11 @@ object Compact {
         if (!done) sys.error(s"compact: recovery rename into $path failed")
       }
       fs.delete(old, true)
+    } else if (fs.exists(tmp) && !fs.exists(path)) {
+      // tmp is the ONLY copy (a delete-then-rename-era crash left it):
+      // it is always a complete rewrite — roll it forward, never drop
+      if (!fs.rename(tmp, path))
+        sys.error(s"compact: recovery rename $tmp -> $path failed")
     }
     if (fs.exists(tmp)) fs.delete(tmp, true) // crash mid-write: incomplete
 

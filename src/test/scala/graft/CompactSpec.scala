@@ -63,5 +63,13 @@ class CompactSpec extends SparkSuite {
     assert(r2 == 2L)
     assert(spark.read.parquet(s"$root/t").as[(Long, String)]
       .collect().map(_._1).sorted.toSeq == Seq(1L, 2L))
+
+    // legacy delete-then-rename crash: tmp is the ONLY copy (no dir,
+    // no .old) — it must roll forward, never be discarded
+    Seq((5L, "only")).toDF("id", "v")
+      .write.parquet(s"$root/u.compact.tmp")
+    val (_, _, r3) = Compact.compactParquet(spark, s"$root/u")
+    assert(r3 == 1L)
+    assert(spark.read.parquet(s"$root/u").count() == 1)
   }
 }

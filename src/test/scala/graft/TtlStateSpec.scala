@@ -43,8 +43,6 @@ class TtlStateSpec extends SparkSuite {
     }
   }
 
-  private var qn = 0
-
   /** One drain of `src` through a TtlCounter, reusing `ckpt` (so state
     * carries across drains); returns the final count per key this
     * drain emitted. NOT Trigger.AvailableNow: with
@@ -54,7 +52,6 @@ class TtlStateSpec extends SparkSuite {
     */
   private def drain(src: String, ckpt: String, ttlMs: Long): Map[Long, Long] = {
     import spark.implicits._
-    qn += 1
     val ds: Dataset[(Long, Long)] = spark.readStream
       .schema("user_id LONG, event_id LONG").parquet(src)
       .as[(Long, Long)]
@@ -77,9 +74,13 @@ class TtlStateSpec extends SparkSuite {
     // ProcessingTime mode runs cleanup batches forever: every batch
     // advances the time "offset", so processAllAvailable's noNewData
     // latch never sets (and AvailableNow never terminates). The
-    // bounded form: poll for the data batch's output, then stop.
+    // bounded form: wait for a COMMITTED data batch (progress events
+    // post after the commit log write — polling `buf` alone could
+    // stop() inside the commit window and replay the batch next
+    // drain), then stop.
     val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
-    while (buf.isEmpty && System.nanoTime() < deadline)
+    while (!q.recentProgress.exists(_.numInputRows > 0) &&
+        System.nanoTime() < deadline)
       Thread.sleep(100)
     q.stop()
     q.awaitTermination()
