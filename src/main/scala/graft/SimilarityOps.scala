@@ -1,8 +1,9 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.DatasetBridge
 
 import Tables._
 import graft.functions.Vectors
@@ -20,6 +21,53 @@ object SimilarityOps {
   private def embeddings(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "embeddings")
       .select(col("vec_id"), Vectors.normalized(col("embedding")).as("embedding"))
+
+  /** Nearest-centroid cell per row as a PURE PROJECTION: the tiny
+    * centroid relation folds into ONE broadcast array-of-structs
+    * column (sorted by cell id) and each row computes its argmax with
+    * a single `aggregate` fold over it. Replaces the crossJoin-explode
+    * (n×k rows) + Window.partitionBy(vec_id) formulation, which
+    * shuffled and sorted the WHOLE corpus just to rank ~14 candidate
+    * rows per vector — at 100 TB the difference between a map-only
+    * stage and the largest shuffle in the plan. Ties keep the smaller
+    * cell (replacement needs a strictly greater dot), matching the
+    * window's (csim DESC, cell ASC) order.
+    */
+  private def withNearestCell(df: DataFrame, vec: Column,
+      cen: DataFrame): DataFrame = {
+    val cenArr = cen.agg(array_sort(collect_list(
+      struct(col("cell"), col("cvec")))).as("cen_arr"))
+    df.crossJoin(broadcast(cenArr))
+      .withColumn("cell", aggregate(
+        col("cen_arr"),
+        struct(lit(-1L).as("cell"), lit(Double.NegativeInfinity).as("sim")),
+        (acc, c) => {
+          val s = Vectors.dot(vec, c.getField("cvec"))
+          when(s > acc.getField("sim"),
+            struct(c.getField("cell").as("cell"), s.as("sim")))
+            .otherwise(acc)
+        }).getField("cell"))
+      .drop("cen_arr")
+  }
+
+  /** Exact per-query top-k via the k-bounded [[graft.functions
+    * .TopKAgg]] buffer: map-side partials shuffle ≤ tasks·queries·k
+    * rows instead of every scored candidate (the row_number window
+    * formulation sorts the entire candidate set in |queries|
+    * partitions — with 10 queries, a 10-task sort of ~the corpus).
+    * Identical output to the window form: (qid, rank, vec_id, simCol)
+    * ranked by (sim DESC, vec_id ASC).
+    */
+  private def topkPerQuery(scored: DataFrame, simCol: String,
+      k: Int): DataFrame = {
+    val topk = DatasetBridge.column(graft.functions.TopKAgg(
+      DatasetBridge.expression(col(simCol)),
+      DatasetBridge.expression(col("vec_id")), k).toAggregateExpression())
+    scored.groupBy(col("qid")).agg(topk.as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("qid"), (col("pos") + 1).as("rank"),
+        col("e.key").as("vec_id"), col("e.ord").as(simCol))
+  }
 
   /** IVF centroids: deterministic seeds (every 37th vector) refined by
     * two spherical k-means (Lloyd) iterations, entirely as DataFrame
@@ -52,12 +100,7 @@ object SimilarityOps {
     var cen = emb.filter(col("vec_id") % 37 === 0)
       .select(col("vec_id").as("cell"), col("embedding").as("cvec"))
     for (_ <- 1 to 2) {
-      val wAssign = Window.partitionBy(col("vec_id"))
-        .orderBy(col("csim").desc, col("cell"))
-      val assigned = emb.crossJoin(broadcast(cen))
-        .withColumn("csim", Vectors.dot(col("embedding"), col("cvec")))
-        .withColumn("crank", row_number().over(wAssign))
-        .filter(col("crank") === 1)
+      val assigned = withNearestCell(emb, col("embedding"), cen)
         .select(col("cell"), col("embedding"))
       cen = assigned
         .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "x")))
@@ -84,12 +127,7 @@ object SimilarityOps {
   def writeIndex(s: SparkSession, dir: String, outPath: String): Unit = {
     val emb = embeddings(s, dir)
     val cen = centroids(s, dir)
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("csim").desc, col("cell"))
-    val assigned = emb.crossJoin(broadcast(cen))
-      .withColumn("csim", Vectors.dot(col("embedding"), col("cvec")))
-      .withColumn("crank", row_number().over(wAssign))
-      .filter(col("crank") === 1)
+    val assigned = withNearestCell(emb, col("embedding"), cen)
       .select(col("cell"), col("vec_id"), col("embedding"))
     cen.write.mode("overwrite").parquet(s"$outPath/centroids")
     // repartition on the partition column first: one file per cell
@@ -114,14 +152,11 @@ object SimilarityOps {
       .withColumn("crank", row_number().over(wProbe))
       .filter(col("crank") <= nProbe)
       .select(col("qid"), col("qvec"), col("cell"))
-    val wTop = Window.partitionBy(col("qid"))
-      .orderBy(col("sim").desc, col("vec_id"))
-    assigned.join(broadcast(probes), "cell")
+    val scored = assigned.join(broadcast(probes), "cell")
       .filter(col("vec_id") =!= col("qid"))
       .withColumn("sim", Vectors.dot(col("embedding"), col("qvec")))
-      .withColumn("rank", row_number().over(wTop))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("rank"), col("vec_id"), col("sim"))
+      .select(col("qid"), col("vec_id"), col("sim"))
+    topkPerQuery(scored, "sim", k)
   }
 
   val entries: Seq[Entry] = Seq(
@@ -151,14 +186,11 @@ object SimilarityOps {
         val emb = embeddings(s, dir)
         val q = emb.filter(col("vec_id") < 10)
           .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-        val w = Window.partitionBy(col("qid"))
-          .orderBy(col("sim").desc, col("vec_id"))
-        emb.crossJoin(broadcast(q))
+        val scored = emb.crossJoin(broadcast(q))
           .filter(col("vec_id") =!= col("qid"))
           .withColumn("sim", Vectors.dot(col("embedding"), col("qvec")))
-          .withColumn("rank", row_number().over(w))
-          .filter(col("rank") <= 5)
-          .select(col("qid"), col("rank"), col("vec_id"), col("sim"))
+          .select(col("qid"), col("vec_id"), col("sim"))
+        topkPerQuery(scored, "sim", 5)
           .orderBy(col("qid"), col("rank"))
       },
       None),
@@ -174,12 +206,7 @@ object SimilarityOps {
       (s, dir) => {
         val emb = embeddings(s, dir)
         val cen = centroids(s, dir)
-        val wAssign = Window.partitionBy(col("vec_id"))
-          .orderBy(col("csim").desc, col("cell"))
-        val assigned = emb.crossJoin(broadcast(cen))
-          .withColumn("csim", Vectors.dot(col("embedding"), col("cvec")))
-          .withColumn("crank", row_number().over(wAssign))
-          .filter(col("crank") === 1)
+        val assigned = withNearestCell(emb, col("embedding"), cen)
           .select(col("cell"), col("vec_id"), col("embedding"))
         val q = emb.filter(col("vec_id") < 10)
           .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
@@ -190,14 +217,11 @@ object SimilarityOps {
           .withColumn("crank", row_number().over(wProbe))
           .filter(col("crank") <= 4)
           .select(col("qid"), col("qvec"), col("cell"))
-        val wTop = Window.partitionBy(col("qid"))
-          .orderBy(col("sim").desc, col("vec_id"))
-        assigned.join(broadcast(probes), "cell")
+        val scored = assigned.join(broadcast(probes), "cell")
           .filter(col("vec_id") =!= col("qid"))
           .withColumn("sim", Vectors.dot(col("embedding"), col("qvec")))
-          .withColumn("rank", row_number().over(wTop))
-          .filter(col("rank") <= 5)
-          .select(col("qid"), col("rank"), col("vec_id"), col("sim"))
+          .select(col("qid"), col("vec_id"), col("sim"))
+        topkPerQuery(scored, "sim", 5)
           .orderBy(col("qid"), col("rank"))
       },
       None),
@@ -247,12 +271,7 @@ object SimilarityOps {
         val emb = embeddings(s, dir)
         val cen = centroids(s, dir)
         val (pqCen, codes) = pqIndex(s, dir, emb)
-        val wAssign = Window.partitionBy(col("vec_id"))
-          .orderBy(col("csim").desc, col("cell"))
-        val assigned = emb.crossJoin(broadcast(cen))
-          .withColumn("csim", Vectors.dot(col("embedding"), col("cvec")))
-          .withColumn("crank", row_number().over(wAssign))
-          .filter(col("crank") === 1)
+        val assigned = withNearestCell(emb, col("embedding"), cen)
           .select(col("cell"), col("vec_id"))
         val q = emb.filter(col("vec_id") < 10)
           .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
@@ -264,9 +283,7 @@ object SimilarityOps {
           .filter(col("crank") <= 4)
           .select(col("qid"), col("cell"))
         val table = pqTable(pqCen, q)
-        val w = Window.partitionBy(col("qid"))
-          .orderBy(col("approx_dot").desc, col("vec_id"))
-        assigned.join(broadcast(probes), "cell")
+        val scored = assigned.join(broadcast(probes), "cell")
           .filter(col("vec_id") =!= col("qid"))
           .join(codes, "vec_id")
           .select(col("qid"), col("vec_id"),
@@ -275,9 +292,8 @@ object SimilarityOps {
           .groupBy(col("qid"), col("vec_id"))
           .agg(sum(col("tdot")).as("approx_dot"), count(lit(1)).as("nm"))
           .filter(col("nm") === PqM)
-          .withColumn("rank", row_number().over(w))
-          .filter(col("rank") <= 5)
-          .select(col("qid"), col("rank"), col("vec_id"), col("approx_dot"))
+          .select(col("qid"), col("vec_id"), col("approx_dot"))
+        topkPerQuery(scored, "approx_dot", 5)
           .orderBy(col("qid"), col("rank"))
       },
       None),
@@ -415,13 +431,10 @@ object SimilarityOps {
       .join(broadcast(table), Seq("m", "code"))
       .groupBy(col("qid"), col("vec_id"))
       .agg(sum(col("tdot")).as("approx_dot"), count(lit(1)).as("nm"))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("approx_dot").desc, col("vec_id"))
-    scored
-      .filter(col("nm") === PqM && col("vec_id") =!= col("qid"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("rank"), col("vec_id"), col("approx_dot"))
+    topkPerQuery(
+      scored.filter(col("nm") === PqM && col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"), col("approx_dot")),
+      "approx_dot", k)
       .orderBy(col("qid"), col("rank"))
   }
 }
