@@ -191,9 +191,12 @@ object SnortOps {
           s"${Unified2Fixture.defaultRoot()}/bulk", 60000, 16)
         val (sid, gen, cls) = Unified2Fixture.writeMaps(
           s"${Unified2Fixture.defaultRoot()}/maps")
-        val recs = Unified2.records(s, Seq(spool), "snort.log", "bulk1")
+        // single-pass parse+assembly per spool file (map-only stage;
+        // see Unified2.alertsAssembled) — the join-based alerts() path
+        // re-read every byte 3× and shuffled 4× for file-local keys
         val alerts = Maps.enrichClassifications(
-          Maps.enrichSignatures(Unified2.alerts(recs),
+          Maps.enrichSignatures(
+            Unified2.alertsAssembled(s, Seq(spool), "snort.log", "bulk1"),
             Maps.combinedSigMap(s, sid, gen)),
           Maps.classMap(s, cls))
         SnortStar.normalize(alerts)("event")

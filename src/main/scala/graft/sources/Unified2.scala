@@ -264,4 +264,104 @@ object Unified2 {
       .withColumn("event_ts", timestamp_seconds(
         col("event_second") + col("event_microsecond") / lit(1000000.0)))
   }
+
+  /** A packet slot inside an assembled alert (field order matches the
+    * `collect_list(struct(...))` build in [[alerts]]).
+    */
+  case class U2PacketSlot(rec_index: Int, packet_second: Option[Long],
+      packet_microsecond: Option[Long], linktype: Option[Long],
+      packet_data: Option[Array[Byte]])
+
+  /** An extra-data slot inside an assembled alert. */
+  case class U2ExtraSlot(rec_index: Int, extra_type: Option[Long],
+      extra_data_type: Option[Long], extra_blob: Option[Array[Byte]])
+
+  /** One assembled alert (field order matches the [[alerts]] output:
+    * join keys first, then the remaining event columns, then the
+    * correlated slots; `event_ts` is appended declaratively so both
+    * paths share the exact same seconds→timestamp expression).
+    */
+  case class U2Alert(sensor: String, src_file: String,
+      sensor_id: Option[Long], event_id: Option[Long],
+      event_second: Option[Long], rec_index: Int,
+      event_microsecond: Option[Long], signature_id: Option[Long],
+      generator_id: Option[Long], signature_revision: Option[Long],
+      classification_id: Option[Long], priority_id: Option[Long],
+      ip_source: Option[Array[Byte]], ip_destination: Option[Array[Byte]],
+      sport_itype: Option[Int], dport_icode: Option[Int],
+      protocol: Option[Int], impact_flag: Option[Int],
+      blocked: Option[Int], packets: Option[Seq[U2PacketSlot]],
+      extra: Option[Seq[U2ExtraSlot]])
+
+  /** Assemble one file's parsed records into alerts in a single local
+    * pass. Exactly equivalent to [[alerts]] over the same records:
+    * the correlation key includes `src_file` (snort writes an event's
+    * PACKET/EXTRA_DATA into the same spool file), so grouping never
+    * crosses a file boundary and the groupBy+join topology degenerates
+    * to this in-task hash correlation. Packets/extras accumulate in
+    * record order (= ascending `rec_index`, [[alerts]]' sort_array
+    * order); events with no packets get NULL, not an empty list, like
+    * the left join; duplicate event keys each see the full slot list,
+    * like the join fan-out; orphan slots (no event row) drop, like the
+    * inner side of the left join.
+    */
+  def assembleFile(sensor: String, recs: Seq[U2Record]): Seq[U2Alert] = {
+    type Key = (Option[Long], Option[Long], Option[Long])
+    def key(r: U2Record): Key = (r.sensor_id, r.event_id, r.event_second)
+    val pk = scala.collection.mutable.HashMap
+      .empty[Key, scala.collection.mutable.ArrayBuffer[U2PacketSlot]]
+    val xd = scala.collection.mutable.HashMap
+      .empty[Key, scala.collection.mutable.ArrayBuffer[U2ExtraSlot]]
+    recs.foreach { r =>
+      r.rec_type match {
+        case Packet =>
+          pk.getOrElseUpdate(key(r),
+            scala.collection.mutable.ArrayBuffer.empty) += U2PacketSlot(
+            r.rec_index, r.packet_second, r.packet_microsecond,
+            r.linktype, r.packet_data)
+        case ExtraData =>
+          xd.getOrElseUpdate(key(r),
+            scala.collection.mutable.ArrayBuffer.empty) += U2ExtraSlot(
+            r.rec_index, r.extra_type, r.extra_data_type, r.extra_blob)
+        case _ => ()
+      }
+    }
+    recs.collect {
+      case r if r.rec_type == EventV1 || r.rec_type == EventV2 ||
+          r.rec_type == EventIp6V1 || r.rec_type == EventIp6V2 =>
+        U2Alert(sensor, r.src_file, r.sensor_id, r.event_id,
+          r.event_second, r.rec_index, r.event_microsecond,
+          r.signature_id, r.generator_id, r.signature_revision,
+          r.classification_id, r.priority_id, r.ip_source,
+          r.ip_destination, r.sport_itype, r.dport_icode, r.protocol,
+          r.impact_flag, r.blocked,
+          pk.get(key(r)).map(_.toSeq), xd.get(key(r)).map(_.toSeq))
+    }
+  }
+
+  /** The high-throughput ingest path: parse AND assemble each spool
+    * file in its one read task — a map-only stage. [[records]] +
+    * [[alerts]] scans the parse three times (event/packet/extra
+    * branches) and pays two shuffle groupBys plus two shuffle joins;
+    * at 100 TB of spools that is three reads of every byte and four
+    * corpus shuffles for correlation that never leaves a file. Output
+    * is column-for-column identical to `alerts(records(...))`
+    * (pinned by SnortSpec). The join-based [[alerts]] remains the
+    * general form for records that arrive pre-shuffled (e.g. a
+    * micro-batch whose file spans split across partitions).
+    */
+  def alertsAssembled(spark: SparkSession, dirs: Seq[String],
+      prefix: String, sensor: String): DataFrame = {
+    import spark.implicits._
+    val raw = spark.read.format("binaryFile")
+      .option("pathGlobFilter", s"$prefix*")
+      .load(dirs: _*)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+    raw.flatMap { case (path, bytes) =>
+        assembleFile(sensor, parseFile(path, bytes)) }
+      .toDF()
+      .withColumn("event_ts", timestamp_seconds(
+        col("event_second") + col("event_microsecond") / lit(1000000.0)))
+  }
 }

@@ -115,6 +115,29 @@ class SnortSpec extends SparkSuite {
       .parseHex(v6.getAs[String]("payload_hex"))) == "V6DATA")
   }
 
+  test("alertsAssembled is column-for-column identical to the join-based alerts()") {
+    val root = Unified2Fixture.defaultRoot()
+    val spool = Unified2Fixture.writeSpool(s"$root/spool-asm")
+    val joined = Unified2.alerts(
+      Unified2.records(spark, Seq(spool), "snort.log", "demo1"))
+    val assembled =
+      Unified2.alertsAssembled(spark, Seq(spool), "snort.log", "demo1")
+    assert(assembled.columns.toSeq == joined.columns.toSeq,
+      "column order must match the join-based schema")
+    // to_json canonicalizes nested structs, binary (base64), slot
+    // order, NULL-vs-empty and event_ts on both sides
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.orderBy(col("sensor"), col("src_file"), col("event_id"))
+        .select(to_json(struct(df.columns.map(col): _*)).as("j"))
+        .collect().toSeq.map(_.getString(0))
+    val jRows = canon(joined)
+    val aRows = canon(assembled)
+    assert(aRows.length == jRows.length)
+    aRows.zip(jRows).foreach { case (a, j) =>
+      assert(a == j, s"mismatch:\n  $a\nvs\n  $j")
+    }
+  }
+
   test("star_normalize assigns per-sensor consecutive cids, one per packet slot") {
     val star = SnortStar.normalize(SnortOps.fixtureAlerts(spark))
     val events = star("event").orderBy(col("cid")).collect()
