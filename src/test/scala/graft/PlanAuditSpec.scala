@@ -39,4 +39,33 @@ class PlanAuditSpec extends SparkSuite {
     // exactly one exchange below the window (plus the final global sort)
     assert("hashpartitioning\\(user_id".r.findAllIn(p).size == 1, p.take(800))
   }
+
+  test("knn_ivf: corpus cell assignment is a projection — no Window in the plan") {
+    // nearest-centroid argmax must stay a broadcast-array fold, never
+    // the crossJoin + Window.partitionBy(vec_id) corpus sort-shuffle
+    // (the 10-row probe side may keep its window); the corpus-side
+    // aggregation is the k-bounded per-query top-k
+    val p = plan("knn_ivf")
+    assert(!p.contains("hashpartitioning(vec_id"), p.take(800))
+    assert(p.contains("graft_topk"), p.take(800))
+  }
+
+  test("knn_brute: no corpus shuffle before the top-k aggregate") {
+    val p = plan("knn_brute")
+    assert(!p.contains("Window"), p.take(800))
+    // the only hash exchange is the 10-row-per-task top-k partial agg
+    assert("hashpartitioning\\(qid".r.findAllIn(p).size <= 1, p.take(800))
+  }
+
+  test("u2_bulk_ingest: assembly is map-only — correlation adds no shuffle") {
+    // single-pass per-file assembly: the only exchanges allowed are the
+    // cid windows' per-(sensor, file) partitioning and the tiny
+    // broadcast dims; the event/packet/extra correlation join keys
+    // (sensor_id, event_id, event_second) must NOT appear in any
+    // hashpartitioning
+    val p = plan("u2_bulk_ingest")
+    assert(!p.contains("hashpartitioning(sensor_id"), p.take(1000))
+    assert(!"hashpartitioning\\([^)]*event_id".r.findFirstIn(p).isDefined,
+      p.take(1000))
+  }
 }
