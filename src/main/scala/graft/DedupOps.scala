@@ -121,6 +121,14 @@ object DedupOps {
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint(true)
+    // Convergence probe WITHOUT a per-round join: labels only ever
+    // take a min, so each vertex's label is monotone non-increasing
+    // and a round changed something iff Σlabel strictly decreased.
+    // (DECIMAL sum — a 100 TB id space overflows a BIGINT Σ.)
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast("decimal(38,0)")))
+        .head.getDecimal(0)
+    var prevSum = labelSum(labels)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -137,10 +145,9 @@ object DedupOps {
         .union(labels)
         .groupBy(col("id")).agg(min(col("label")).as("label"))
         .localCheckpoint(false)
-      converged = next.as("n")
-        .join(labels.as("o"), "id")
-        .filter(col("n.label") =!= col("o.label"))
-        .isEmpty
+      val nextSum = labelSum(next)
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       labels = next
       iter += 1
     }

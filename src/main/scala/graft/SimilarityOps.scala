@@ -393,19 +393,36 @@ object SimilarityOps {
     (cen, codes)
   }
 
-  /** Nearest codebook entry per (vec, subspace); ties → smaller code.
-    * min(struct) hash-aggregates with map-side partials — no per-group
-    * sort the row_number() formulation would pay. `sub` is constant
-    * within the group, so first() is deterministic.
+  /** Squared L2 between two double-array Columns (lambda-safe form of
+    * [[l2sq]] for use inside higher-order folds).
     */
-  private def assign(sv: DataFrame, cen: DataFrame): DataFrame =
-    sv.join(broadcast(cen), "m")
-      .withColumn("d2", l2sq("sub", "cvec"))
-      .groupBy(col("vec_id"), col("m"))
-      .agg(min(struct(col("d2"), col("code"))).as("mc"),
-        first(col("sub")).as("sub"))
-      .select(col("vec_id"), col("m"), col("mc.code").as("code"),
-        col("sub"))
+  private def l2sqCols(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Nearest codebook entry per (vec, subspace); ties → smaller code.
+    * The codebook folds to ONE array row per subspace, so the 1:1
+    * broadcast join adds no fanout and the argmin is a per-row fold —
+    * no ×PqK row explosion, no (vec_id, m) min-groupBy shuffle. Tie
+    * semantics match min(struct(d2, code)): the array is code-sorted
+    * and replacement needs a strictly smaller distance.
+    */
+  private def assign(sv: DataFrame, cen: DataFrame): DataFrame = {
+    val cenArr = cen.groupBy(col("m"))
+      .agg(array_sort(collect_list(struct(col("code"), col("cvec"))))
+        .as("cb"))
+    sv.join(broadcast(cenArr), "m")
+      .withColumn("code", aggregate(
+        col("cb"),
+        struct(lit(-1).as("code"), lit(Double.MaxValue).as("d2")),
+        (acc, c) => {
+          val d = l2sqCols(col("sub"), c.getField("cvec"))
+          when(d < acc.getField("d2"),
+            struct(c.getField("code").as("code"), d.as("d2")))
+            .otherwise(acc)
+        }).getField("code"))
+      .select(col("vec_id"), col("m"), col("code"), col("sub"))
+  }
 
   /** ADC search: per-query lookup table tdot[m][code] = ⟨q_m, c_mc⟩
     * (so Σ_m tdot[m][code_m] = ⟨q, reconstruction⟩), then each corpus
