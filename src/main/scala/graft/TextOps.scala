@@ -94,6 +94,107 @@ object TextOps {
         FROM documents ORDER BY doc_id""")),
 
     Entry(
+      "text_pii_scrub",
+      // PII redaction — the compliance pass every training-data
+      // pipeline runs before tokenization: emails, then phone-like
+      // digit runs, then IPv4 literals (orthogonal patterns: the
+      // phone class has no dots, so it cannot eat an address). The
+      // synthetic corpus carries no PII, so a deterministic contact
+      // line derived from doc_id is planted on BOTH engines first —
+      // the oracle then checks real replacements, not a no-op. Pure
+      // per-row projection; the per-kind counters feed a
+      // redaction-rate QA gate.
+      (s, dir) => {
+        val planted = concat(col("text"),
+          lit(" contact: user"), col("doc_id").cast("string"),
+          lit("@example.com or +1 555-01"),
+          lpad((col("doc_id") % 100).cast("string"), 2, "0"),
+          lit(" host 10.0."), (col("doc_id") % 256).cast("string"),
+          lit("."), ((col("doc_id") * 7) % 256).cast("string"))
+        val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val phone = "\\+?\\d[\\d -]{7,}\\d"
+        val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+        val scrubbed = regexp_replace(regexp_replace(regexp_replace(
+          planted, lit(email), lit("<EMAIL>")),
+          lit(phone), lit("<PHONE>")), lit(ip), lit("<IP>"))
+        t(s, dir, "documents")
+          .select(
+            col("doc_id"),
+            scrubbed.as("clean_text"),
+            regexp_count(planted, lit(email)).cast("long").as("n_email"),
+            regexp_count(planted, lit(phone)).cast("long").as("n_phone"),
+            regexp_count(planted, lit(ip)).cast("long").as("n_ip"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH p AS (SELECT doc_id,
+          text || ' contact: user' || doc_id || '@example.com or +1 555-01'
+            || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+            || ' host 10.0.' || (doc_id % 256) || '.' || ((doc_id * 7) % 256)
+            AS planted FROM documents)
+        SELECT doc_id,
+          regexp_replace(regexp_replace(regexp_replace(planted,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+            '\+?\d[\d -]{7,}\d', '<PHONE>', 'g'),
+            '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')
+            AS clean_text,
+          CAST(len(regexp_extract_all(planted,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+          CAST(len(regexp_extract_all(planted,
+            '\+?\d[\d -]{7,}\d')) AS BIGINT) AS n_phone,
+          CAST(len(regexp_extract_all(planted,
+            '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ip
+        FROM p ORDER BY doc_id""")),
+
+    Entry(
+      "text_quality_filter",
+      // Composite C4/Gopher-style keep/drop gate: word count, average
+      // word length, stopword presence, and max word length each vote,
+      // and `keep` is their conjunction — per-rule booleans kept so a
+      // filter-rate dashboard can attribute drops. Thresholds chosen
+      // to genuinely split this corpus (word counts 10-99, stop
+      // ratios 0-0.22). Per-row projection, no shuffle.
+      (s, dir) => {
+        val w = words(lower(col("text")))
+        val nWords = size(w).cast("long")
+        val nStop = size(filter(w,
+          x => x.isin(StopWords.map(x => x: Any): _*))).cast("long")
+        val avgLen = length(regexp_replace(col("text"), " ", ""))
+          .cast("double") / nWords
+        val maxLen = array_max(transform(w, x => length(x)))
+        val okWords = nWords >= 30 && nWords <= 5000
+        val okAvg = avgLen >= 3.0 && avgLen <= 8.0
+        val okStop = (nStop.cast("double") / nWords) >= 0.04
+        val okMax = maxLen <= 15
+        t(s, dir, "documents")
+          .select(
+            col("doc_id"), nWords.as("n_words"),
+            okWords.as("ok_n_words"), okAvg.as("ok_avg_word_len"),
+            okStop.as("ok_stop_ratio"), okMax.as("ok_max_word_len"),
+            (okWords && okAvg && okStop && okMax).as("keep"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH w AS (SELECT doc_id,
+          list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS ws,
+          length(replace(text, ' ', '')) AS n_nospace
+        FROM documents),
+        m AS (SELECT doc_id, len(ws) AS n_words,
+          CAST(len(list_filter(ws, x -> list_contains(
+            ['the','a','of','and','to','in','is'], x))) AS DOUBLE)
+            / len(ws) AS stop_ratio,
+          CAST(n_nospace AS DOUBLE) / len(ws) AS avg_len,
+          list_max(list_transform(ws, x -> len(x))) AS max_len
+        FROM w)
+        SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+          (n_words >= 30 AND n_words <= 5000) AS ok_n_words,
+          (avg_len >= 3.0 AND avg_len <= 8.0) AS ok_avg_word_len,
+          (stop_ratio >= 0.04) AS ok_stop_ratio,
+          (max_len <= 15) AS ok_max_word_len,
+          (n_words >= 30 AND n_words <= 5000 AND avg_len >= 3.0
+            AND avg_len <= 8.0 AND stop_ratio >= 0.04
+            AND max_len <= 15) AS keep
+        FROM m ORDER BY doc_id""")),
+
+    Entry(
       "text_langid",
       // n-gram/stopword-profile language ID heuristic: score the token
       // set against per-language function-word profiles, argmax with a
