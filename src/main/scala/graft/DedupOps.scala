@@ -64,17 +64,19 @@ object DedupOps {
   /** MinHash-LSH verified near-dup pairs `(a, b, jaccard)` — the body
     * of `dedup_minhash`, shared with `dedup_clusters`.
     */
-  private def minhashPairs(s: SparkSession, dir: String): DataFrame = {
-    withJaccardRewrite(s)
+  /** Banded MinHash signatures (band, bkey, doc_id) for the corpus —
+    * native single-pass signature: one hash per shingle + 64 (a·h+b)
+    * permutations, vs 64 interpreted array_min lambdas. Cached per
+    * (session, dir) with a key suffix in the shingle map: the relation
+    * is self-joined by pairsFromBuckets AND probed by the incremental
+    * path, so one persist serves all of them.
+    */
+  private def bandedSigs(s: SparkSession, dir: String): DataFrame = {
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_minhash", exprs => graft.functions.MinHashSig(exprs.head),
       "scala_udf")
     val sh = shingledCached(s, dir)
-    // native single-pass signature: one hash per shingle + 64
-    // (a·h+b) permutations, vs 64 interpreted array_min lambdas.
-    // banded is self-joined by pairsFromBuckets — cache it in the same
-    // per-session map (key suffix) rather than persisting per call
-    val banded = shingleCache.synchronized {
+    shingleCache.synchronized {
       shingleCache.computeIfAbsent(s,
         _ => scala.collection.concurrent.TrieMap.empty[String, DataFrame])
     }.getOrElseUpdate(s"$dir#banded", {
@@ -86,6 +88,12 @@ object DedupOps {
         .select(col("band"), col("bkey"), col("doc_id"))
         .persist()
     })
+  }
+
+  private def minhashPairs(s: SparkSession, dir: String): DataFrame = {
+    withJaccardRewrite(s)
+    val sh = shingledCached(s, dir)
+    val banded = bandedSigs(s, dir)
     val pairs = pairsFromBuckets(banded, Seq("band", "bkey"))
     val sa = sh.toDF("a", "sh_a")
     val sb = sh.toDF("b", "sh_b")
@@ -205,6 +213,47 @@ object DedupOps {
           .select(col("cluster"), col("cluster_size"),
             concat_ws(",", col("members")).as("members"))
           .orderBy(col("cluster"))
+      },
+      None),
+
+    Entry(
+      "dedup_incremental",
+      // The CONTINUOUS-INGESTION form of MinHash dedup: history's
+      // banded signatures live in a PERSISTED store (parquet
+      // partitioned by band — the on-disk LSH posting-list layout);
+      // an arriving batch computes only its own signatures, probes
+      // the store, and verifies candidates by exact Jaccard against
+      // just the candidate historical docs. Nothing historical is
+      // re-shingled or re-signed per batch — what makes corpus dedup
+      // O(batch) instead of O(corpus) at 100 TB. Split: doc_id % 10
+      // == 0 is the arriving batch. Within-batch dups are
+      // dedup_minhash over the batch itself (composition, not this
+      // entry). DedupSpec pins the planted cross-split pairs.
+      (s, dir) => {
+        withJaccardRewrite(s)
+        val banded = bandedSigs(s, dir)
+        val isNew = col("doc_id") % 10 === 0
+        val store = "target/graft_scratch/minhash_store_" +
+          dir.replaceAll("[^a-zA-Z0-9]", "_")
+        // build-once half of the lifecycle: one file per band, the
+        // small-files guard every partitioned write needs
+        banded.filter(!isNew).repartition(col("band"))
+          .write.mode("overwrite").partitionBy("band").parquet(store)
+        val hist = s.read.parquet(store)
+          .select(col("band"), col("bkey"), col("doc_id").as("dup_of"))
+        val probe = banded.filter(isNew)
+          .select(col("band"), col("bkey"), col("doc_id").as("new_id"))
+        val cand = hist.join(probe, Seq("band", "bkey"))
+          .select(col("dup_of"), col("new_id")).distinct()
+        val sh = shingledCached(s, dir)
+        cand.join(sh.toDF("dup_of", "sh_a"), "dup_of")
+          .join(sh.toDF("new_id", "sh_b"), "new_id")
+          .withColumn("jaccard",
+            size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+              size(array_union(col("sh_a"), col("sh_b"))))
+          .filter(col("jaccard") >= 0.5)
+          .select(col("new_id"), col("dup_of"), col("jaccard"))
+          .orderBy(col("new_id"), col("dup_of"))
       },
       None),
 

@@ -35,6 +35,27 @@ class DedupSpec extends SparkSuite {
     assert(math.abs(j02 - 23.0 / 29.0) < 1e-12, s"got $j02")
   }
 
+  test("dedup_incremental finds the planted cross-split dups via the persisted store") {
+    // split doc_id % 10 == 0 -> new batch = {0}; history = {1..5};
+    // planted: 1 is an exact dup of 0, 2 a near dup of 0
+    val rows = q("dedup_incremental", Fixtures.dir).collect()
+    val pairs = rows.map(r =>
+      (r.getAs[Long]("new_id"), r.getAs[Long]("dup_of"))).toSet
+    assert(pairs == Set((0L, 1L), (0L, 2L)), s"got $pairs")
+    val j1 = rows.find(_.getAs[Long]("dup_of") == 1L).get
+      .getAs[Double]("jaccard")
+    assert(j1 == 1.0, "exact dup must verify at jaccard 1.0")
+    // the full-corpus pair set restricted to cross-split pairs must
+    // agree with the incremental result (same bands, same verify)
+    val full = q("dedup_minhash", Fixtures.dir).collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b")))
+    val cross = full.collect {
+      case (a, b) if (a % 10 == 0) != (b % 10 == 0) =>
+        if (a % 10 == 0) (a, b) else (b, a)
+    }.toSet
+    assert(pairs == cross)
+  }
+
   test("dedup_simhash finds the exact dup with hamming 0") {
     val rows = q("dedup_simhash", Fixtures.dir).collect()
     val h01 = rows.find(r => r.getAs[Long]("a") == 0L &&
