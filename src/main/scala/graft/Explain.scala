@@ -19,7 +19,8 @@ object Explain {
         "q68_streaks", "q69_funnel", "q71_fuzzy_match", "q76_interval_merge",
         "q77_nearest_event", "text_vocab", "emb_centroid",
         "q82_bom_closure", "q84_bfs_hops", "q86_scd2_join",
-        "dedup_decontaminate")
+        "dedup_decontaminate", "knn_ivf", "u2_bulk_ingest",
+        "dedup_incremental", "text_pii_scrub", "text_quality_filter")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
