@@ -42,25 +42,32 @@ object Bench {
     results.toSeq.sortBy(-_._2).foreach { case (k, v) =>
       println(f"BENCHQ $k%-28s $v%8.3f s")
     }
+    println(jsonLine(sfDir, results.toMap))
+    spark.stop()
+  }
+
+  /** The ONE machine-readable JSON line, printed LAST, with "metric"
+    * first (the documented key order). The driver keeps only the last
+    * ~2000 chars of output, so the line must fit that window even with
+    * sbt's trailing "[success] ..." line after it: the embedded query
+    * map is capped at the slowest entries that keep the line under
+    * `budget` chars — the headline total is what the judge compares
+    * to BASELINE. (r1–r4 lost bench parsing to an uncapped line;
+    * BenchLineSpec pins this contract.)
+    */
+  def jsonLine(sfDir: String, results: Map[String, Double],
+      budget: Int = 1400): String = {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val sfNum = raw"sf([0-9.]+)".r.findFirstMatchIn(sfDir)
       .map(_.group(1)).getOrElse("0.1")
-    // ONE machine-readable JSON line, LAST in our output, with "metric"
-    // first (the documented key order). The driver keeps only the last
-    // ~2000 chars of output, so the line must fit that window even with
-    // sbt's trailing "[success] ..." line after it: cap the embedded
-    // query map at the slowest entries that keep the line under ~1500
-    // chars — the headline total is what the judge compares to BASELINE.
-    val budget = 1400
     val header = f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":$sfNum,"queries":"""
-    val entries = results.toSeq.sortBy(-_._2)
+    val entries = results.toSeq.sortBy { case (k, v) => (-v, k) }
       .map { case (k, v) => f""""$k":$v%.3f""" }
     val kept = scala.collection.mutable.ListBuffer.empty[String]
     var used = header.length + 2
     entries.foreach { e =>
       if (used + e.length + 1 <= budget) { kept += e; used += e.length + 1 }
     }
-    println(header + kept.mkString("{", ",", "}") + "}")
-    spark.stop()
+    header + kept.mkString("{", ",", "}") + "}"
   }
 }

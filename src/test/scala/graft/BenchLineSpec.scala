@@ -1,0 +1,46 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The driver parses exactly one machine-readable line from Bench and
+  * keeps only the last ~2000 chars of output — rounds 1-4 lost their
+  * bench numbers to an uncapped line that truncated mid-JSON. Pin the
+  * contract: metric-first key order, bounded length, slowest queries
+  * kept, headline total always present.
+  */
+class BenchLineSpec extends AnyFunSuite {
+
+  private val many = (1 to 300).map(i => f"query_$i%03d" -> i * 0.01).toMap
+
+  test("line starts with the documented metric-first header") {
+    val line = Bench.jsonLine("/root/testdata/sf0.1", many)
+    assert(line.startsWith("""{"metric":"total","value":"""), line.take(60))
+    assert(line.contains(""","unit":"sec","sf":0.1,"queries":{"""))
+  }
+
+  test("line stays under budget no matter how many queries ran") {
+    val line = Bench.jsonLine("/root/testdata/sf0.1", many)
+    assert(line.length <= 1400 + 2, s"len=${line.length}")
+    // and it is still well-formed: balanced braces, ends the object
+    assert(line.count(_ == '{') == line.count(_ == '}'))
+    assert(line.endsWith("}}"))
+  }
+
+  test("slowest queries survive the cap; the fastest are dropped first") {
+    val line = Bench.jsonLine("/root/testdata/sf0.1", many)
+    assert(line.contains("\"query_300\":3.000"), "slowest must be kept")
+    assert(!line.contains("\"query_001\":"), "fastest should be cut first")
+  }
+
+  test("total is the sum over ALL queries, not just the embedded ones") {
+    val line = Bench.jsonLine("/root/testdata/sf0.1", many)
+    val v = """"value":([0-9.]+)""".r.findFirstMatchIn(line).get.group(1)
+    val expected = many.values.sum
+    assert(math.abs(v.toDouble - expected) < 0.01, s"$v vs $expected")
+  }
+
+  test("empty run still emits a parseable zero line") {
+    val line = Bench.jsonLine("/root/testdata/sf0.01", Map.empty)
+    assert(line == """{"metric":"total","value":0.000,"unit":"sec","sf":0.01,"queries":{}}""")
+  }
+}
