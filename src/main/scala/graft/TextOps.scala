@@ -146,6 +146,80 @@ object TextOps {
         FROM p ORDER BY doc_id""")),
 
     Entry(
+      "text_url_canon",
+      // URL canonicalization — the dedup key for web corpora: scheme
+      // and host lowercased, `www.` and default ports stripped
+      // (non-default ports kept), one-level `..` dot-segment resolved,
+      // `utm_*` tracking params and fragments dropped. Planted messy
+      // URLs (deterministic from doc_id; even ids carry the default
+      // :443, odd ids a real :8080) exercise BOTH port branches on
+      // both engines. Extraction-and-rebuild (not blanket lowercase —
+      // paths stay case-preserved), no regex group refs in
+      // replacements (Spark `$1` vs DuckDB `\1` differ). Projection,
+      // no shuffle.
+      (s, dir) => {
+        val url = concat(
+          lit("HTTPS://WWW.Example"), (col("doc_id") % 7).cast("string"),
+          lit(".COM"),
+          when(col("doc_id") % 2 === 0, lit(":443")).otherwise(lit(":8080")),
+          lit("/a/b/../c/Page"), col("doc_id").cast("string"),
+          lit("?utm_source=feed&id="), col("doc_id").cast("string"),
+          lit("&utm_campaign=x#frag"))
+        val scheme = lower(regexp_extract(url, "^([A-Za-z]+)://", 1))
+        val hostport = regexp_extract(url, "^[A-Za-z]+://([^/?#]+)", 1)
+        val host = regexp_replace(
+          lower(regexp_replace(hostport, ":[0-9]+$", "")), "^www\\.", "")
+        val port = regexp_extract(hostport, ":([0-9]+)$", 1)
+        val defaultPort = (scheme === "https" && port === "443") ||
+          (scheme === "http" && port === "80")
+        val path = regexp_replace(
+          regexp_extract(url, "^[A-Za-z]+://[^/?#]+([^?#]*)", 1),
+          "[^/]+/\\.\\./", "")
+        val q0 = regexp_extract(url, "\\?([^#]*)", 1)
+        val q2 = regexp_replace(regexp_replace(q0,
+          "utm_[^&]*&", ""), "&?utm_[^&]*$", "")
+        val canon = concat(scheme, lit("://"), host,
+          when(defaultPort || port === "", lit(""))
+            .otherwise(concat(lit(":"), port)),
+          path,
+          when(q2 === "", lit("")).otherwise(concat(lit("?"), q2)))
+        t(s, dir, "documents")
+          .select(col("doc_id"), url.as("url"), canon.as("canon_url"),
+            host.as("host"),
+            regexp_count(q0, lit("utm_")).cast("long").as("n_tracking"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH u AS (SELECT doc_id,
+          'HTTPS://WWW.Example' || (doc_id % 7) || '.COM'
+            || CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE ':8080' END
+            || '/a/b/../c/Page' || doc_id
+            || '?utm_source=feed&id=' || doc_id
+            || '&utm_campaign=x#frag' AS url FROM documents),
+        p AS (SELECT doc_id, url,
+          lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+          regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1) AS hostport,
+          regexp_replace(
+            regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1),
+            '[^/]+/\.\./', '') AS path,
+          regexp_extract(url, '\?([^#]*)', 1) AS q0 FROM u),
+        c AS (SELECT doc_id, url, scheme, path, q0,
+          regexp_replace(lower(regexp_replace(hostport, ':[0-9]+$', '')),
+            '^www\.', '') AS host,
+          regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+          regexp_replace(regexp_replace(q0, 'utm_[^&]*&', ''),
+            '&?utm_[^&]*$', '') AS q2 FROM p)
+        SELECT doc_id, url,
+          scheme || '://' || host
+            || CASE WHEN (scheme = 'https' AND port = '443')
+                 OR (scheme = 'http' AND port = '80') OR port = ''
+              THEN '' ELSE ':' || port END
+            || path
+            || CASE WHEN q2 = '' THEN '' ELSE '?' || q2 END AS canon_url,
+          host,
+          CAST(len(regexp_extract_all(q0, 'utm_')) AS BIGINT) AS n_tracking
+        FROM c ORDER BY doc_id""")),
+
+    Entry(
       "text_quality_filter",
       // Composite C4/Gopher-style keep/drop gate: word count, average
       // word length, stopword presence, and max word length each vote,
