@@ -204,6 +204,55 @@ object SnortOps {
       None),
 
     Entry(
+      "inet_cidr_enrich",
+      // CIDR-range enrichment (the threat-intel / RFC1918 tagging every
+      // IDS pipeline does): synthetic u32 addresses left-joined to a
+      // CIDR dimension. Scale pattern: each CIDR (prefix >= 8 here)
+      // covers exactly one /8 bin, so the join is an EQUI join on the
+      // bin plus a residual range filter — broadcast hash join, never
+      // a nested loop over the fact table. (A prefix < 8 would explode
+      // into its covering /8 bins — same topology as q37's banded
+      // range join.) Non-matching addresses tag as 'public'.
+      (s, dir) => {
+        import s.implicits._
+        val cidrs = Seq(
+          (167772160L, 184549375L, "rfc1918-a"),    // 10.0.0.0/8
+          (2886729728L, 2887778303L, "rfc1918-b"),  // 172.16.0.0/12
+          (3232235520L, 3232301055L, "rfc1918-c"),  // 192.168.0.0/16
+          (134744064L, 134744319L, "dns-google"))   // 8.8.8.0/24
+          .toDF("net_start", "net_end", "net_name")
+          .withColumn("bin", shiftright(col("net_start"), 24))
+        val ips = Tables.t(s, dir, "lineitem")
+          .filter(col("l_linenumber") === 1)
+          .withColumn("x", (col("l_orderkey") * 2654435761L) % 4294967296L)
+          .withColumn("bin", shiftright(col("x"), 24))
+        ips.join(broadcast(cidrs),
+            ips("bin") === cidrs("bin") &&
+              col("x").between(col("net_start"), col("net_end")),
+            "left")
+          .select(col("l_orderkey"), Net.inet_ntoa(col("x")).as("ip"),
+            coalesce(col("net_name"), lit("public")).as("net_name"))
+          .orderBy(col("l_orderkey"))
+      },
+      Some("""SELECT l_orderkey,
+          CAST(x // 16777216 % 256 AS VARCHAR) || '.' ||
+            CAST(x // 65536 % 256 AS VARCHAR) || '.' ||
+            CAST(x // 256 % 256 AS VARCHAR) || '.' ||
+            CAST(x % 256 AS VARCHAR) AS ip,
+          COALESCE(d.net_name, 'public') AS net_name
+        FROM (SELECT l_orderkey,
+            (l_orderkey * 2654435761) % 4294967296 AS x
+          FROM lineitem WHERE l_linenumber = 1) p
+        LEFT JOIN (VALUES
+            (167772160, 184549375, 'rfc1918-a'),
+            (2886729728, 2887778303, 'rfc1918-b'),
+            (3232235520, 3232301055, 'rfc1918-c'),
+            (134744064, 134744319, 'dns-google'))
+          d(net_start, net_end, net_name)
+          ON p.x BETWEEN d.net_start AND d.net_end
+        ORDER BY l_orderkey""")),
+
+    Entry(
       "inet_funcs",
       // inet_ntoa/inet_aton roundtrip over synthetic u32 addresses
       // derived from lineitem keys — DuckDB-oracled.
