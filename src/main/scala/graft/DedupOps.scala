@@ -425,16 +425,16 @@ object DedupOps {
   def substringPairs(docs: DataFrame, minDf: Int = 2, maxDf: Int = 8,
       minShared: Int = 3): DataFrame = {
     // the fingerprint relation feeds the df count AND both sides of the
-    // pair self-join — without a persist the winnowing pipeline (hash +
-    // window-min over every character position) re-executes per branch
+    // pair self-join — without a persist the winnowing pipeline
+    // re-executes per branch. Single-pass native winnowing
+    // (graft.functions.WinnowFingerprints): no per-position String
+    // gram allocation, no intermediate arrays.
     val fp = docs
-      .withColumn("kgrams",
-        expr("transform(sequence(1, greatest(length(text) - 7, 1)), " +
-          "i -> xxhash64(substring(text, i, 8)))"))
-      .withColumn("fp",
-        explode(expr("array_distinct(transform(" +
-          "sequence(1, greatest(size(kgrams) - 3, 1), 1), " +
-          "j -> array_min(slice(kgrams, j, 4))))")))
+      .withColumn("fp", explode(
+        org.apache.spark.sql.graft.DatasetBridge.column(
+          graft.functions.WinnowFingerprints(
+            org.apache.spark.sql.graft.DatasetBridge
+              .expression(col("text")), 8, 4))))
       .select(col("doc_id"), col("fp"))
       .persist()
     val rare = fp.groupBy(col("fp")).agg(count(lit(1)).as("df"))

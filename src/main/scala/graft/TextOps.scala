@@ -308,21 +308,20 @@ object TextOps {
       "text_fingerprint",
       // Winnowing document fingerprints (Schleimer et al., SIGMOD'03):
       // rolling 8-char k-gram hashes, minimum over each window of 4,
-      // distinct survivors are the fingerprint set. Pure higher-order
-      // functions — no shuffle, no UDF.
-      (s, dir) =>
+      // distinct survivors are the fingerprint set — one pass in the
+      // native graft.functions.WinnowFingerprints expression (codegen,
+      // no per-position String allocation). No shuffle, no UDF.
+      (s, dir) => {
+        import org.apache.spark.sql.graft.DatasetBridge
+        val fps = DatasetBridge.column(graft.functions.WinnowFingerprints(
+          DatasetBridge.expression(col("text")), 8, 4))
         t(s, dir, "documents")
-          .withColumn("kgrams",
-            expr("transform(sequence(1, greatest(length(text) - 7, 1)), " +
-              "i -> xxhash64(substring(text, i, 8)))"))
-          .withColumn("fps",
-            expr("array_distinct(transform(" +
-              "sequence(1, greatest(size(kgrams) - 3, 1)), " +
-              "j -> array_min(slice(kgrams, j, 4))))"))
+          .withColumn("fps", fps)
           .select(col("doc_id"), size(col("fps")).cast("long").as("n_fp"),
             array_min(col("fps")).as("fp_min"),
             array_max(col("fps")).as("fp_max"))
-          .orderBy(col("doc_id")),
+          .orderBy(col("doc_id"))
+      },
       None),
 
     Entry(

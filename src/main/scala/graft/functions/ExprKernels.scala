@@ -141,6 +141,46 @@ object ExprKernels {
     h
   }
 
+  /** Winnowing fingerprints (see [[WinnowFingerprints]]): positional
+    * k-byte FNV-1a grams, minimum per sliding window of `w`, distinct
+    * survivors in first-occurrence order. Shorter-than-k input hashes
+    * whole; a gram count below `w` yields one whole-array window —
+    * the same edge semantics as the declarative
+    * `transform(sequence(1, greatest(…, 1)))` chain it replaces.
+    */
+  def winnow(s: UTF8String, k: Int, w: Int): ArrayData = {
+    val bytes = s.getBytes
+    val m = bytes.length
+    val nGrams = if (m < k) 1 else m - k + 1
+    val grams = new Array[Long](nGrams)
+    if (m < k) grams(0) = fnv1a64(bytes)
+    else {
+      var start = 0
+      while (start + k <= m) {
+        var h = 0xcbf29ce484222325L
+        var i = start
+        while (i < start + k) {
+          h ^= (bytes(i) & 0xffL); h *= 0x100000001b3L; i += 1
+        }
+        grams(start) = h
+        start += 1
+      }
+    }
+    val seen = new java.util.HashSet[java.lang.Long]()
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val nWin = math.max(nGrams - w + 1, 1)
+    var j = 0
+    while (j < nWin) {
+      var mn = Long.MaxValue
+      var i = j
+      val end = math.min(j + w, nGrams)
+      while (i < end) { if (grams(i) < mn) mn = grams(i); i += 1 }
+      if (seen.add(mn)) out += mn
+      j += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   /** Banded (Ukkonen) Levenshtein: the exact edit distance when it is
     * <= k, else k+1. O((2k+1)·n) time and one O(m) row — vs the full
     * O(n·m) matrix of plain levenshtein — with a whole-row early exit

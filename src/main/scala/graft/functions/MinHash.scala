@@ -59,6 +59,36 @@ case class NgramHashes(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Winnowing fingerprints (Schleimer et al., SIGMOD'03) of a string
+  * in ONE pass: positional k-byte FNV-1a 64 grams, minimum over each
+  * sliding window of `w`, distinct survivors as `array<long>`.
+  * Replaces the two chained interpreted higher-order transforms
+  * (`transform(sequence, i -> xxhash64(substring(...)))` then
+  * `transform(sequence, j -> array_min(slice(...)))`), which allocate
+  * every 8-char gram as a String and materialize both intermediate
+  * arrays per row — the dominant cost of substring-level dedup at
+  * bench. Byte-positional rather than character-positional (identical
+  * on ASCII corpora; multi-byte code points shift gram boundaries,
+  * not winnowing guarantees).
+  */
+case class WinnowFingerprints(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_winnow"
+
+  override protected def nullSafeEval(input: Any): Any =
+    ExprKernels.winnow(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.ExprKernels.winnow($c, $k, $w);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object MinHashSig {
   val NPerms = 64
 

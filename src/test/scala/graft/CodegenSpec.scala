@@ -28,6 +28,7 @@ class CodegenSpec extends SparkSuite {
       assert(q("dedup_ngram_jaccard", Fixtures.dir).collect().nonEmpty)
       assert(q("dedup_embedding", Fixtures.dir).collect().nonEmpty)
       assert(q("knn_brute", Fixtures.dir).collect().nonEmpty)
+      assert(q("text_fingerprint", Fixtures.dir).collect().nonEmpty)
     }
   }
 

@@ -138,6 +138,31 @@ class SnortSpec extends SparkSuite {
     }
   }
 
+  test("assembleFile handles orphan slots, out-of-order records, and duplicate event keys") {
+    import Unified2._
+    def ev(idx: Int, eid: Long) = U2Record("f", idx, EventV2,
+      sensor_id = Some(1L), event_id = Some(eid), event_second = Some(100L),
+      event_microsecond = Some(0L), signature_id = Some(7L))
+    def pkt(idx: Int, eid: Long) = U2Record("f", idx, Packet,
+      sensor_id = Some(1L), event_id = Some(eid), event_second = Some(100L),
+      packet_second = Some(100L), packet_data = Some(Array[Byte](idx.toByte)))
+    // packet BEFORE its event; an orphan packet (eid 99); duplicate
+    // event key (two eid-5 events) sharing two packets
+    val out = assembleFile("s", Seq(
+      pkt(0, 5), ev(1, 5), pkt(2, 99), pkt(3, 5), ev(4, 5)))
+    assert(out.length == 2, "both duplicate-key events must assemble")
+    out.foreach { a =>
+      val slots = a.packets.get.map(_.rec_index)
+      assert(slots == Seq(0, 3),
+        s"each event sees the full slot list in rec order: $slots")
+    }
+    // orphan packet (no matching event) must not produce an alert
+    assert(!out.exists(_.event_id.contains(99L)))
+    // event with no packets -> NULL (None), like the left join
+    val lone = assembleFile("s", Seq(ev(0, 1)))
+    assert(lone.head.packets.isEmpty && lone.head.extra.isEmpty)
+  }
+
   test("star_normalize assigns per-sensor consecutive cids, one per packet slot") {
     val star = SnortStar.normalize(SnortOps.fixtureAlerts(spark))
     val events = star("event").orderBy(col("cid")).collect()
