@@ -20,6 +20,42 @@ object TextOps {
   private def words(c: Column): Column =
     filter(split(c, " "), x => length(x) > lit(0))
 
+  /** Lowercased host of a URL, `www.` and any port stripped. */
+  def urlHost(url: Column): Column = {
+    val hostport = regexp_extract(url, "^[A-Za-z]+://([^/?#]+)", 1)
+    regexp_replace(
+      lower(regexp_replace(hostport, ":[0-9]+$", "")), "^www\\.", "")
+  }
+
+  /** Canonical form of a URL (the web-corpus dedup key — shared by
+    * the `text_url_canon` entry and UrlCanonSpec): scheme and host
+    * lowercased, `www.` stripped, default ports dropped (https:443 /
+    * http:80; others kept), ONE level of `x/../` resolved, `utm_*`
+    * params and the fragment removed, an emptied query's `?` dropped,
+    * path case preserved. Extraction-and-rebuild — no blanket
+    * lowercase, no regex group refs in replacements (Spark `$1` vs
+    * DuckDB `\1` differ).
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, "^([A-Za-z]+)://", 1))
+    val hostport = regexp_extract(url, "^[A-Za-z]+://([^/?#]+)", 1)
+    val host = urlHost(url)
+    val port = regexp_extract(hostport, ":([0-9]+)$", 1)
+    val defaultPort = (scheme === "https" && port === "443") ||
+      (scheme === "http" && port === "80")
+    val path = regexp_replace(
+      regexp_extract(url, "^[A-Za-z]+://[^/?#]+([^?#]*)", 1),
+      "[^/]+/\\.\\./", "")
+    val q0 = regexp_extract(url, "\\?([^#]*)", 1)
+    val q2 = regexp_replace(regexp_replace(q0,
+      "utm_[^&]*&", ""), "&?utm_[^&]*$", "")
+    concat(scheme, lit("://"), host,
+      when(defaultPort || port === "", lit(""))
+        .otherwise(concat(lit(":"), port)),
+      path,
+      when(q2 === "", lit("")).otherwise(concat(lit("?"), q2)))
+  }
+
   val entries: Seq[Entry] = Seq(
     Entry(
       "text_normalize",
@@ -165,28 +201,12 @@ object TextOps {
           lit("/a/b/../c/Page"), col("doc_id").cast("string"),
           lit("?utm_source=feed&id="), col("doc_id").cast("string"),
           lit("&utm_campaign=x#frag"))
-        val scheme = lower(regexp_extract(url, "^([A-Za-z]+)://", 1))
-        val hostport = regexp_extract(url, "^[A-Za-z]+://([^/?#]+)", 1)
-        val host = regexp_replace(
-          lower(regexp_replace(hostport, ":[0-9]+$", "")), "^www\\.", "")
-        val port = regexp_extract(hostport, ":([0-9]+)$", 1)
-        val defaultPort = (scheme === "https" && port === "443") ||
-          (scheme === "http" && port === "80")
-        val path = regexp_replace(
-          regexp_extract(url, "^[A-Za-z]+://[^/?#]+([^?#]*)", 1),
-          "[^/]+/\\.\\./", "")
-        val q0 = regexp_extract(url, "\\?([^#]*)", 1)
-        val q2 = regexp_replace(regexp_replace(q0,
-          "utm_[^&]*&", ""), "&?utm_[^&]*$", "")
-        val canon = concat(scheme, lit("://"), host,
-          when(defaultPort || port === "", lit(""))
-            .otherwise(concat(lit(":"), port)),
-          path,
-          when(q2 === "", lit("")).otherwise(concat(lit("?"), q2)))
         t(s, dir, "documents")
-          .select(col("doc_id"), url.as("url"), canon.as("canon_url"),
-            host.as("host"),
-            regexp_count(q0, lit("utm_")).cast("long").as("n_tracking"))
+          .select(col("doc_id"), url.as("url"),
+            canonicalizeUrl(url).as("canon_url"),
+            urlHost(url).as("host"),
+            regexp_count(regexp_extract(url, "\\?([^#]*)", 1),
+              lit("utm_")).cast("long").as("n_tracking"))
           .orderBy(col("doc_id"))
       },
       Some("""WITH u AS (SELECT doc_id,
