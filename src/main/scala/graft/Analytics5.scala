@@ -429,6 +429,48 @@ object Analytics5 {
         ORDER BY rule""")),
 
     Entry(
+      "q89_variant",
+      // Spark 4 VariantType end-to-end: JSON built from lineitem rows
+      // → parse_json → typed variant_get path extraction → relational
+      // aggregate. Variant is the open-schema semi-structured column
+      // (binary-encoded, path access without full shred) — the modern
+      // replacement for stringly-typed JSON columns at scale. Sum
+      // stays order-independent (quantities are integer-valued
+      // doubles, exact in binary64). Oracle: DuckDB json_extract over
+      // identically constructed JSON.
+      (s, dir) => {
+        val js = concat(
+          lit("{\"ok\":"), col("l_orderkey").cast("string"),
+          lit(",\"line\":"), col("l_linenumber").cast("string"),
+          lit(",\"dims\":{\"qty\":"), col("l_quantity").cast("string"),
+          lit(",\"flag\":\""), col("l_returnflag"), lit("\"}}"))
+        t(s, dir, "lineitem")
+          .filter(col("l_orderkey") % 100 === 0)
+          .select(parse_json(js).as("v"))
+          .select(
+            variant_get(col("v"), "$.dims.qty", "double").as("qty"),
+            variant_get(col("v"), "$.dims.flag", "string").as("flag"),
+            variant_get(col("v"), "$.line", "bigint").as("line"))
+          .groupBy(col("flag"))
+          .agg(count(lit(1)).as("n"), sum(col("qty")).as("sum_qty"),
+            max(col("line")).as("max_line"))
+          .orderBy(col("flag"))
+      },
+      Some("""WITH j AS (SELECT
+            '{"ok":' || l_orderkey || ',"line":' || l_linenumber ||
+            ',"dims":{"qty":' || l_quantity || ',"flag":"' ||
+            l_returnflag || '"}}' AS js
+          FROM lineitem WHERE l_orderkey % 100 = 0),
+        e AS (SELECT
+            CAST(json_extract_string(js, '$.dims.qty') AS DOUBLE) AS qty,
+            json_extract_string(js, '$.dims.flag') AS flag,
+            CAST(json_extract_string(js, '$.line') AS BIGINT) AS line
+          FROM j)
+        SELECT flag, COUNT(*) AS n, SUM(qty) AS sum_qty,
+          MAX(line) AS max_line
+        FROM e GROUP BY flag ORDER BY flag""")),
+
+    Entry(
       "table_profile",
       // Column profiling (the ANALYZE surface): one aggregation pass
       // emits per-column null count, exact distinct count and min/max,
