@@ -318,7 +318,23 @@ object DedupOps {
           .distinct()
           .orderBy(col("a"), col("b"))
       },
-      None),
+      // The oracle works on gram STRINGS where we work on FNV64 gram
+      // hashes, and blocks on the raw 16-char prefix where we block on
+      // its xxhash64 — equivalent as long as hash-equality ⇔ string-
+      // equality (no observed collisions on the fixed test corpora;
+      // jaccard itself is an exact int/int division on both sides).
+      Some("""WITH g AS (SELECT doc_id, substring(text,1,16) AS blk,
+            CASE WHEN len(text) < 4 THEN [text]
+                 ELSE list_distinct(list_transform(
+                   range(1, len(text)-2), i -> substring(text,i,4)))
+            END AS grams
+          FROM documents),
+        pairs AS (SELECT l.doc_id AS a, r.doc_id AS b,
+            CAST(len(list_intersect(l.grams, r.grams)) AS DOUBLE) /
+              len(list_distinct(list_concat(l.grams, r.grams))) AS jaccard
+          FROM g l JOIN g r ON l.blk = r.blk AND l.doc_id < r.doc_id)
+        SELECT DISTINCT a, b, jaccard FROM pairs
+        WHERE jaccard >= 0.6 ORDER BY a, b""")),
 
     Entry(
       "dedup_embedding",

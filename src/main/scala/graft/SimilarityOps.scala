@@ -193,7 +193,29 @@ object SimilarityOps {
         topkPerQuery(scored, "sim", 5)
           .orderBy(col("qid"), col("rank"))
       },
-      None),
+      // DuckDB-expressible because every float step is replicated in
+      // the identical order: normalize (x/√Σx², left fold), dot (left
+      // fold), rank (sim DESC, vec_id ASC = TopKAgg's tie-break).
+      // list_reduce seeds with the first element vs our 0.0 — equal
+      // for doubles (0.0 + x = x), so sims hash-match bit-for-bit.
+      Some("""WITH norm AS (
+          SELECT vec_id,
+            list_transform(embedding, x -> CAST(x AS DOUBLE) / sqrt(
+              list_reduce(list_transform(embedding,
+                y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)),
+                (a,b) -> a+b))) AS e
+          FROM embeddings),
+        q AS (SELECT vec_id AS qid, e AS qe FROM norm WHERE vec_id < 10),
+        s AS (SELECT q.qid, n.vec_id,
+            list_reduce(list_transform(range(1, len(n.e)+1),
+              i -> n.e[i]*q.qe[i]), (a,b) -> a+b) AS sim
+          FROM norm n, q WHERE n.vec_id <> q.qid),
+        r AS (SELECT qid,
+            CAST(row_number() OVER (PARTITION BY qid
+              ORDER BY sim DESC, vec_id) AS INT) AS rank,
+            vec_id, sim FROM s)
+        SELECT qid, rank, vec_id, sim FROM r
+        WHERE rank <= 5 ORDER BY qid, rank""")),
 
     Entry(
       "knn_ivf",

@@ -292,8 +292,10 @@ object TextOps {
       "text_langid",
       // n-gram/stopword-profile language ID heuristic: score the token
       // set against per-language function-word profiles, argmax with a
-      // deterministic tie-break (profile order). Rows-only: the scoring
-      // is not expressible in ANSI SQL; LangIdSpec pins golden outputs.
+      // deterministic tie-break (profile order). Oracled: the scores
+      // are plain token counts and the profile-order argmax unrolls
+      // into a CASE cascade (branch k wins iff score_k >= all later
+      // scores and every earlier branch lost — i.e. earliest max).
       (s, dir) => {
         val profiles = Seq(
           "en" -> Seq("the", "and", "of", "to", "a", "is"),
@@ -322,7 +324,33 @@ object TextOps {
             (col("pred") === col("lang")).as("agree"))
           .orderBy(col("doc_id"))
       },
-      None),
+      Some("""WITH w AS (SELECT doc_id, lang,
+            list_filter(string_split(lower(text), ' '),
+              x -> len(x) > 0) AS w
+          FROM documents),
+        s AS (SELECT doc_id, lang,
+            len(list_filter(w, x -> list_contains(
+              ['the','and','of','to','a','is'], x))) AS s_en,
+            len(list_filter(w, x -> list_contains(
+              ['der','die','und','das','ist','ein'], x))) AS s_de,
+            len(list_filter(w, x -> list_contains(
+              ['el','la','de','y','es','un'], x))) AS s_es,
+            len(list_filter(w, x -> list_contains(
+              ['le','la','et','les','est','un'], x))) AS s_fr,
+            len(list_filter(w, x -> list_contains(
+              ['de','shi','le','zai','he','you'], x))) AS s_zh
+          FROM w),
+        p AS (SELECT doc_id, lang,
+            CASE WHEN s_en >= s_de AND s_en >= s_es
+                  AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+                 WHEN s_de >= s_es AND s_de >= s_fr
+                  AND s_de >= s_zh THEN 'de'
+                 WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+                 WHEN s_fr >= s_zh THEN 'fr'
+                 ELSE 'zh' END AS pred_lang
+          FROM s)
+        SELECT doc_id, lang, pred_lang, pred_lang = lang AS agree
+        FROM p ORDER BY doc_id""")),
 
     Entry(
       "text_fingerprint",

@@ -192,10 +192,16 @@ class SpoolTailStream(dirs: Seq[String], prefix: String)
         case Some(Seq(o, i)) => (o, i)
         case _ => (0L, 0L)
       }
-      if (endOff > startOff)
+      if (endOff > startOff) {
+        // rec_idx is Int in the output schema; a checkpointed index past
+        // Int.MaxValue (>2^31 records in ONE spool file — snort rotates
+        // long before that) would wrap negative on the cast. Fail loud
+        // at planning rather than emit corrupt indices.
+        require(startIdx <= Int.MaxValue,
+          s"record index $startIdx in $path exceeds Int range")
         Some(SpoolTailPartition(path, startOff, startIdx.toInt, endOff)
           : InputPartition)
-      else None
+      } else None
     }.toArray
   }
 
