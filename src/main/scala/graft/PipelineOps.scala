@@ -225,6 +225,36 @@ object PipelineOps {
               ORDER BY (doc_id * 2654435761) % 1000000007, doc_id)
             AS BIGINT) AS rk
           FROM documents)
-        WHERE rk <= 20 ORDER BY lang, rk"""))
+        WHERE rk <= 20 ORDER BY lang, rk""")),
+
+    Entry(
+      "mix_token_budget",
+      // Data-mix quota: cap each source's contribution at a fixed token
+      // budget by taking the deterministic per-source prefix whose
+      // running token sum fits — the per-domain quota step of mix
+      // recipes (e.g. The Pile's per-set epochs). Same one-window-per-
+      // stratum shape as pack_sequences, but as a selection, not an
+      // assignment: rows past the budget are dropped.
+      (s, dir) => {
+        val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, dir, "documents")
+          .withColumn("n_tok", size(words(col("text"))).cast("long"))
+          .withColumn("cum_tok", sum(col("n_tok")).over(w))
+          .filter(col("cum_tok") <= 800)
+          .select(col("source"), col("doc_id"), col("n_tok"),
+            col("cum_tok"))
+          .orderBy(col("source"), col("doc_id"))
+      },
+      Some("""WITH tok AS (SELECT source, doc_id,
+            CAST(len(list_filter(string_split(text, ' '),
+              x -> len(x) > 0)) AS BIGINT) AS n_tok
+          FROM documents),
+        c AS (SELECT source, doc_id, n_tok,
+            SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+              ROWS UNBOUNDED PRECEDING) AS cum_tok
+          FROM tok)
+        SELECT source, doc_id, n_tok, CAST(cum_tok AS BIGINT) AS cum_tok
+        FROM c WHERE cum_tok <= 800 ORDER BY source, doc_id"""))
   )
 }
