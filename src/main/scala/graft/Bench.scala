@@ -26,6 +26,7 @@ object Bench {
       // persist) — setup, not workload; u2_bulk_ingest still measures
       // the real ingest pipeline end-to-end
       SnortOps.fixtureAlerts(spark).count()
+      SnortOps.dumpOracleBase(spark)
     } catch { case _: Throwable => () }
     // optional args = query-name subset (local iteration; the driver
     // invokes with no args and gets the full suite)

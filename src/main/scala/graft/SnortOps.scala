@@ -14,8 +14,10 @@ import graft.sources.{Unified2, Unified2Fixture}
   * materialize a deterministic fixture spool (public unified2 byte
   * layout, see [[graft.sources.Unified2Fixture]]) and run the REAL
   * pipeline over it; SnortSpec asserts the planted golden values.
-  * Oracle SQL is omitted (binary formats are outside DuckDB) except
-  * `inet_funcs`, which is arithmetic and fully oracled.
+  * Binary parsing itself is outside DuckDB, so the parse entries stay
+  * rows-only + spec; everything DOWNSTREAM of parsing (enrichment
+  * joins + fallbacks, dim surrogate keys, text rendering, arithmetic)
+  * is oracled against the [[oracleBaseDir]] dumps or directly.
   */
 object SnortOps {
 
@@ -43,6 +45,44 @@ object SnortOps {
           Maps.combinedSigMap(s2, sid, gen)),
         Maps.classMap(s2, cls)).persist()
     })
+
+  /** Where the UPSTREAM relations (pre-enrichment alerts + parsed rule
+    * maps) are dumped so DuckDB can re-derive the enrichment, dim, and
+    * rendering entries independently. Absolute path: the driver's
+    * DuckDB process has an unknown cwd. IPs are dumped already rendered
+    * (the binary→string step is itself oracled via inet_funcs; RFC 5952
+    * v6 output is not reasonably expressible in SQL) — everything
+    * DOWNSTREAM of the dump (joins, fallbacks, dense_rank keys, text
+    * assembly) is what those oracles check.
+    */
+  val oracleBaseDir = "/root/repo/target/graft_scratch/oracle_base"
+  private val dumpDone =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean]()
+  /** public so Bench's untimed warmup can pay the write once */
+  def dumpOracleBase(s: SparkSession): Unit = {
+    dumpDone.computeIfAbsent(s, (s2: SparkSession) => {
+      val (sid, gen, cls) = Unified2Fixture.writeMaps(
+        s"${Unified2Fixture.defaultRoot()}/maps")
+      Unified2.alerts(fixtureRecords(s2))
+        .select(col("sensor"), col("src_file"), col("rec_index"),
+          col("sensor_id"), col("event_id"), col("event_second"),
+          col("event_microsecond"), col("event_ts"),
+          col("signature_id"), col("generator_id"),
+          col("signature_revision"), col("classification_id"),
+          col("priority_id"),
+          Net.ipToString(col("ip_source")).as("src_ip"),
+          Net.ipToString(col("ip_destination")).as("dst_ip"),
+          col("sport_itype"), col("dport_icode"), col("protocol"))
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$oracleBaseDir/alerts_base")
+      Maps.combinedSigMap(s2, sid, gen).coalesce(1)
+        .write.mode("overwrite").parquet(s"$oracleBaseDir/sigmap")
+      Maps.classMap(s2, cls).coalesce(1)
+        .write.mode("overwrite").parquet(s"$oracleBaseDir/classmap")
+      java.lang.Boolean.TRUE
+    })
+    ()
+  }
 
   val entries: Seq[Entry] = Seq(
     Entry("u2_parse", (s, _) =>
@@ -85,18 +125,44 @@ object SnortOps {
       Maps.classMap(s, cls).orderBy(col("class_id"))
     }, None),
 
-    Entry("sig_enrich", (s, _) =>
+    Entry("sig_enrich", (s, _) => {
+      dumpOracleBase(s)
       fixtureAlerts(s)
         .select(col("event_id"), col("generator_id"), col("signature_id"),
           col("sig_msg"), col("sig_rev"), col("sig_priority"))
-        .orderBy(col("event_id")),
-      None),
+        .orderBy(col("event_id"))
+    },
+      // re-derives the reference's fallback semantics (Unknown Alert
+      // g:s / rev 0 / priority 10 on unmapped sigs) from the dumped
+      // pre-enrichment base + sid/gen maps
+      Some(s"""WITH b AS (SELECT * FROM
+            read_parquet('$oracleBaseDir/alerts_base/*.parquet')),
+          m AS (SELECT * FROM
+            read_parquet('$oracleBaseDir/sigmap/*.parquet'))
+        SELECT b.event_id, b.generator_id, b.signature_id,
+          COALESCE(m.msg, 'Unknown Alert ' ||
+            CAST(b.generator_id AS VARCHAR) || ':' ||
+            CAST(b.signature_id AS VARCHAR)) AS sig_msg,
+          CASE WHEN m.sid IS NULL THEN 0
+            ELSE COALESCE(b.signature_revision, 1) END AS sig_rev,
+          CASE WHEN m.sid IS NULL THEN 10
+            ELSE b.priority_id END AS sig_priority
+        FROM b LEFT JOIN m
+          ON b.generator_id = m.gid AND b.signature_id = m.sid
+        ORDER BY b.event_id""")),
 
-    Entry("class_enrich", (s, _) =>
+    Entry("class_enrich", (s, _) => {
+      dumpOracleBase(s)
       fixtureAlerts(s)
         .select(col("event_id"), col("classification_id"), col("class_name"))
-        .orderBy(col("event_id")),
-      None),
+        .orderBy(col("event_id"))
+    },
+      Some(s"""SELECT b.event_id, b.classification_id,
+          COALESCE(c.class_name, 'unknown-classification') AS class_name
+        FROM read_parquet('$oracleBaseDir/alerts_base/*.parquet') b
+        LEFT JOIN read_parquet('$oracleBaseDir/classmap/*.parquet') c
+          ON b.classification_id = c.class_id
+        ORDER BY b.event_id""")),
 
     Entry("packet_decode", (s, _) => {
       SnortStar.registerFunctions(s)
@@ -167,17 +233,87 @@ object SnortOps {
         .orderBy(col("s_gid"), col("s_sid"))
     }, None),
 
-    Entry("sensor_dim", (s, _) =>
-      SnortStar.sensors(fixtureAlerts(s)).orderBy(col("sensor_sid")),
-      None),
+    Entry("sensor_dim", (s, _) => {
+      dumpOracleBase(s)
+      SnortStar.sensors(fixtureAlerts(s)).orderBy(col("sensor_sid"))
+    },
+      Some(s"""SELECT sensor,
+          CAST(DENSE_RANK() OVER (ORDER BY sensor) AS BIGINT)
+            AS sensor_sid,
+          'charlotte' AS interface
+        FROM (SELECT DISTINCT sensor FROM
+          read_parquet('$oracleBaseDir/alerts_base/*.parquet'))
+        ORDER BY sensor_sid""")),
 
-    Entry("signature_dim", (s, _) =>
-      SnortStar.signatures(fixtureAlerts(s)).orderBy(col("sig_id")),
-      None),
+    Entry("signature_dim", (s, _) => {
+      dumpOracleBase(s)
+      SnortStar.signatures(fixtureAlerts(s)).orderBy(col("sig_id"))
+    },
+      // the full signature-uniqueness key (incl. class + priority, the
+      // reference's upsert key) re-derived: enrichment fallbacks from
+      // the maps, then DISTINCT + dense_rank surrogate keys in SQL
+      Some(s"""WITH b AS (SELECT * FROM
+            read_parquet('$oracleBaseDir/alerts_base/*.parquet')),
+          m AS (SELECT * FROM
+            read_parquet('$oracleBaseDir/sigmap/*.parquet')),
+          e AS (SELECT DISTINCT
+            b.generator_id AS s_gid, b.signature_id AS s_sid,
+            CASE WHEN m.sid IS NULL THEN 0
+              ELSE COALESCE(b.signature_revision, 1) END AS s_rev,
+            b.classification_id AS s_class_id,
+            CASE WHEN m.sid IS NULL THEN 10
+              ELSE b.priority_id END AS s_priority,
+            COALESCE(m.msg, 'Unknown Alert ' ||
+              CAST(b.generator_id AS VARCHAR) || ':' ||
+              CAST(b.signature_id AS VARCHAR)) AS s_msg
+          FROM b LEFT JOIN m
+            ON b.generator_id = m.gid AND b.signature_id = m.sid)
+        SELECT s_gid, s_sid, s_rev, s_class_id, s_priority, s_msg,
+          CAST(DENSE_RANK() OVER (ORDER BY s_gid, s_sid, s_rev,
+            s_class_id, s_priority, s_msg) AS BIGINT) AS sig_id
+        FROM e ORDER BY sig_id""")),
 
-    Entry("u2_text", (s, _) =>
-      SnortStar.textFormat(fixtureAlerts(s)).orderBy(col("event_id")),
-      None),
+    Entry("u2_text", (s, _) => {
+      dumpOracleBase(s)
+      SnortStar.textFormat(fixtureAlerts(s)).orderBy(col("event_id"))
+    },
+      // the u2fast one-line rendering assembled independently in SQL:
+      // enrichment fallbacks, timestamp/microsecond formatting,
+      // protocol names, and the full bracket layout
+      Some(s"""WITH b AS (SELECT * FROM
+            read_parquet('$oracleBaseDir/alerts_base/*.parquet')),
+          m AS (SELECT * FROM
+            read_parquet('$oracleBaseDir/sigmap/*.parquet')),
+          c AS (SELECT * FROM
+            read_parquet('$oracleBaseDir/classmap/*.parquet')),
+          e AS (SELECT b.*,
+            COALESCE(m.msg, 'Unknown Alert ' ||
+              CAST(b.generator_id AS VARCHAR) || ':' ||
+              CAST(b.signature_id AS VARCHAR)) AS sig_msg,
+            CASE WHEN m.sid IS NULL THEN 0
+              ELSE COALESCE(b.signature_revision, 1) END AS sig_rev,
+            CASE WHEN m.sid IS NULL THEN 10
+              ELSE b.priority_id END AS sig_priority,
+            COALESCE(c.class_name, 'unknown-classification')
+              AS class_name
+          FROM b LEFT JOIN m
+            ON b.generator_id = m.gid AND b.signature_id = m.sid
+          LEFT JOIN c ON b.classification_id = c.class_id)
+        SELECT sensor, event_id,
+          strftime(event_ts, '%m/%d-%H:%M:%S.') ||
+          lpad(CAST(event_microsecond AS VARCHAR), 6, '0') ||
+          '  [**] [' || CAST(generator_id AS VARCHAR) || ':' ||
+          CAST(signature_id AS VARCHAR) || ':' ||
+          CAST(sig_rev AS VARCHAR) || '] ' || sig_msg ||
+          ' [**] [Classification: ' || class_name ||
+          '] [Priority: ' || CAST(sig_priority AS VARCHAR) || '] {' ||
+          CASE WHEN protocol = 6 THEN 'TCP'
+               WHEN protocol = 17 THEN 'UDP'
+               WHEN protocol = 1 THEN 'ICMP'
+               ELSE CAST(protocol AS VARCHAR) END || '} ' ||
+          src_ip || ':' || CAST(sport_itype AS VARCHAR) || ' -> ' ||
+          dst_ip || ':' || CAST(dport_icode AS VARCHAR) AS line
+        FROM e ORDER BY event_id""")),
 
     Entry(
       "u2_bulk_ingest",
