@@ -79,6 +79,27 @@ object SnortOps {
         .write.mode("overwrite").parquet(s"$oracleBaseDir/sigmap")
       Maps.classMap(s2, cls).coalesce(1)
         .write.mode("overwrite").parquet(s"$oracleBaseDir/classmap")
+      // record-level skeleton (no binary payloads): lets SQL re-derive
+      // the event←packet/extra ASSEMBLY (grouping keys + counts)
+      fixtureRecords(s2)
+        .select(col("sensor"), col("src_file"), col("rec_index"),
+          col("sensor_id"), col("event_id"), col("event_second"),
+          col("rec_type"))
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$oracleBaseDir/records_base")
+      // decoded per-packet headers (decode itself is binary, spec-
+      // tested; addresses land as dotted-quad/RFC5952 strings) keyed
+      // by record identity — SQL re-derives slot ranks, cid, inet_aton
+      SnortStar.registerFunctions(s2)
+      fixtureRecords(s2)
+        .filter(col("rec_type") === Unified2.Packet)
+        .withColumn("d", expr("graft_decode_packet(packet_data)"))
+        .select(col("sensor"), col("src_file"), col("rec_index"),
+          col("sensor_id"), col("event_id"), col("event_second"),
+          col("d.ip_ver").as("ip_ver"), col("d.ip_src").as("ip_src"),
+          col("d.ip_dst").as("ip_dst"))
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$oracleBaseDir/packets_decoded")
       java.lang.Boolean.TRUE
     })
     ()
@@ -89,7 +110,8 @@ object SnortOps {
       fixtureRecords(s).orderBy(col("src_file"), col("rec_index")),
       None),
 
-    Entry("u2_events", (s, _) =>
+    Entry("u2_events", (s, _) => {
+      dumpOracleBase(s)
       Unified2.alerts(fixtureRecords(s))
         .select(col("sensor"), col("sensor_id"), col("event_id"),
           col("event_second"), col("event_microsecond"), col("event_ts"),
@@ -100,8 +122,33 @@ object SnortOps {
           col("sport_itype"), col("dport_icode"), col("protocol"),
           size(col("packets")).as("n_packets"),
           size(col("extra")).as("n_extra"))
-        .orderBy(col("event_id")),
-      None),
+        .orderBy(col("event_id"))
+    },
+      // the assembly is what's re-derived: packet/extra records group
+      // on the same 5-part key and LEFT-join back (absent → NULL, the
+      // size(NULL) semantics); scalar event fields pass through the
+      // base dump
+      Some(s"""WITH b AS (SELECT * FROM
+            read_parquet('$oracleBaseDir/alerts_base/*.parquet')),
+          r AS (SELECT * FROM
+            read_parquet('$oracleBaseDir/records_base/*.parquet')),
+          pk AS (SELECT sensor, src_file, sensor_id, event_id,
+              event_second, CAST(COUNT(*) AS INT) AS n_packets
+            FROM r WHERE rec_type = 2 GROUP BY ALL),
+          xd AS (SELECT sensor, src_file, sensor_id, event_id,
+              event_second, CAST(COUNT(*) AS INT) AS n_extra
+            FROM r WHERE rec_type = 110 GROUP BY ALL)
+        SELECT b.sensor, b.sensor_id, b.event_id, b.event_second,
+          b.event_microsecond, b.event_ts, b.signature_id,
+          b.generator_id, b.signature_revision, b.classification_id,
+          b.priority_id, b.src_ip, b.dst_ip, b.sport_itype,
+          b.dport_icode, b.protocol, pk.n_packets, xd.n_extra
+        FROM b
+        LEFT JOIN pk USING (sensor, src_file, sensor_id, event_id,
+          event_second)
+        LEFT JOIN xd USING (sensor, src_file, sensor_id, event_id,
+          event_second)
+        ORDER BY b.event_id""")),
 
     Entry("sigmap_parse", (s, _) => {
       val (sid, _, _) = Unified2Fixture.writeMaps(
@@ -176,9 +223,71 @@ object SnortOps {
     }, None),
 
     Entry("star_normalize", (s, _) => {
+      dumpOracleBase(s)
       val star = SnortStar.normalize(fixtureAlerts(s))
       star("event").orderBy(col("sid"), col("cid"))
-    }, None),
+    },
+      // the distributed (sid, cid) assignment re-derived in SQL: the
+      // same two-level windows (per-file local prefix sum + per-sensor
+      // file-base prefix sum), slot expansion via unnest(range), dim
+      // surrogate keys, and the Snorby timestamp rendering
+      Some(s"""WITH b AS (SELECT * FROM
+            read_parquet('$oracleBaseDir/alerts_base/*.parquet')),
+          m AS (SELECT * FROM
+            read_parquet('$oracleBaseDir/sigmap/*.parquet')),
+          r AS (SELECT * FROM
+            read_parquet('$oracleBaseDir/records_base/*.parquet')),
+          pk AS (SELECT sensor, src_file, sensor_id, event_id,
+              event_second, COUNT(*) AS n_packets
+            FROM r WHERE rec_type = 2 GROUP BY ALL),
+          e AS (SELECT b.*,
+              COALESCE(m.msg, 'Unknown Alert ' ||
+                CAST(b.generator_id AS VARCHAR) || ':' ||
+                CAST(b.signature_id AS VARCHAR)) AS sig_msg,
+              CASE WHEN m.sid IS NULL THEN 0
+                ELSE COALESCE(b.signature_revision, 1) END AS sig_rev,
+              CASE WHEN m.sid IS NULL THEN 10
+                ELSE b.priority_id END AS sig_priority,
+              GREATEST(COALESCE(pk.n_packets, 0), 1) AS n_pkts
+            FROM b LEFT JOIN m ON b.generator_id = m.gid
+              AND b.signature_id = m.sid
+            LEFT JOIN pk USING (sensor, src_file, sensor_id, event_id,
+              event_second)),
+          sd AS (SELECT sensor, CAST(DENSE_RANK() OVER (ORDER BY sensor)
+              AS BIGINT) AS sensor_sid
+            FROM (SELECT DISTINCT sensor FROM b)),
+          g2 AS (SELECT *, CAST(DENSE_RANK() OVER (ORDER BY s_gid,
+                s_sid, s_rev, s_class_id, s_priority, s_msg) AS BIGINT)
+                AS sig_id
+            FROM (SELECT DISTINCT generator_id AS s_gid,
+                signature_id AS s_sid, sig_rev AS s_rev,
+                classification_id AS s_class_id,
+                sig_priority AS s_priority, sig_msg AS s_msg FROM e)),
+          fb AS (SELECT sensor, src_file, COALESCE(SUM(file_pkts) OVER (
+                PARTITION BY sensor ORDER BY src_file
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS file_base
+            FROM (SELECT sensor, src_file, SUM(n_pkts) AS file_pkts
+              FROM e GROUP BY ALL)),
+          wc AS (SELECT e.*, fb.file_base + COALESCE(SUM(e.n_pkts)
+                OVER (PARTITION BY e.sensor, e.src_file
+                  ORDER BY e.rec_index
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                + 1 AS cid_base
+            FROM e JOIN fb USING (sensor, src_file)),
+          ev0 AS (SELECT sd.sensor_sid AS sid, wc.cid_base,
+              g2.sig_id,
+              strftime(wc.event_ts, '%Y-%m-%d %H:%M:%S') AS ts,
+              unnest(range(0, wc.n_pkts)) AS slot
+            FROM wc JOIN sd USING (sensor)
+            JOIN g2 ON wc.generator_id = g2.s_gid
+              AND wc.signature_id = g2.s_sid AND wc.sig_rev = g2.s_rev
+              AND wc.classification_id = g2.s_class_id
+              AND wc.sig_priority = g2.s_priority
+              AND wc.sig_msg = g2.s_msg)
+        SELECT sid, CAST(cid_base + slot AS BIGINT) AS cid,
+          sig_id AS signature, ts AS "timestamp"
+        FROM ev0 ORDER BY sid, cid""")),
 
     Entry("u2_extra", (s, _) => {
       // typed EXTRA_DATA rendering (public unified2 spec type ids —
@@ -231,7 +340,102 @@ object SnortOps {
           countDistinct(col("ip_src")).as("n_src"),
           countDistinct(col("ip_dst")).as("n_dst"))
         .orderBy(col("s_gid"), col("s_sid"))
-    }, None),
+    },
+      // the full star pipeline re-derived: cid windows + slot ranks
+      // (row_number over rec_index = the sort_array pairing), iphdr's
+      // inet_aton as split-arithmetic, then the dashboard joins +
+      // distinct-talker rollup; only the binary packet decode passes
+      // through (dumped as decoded address strings, spec-tested)
+      Some(s"""WITH b AS (SELECT * FROM
+            read_parquet('$oracleBaseDir/alerts_base/*.parquet')),
+          m AS (SELECT * FROM
+            read_parquet('$oracleBaseDir/sigmap/*.parquet')),
+          r AS (SELECT * FROM
+            read_parquet('$oracleBaseDir/records_base/*.parquet')),
+          pd AS (SELECT * FROM
+            read_parquet('$oracleBaseDir/packets_decoded/*.parquet')),
+          pk AS (SELECT sensor, src_file, sensor_id, event_id,
+              event_second, COUNT(*) AS n_packets
+            FROM r WHERE rec_type = 2 GROUP BY ALL),
+          e AS (SELECT b.*,
+              COALESCE(m.msg, 'Unknown Alert ' ||
+                CAST(b.generator_id AS VARCHAR) || ':' ||
+                CAST(b.signature_id AS VARCHAR)) AS sig_msg,
+              CASE WHEN m.sid IS NULL THEN 0
+                ELSE COALESCE(b.signature_revision, 1) END AS sig_rev,
+              CASE WHEN m.sid IS NULL THEN 10
+                ELSE b.priority_id END AS sig_priority,
+              GREATEST(COALESCE(pk.n_packets, 0), 1) AS n_pkts
+            FROM b LEFT JOIN m ON b.generator_id = m.gid
+              AND b.signature_id = m.sid
+            LEFT JOIN pk USING (sensor, src_file, sensor_id, event_id,
+              event_second)),
+          sd AS (SELECT sensor, CAST(DENSE_RANK() OVER (ORDER BY sensor)
+              AS BIGINT) AS sensor_sid
+            FROM (SELECT DISTINCT sensor FROM b)),
+          g2 AS (SELECT *, CAST(DENSE_RANK() OVER (ORDER BY s_gid,
+                s_sid, s_rev, s_class_id, s_priority, s_msg) AS BIGINT)
+                AS sig_id
+            FROM (SELECT DISTINCT generator_id AS s_gid,
+                signature_id AS s_sid, sig_rev AS s_rev,
+                classification_id AS s_class_id,
+                sig_priority AS s_priority, sig_msg AS s_msg FROM e)),
+          fb AS (SELECT sensor, src_file, COALESCE(SUM(file_pkts) OVER (
+                PARTITION BY sensor ORDER BY src_file
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS file_base
+            FROM (SELECT sensor, src_file, SUM(n_pkts) AS file_pkts
+              FROM e GROUP BY ALL)),
+          wc AS (SELECT e.*, fb.file_base + COALESCE(SUM(e.n_pkts)
+                OVER (PARTITION BY e.sensor, e.src_file
+                  ORDER BY e.rec_index
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                + 1 AS cid_base
+            FROM e JOIN fb USING (sensor, src_file)),
+          ev0 AS (SELECT sd.sensor_sid AS sid, wc.cid_base,
+              wc.generator_id, wc.signature_id, wc.sig_rev,
+              wc.classification_id, wc.sig_priority, wc.sig_msg,
+              unnest(range(0, wc.n_pkts)) AS slot
+            FROM wc JOIN sd USING (sensor)),
+          ev AS (SELECT sid, cid_base + slot AS cid, g2.sig_id,
+              g2.s_gid, g2.s_sid, g2.s_msg
+            FROM ev0 JOIN g2 ON ev0.generator_id = g2.s_gid
+              AND ev0.signature_id = g2.s_sid
+              AND ev0.sig_rev = g2.s_rev
+              AND ev0.classification_id = g2.s_class_id
+              AND ev0.sig_priority = g2.s_priority
+              AND ev0.sig_msg = g2.s_msg),
+          ps AS (SELECT sensor, src_file, sensor_id, event_id,
+              event_second, rec_index,
+              CAST(ROW_NUMBER() OVER (PARTITION BY sensor, src_file,
+                sensor_id, event_id, event_second ORDER BY rec_index)
+                AS BIGINT) - 1 AS slot
+            FROM r WHERE rec_type = 2),
+          iph AS (SELECT sd.sensor_sid AS sid,
+              wc.cid_base + ps.slot AS cid,
+              CAST(string_split(pd.ip_src, '.')[1] AS BIGINT)*16777216
+                + CAST(string_split(pd.ip_src, '.')[2] AS BIGINT)*65536
+                + CAST(string_split(pd.ip_src, '.')[3] AS BIGINT)*256
+                + CAST(string_split(pd.ip_src, '.')[4] AS BIGINT)
+                AS ip_src,
+              CAST(string_split(pd.ip_dst, '.')[1] AS BIGINT)*16777216
+                + CAST(string_split(pd.ip_dst, '.')[2] AS BIGINT)*65536
+                + CAST(string_split(pd.ip_dst, '.')[3] AS BIGINT)*256
+                + CAST(string_split(pd.ip_dst, '.')[4] AS BIGINT)
+                AS ip_dst
+            FROM ps
+            JOIN pd USING (sensor, src_file, rec_index, sensor_id,
+              event_id, event_second)
+            JOIN wc USING (sensor, src_file, sensor_id, event_id,
+              event_second)
+            JOIN sd USING (sensor)
+            WHERE pd.ip_ver = 4)
+        SELECT ev.s_gid, ev.s_sid, ev.s_msg,
+          COUNT(*) AS n_events,
+          COUNT(DISTINCT iph.ip_src) AS n_src,
+          COUNT(DISTINCT iph.ip_dst) AS n_dst
+        FROM ev LEFT JOIN iph USING (sid, cid)
+        GROUP BY ALL ORDER BY ev.s_gid, ev.s_sid""")),
 
     Entry("sensor_dim", (s, _) => {
       dumpOracleBase(s)
