@@ -255,6 +255,43 @@ object PipelineOps {
               ROWS UNBOUNDED PRECEDING) AS cum_tok
           FROM tok)
         SELECT source, doc_id, n_tok, CAST(cum_tok AS BIGINT) AS cum_tok
-        FROM c WHERE cum_tok <= 800 ORDER BY source, doc_id"""))
+        FROM c WHERE cum_tok <= 800 ORDER BY source, doc_id""")),
+
+    Entry(
+      "mix_epochs",
+      // The UPSAMPLING half of mix construction (mix_token_budget is
+      // the downsampling half): sources short of the target token
+      // count repeat for ⌈target/total⌉ epochs (capped ×4, The-Pile
+      // style), materialized as (doc, epoch) rows via sequence-explode.
+      // Integer arithmetic only. Scale shape: per-source totals are a
+      // tiny aggregate broadcast back; the explode is map-side — the
+      // one shuffle is the totals groupBy.
+      (s, dir) => {
+        val totals = t(s, dir, "documents")
+          .withColumn("n_tok", size(words(col("text"))).cast("long"))
+          .groupBy(col("source")).agg(sum(col("n_tok")).as("tot_tok"))
+          .withColumn("epochs",
+            least(expr("(2000 + tot_tok - 1) div tot_tok"), lit(4L))
+              .cast("long"))
+        t(s, dir, "documents")
+          .join(broadcast(totals), "source")
+          .select(col("source"), col("doc_id"), col("epochs"),
+            explode(sequence(lit(1L), col("epochs"))).as("epoch"))
+          .select(col("source"), col("doc_id"), col("epoch"))
+          .orderBy(col("source"), col("doc_id"), col("epoch"))
+      },
+      Some("""WITH tok AS (SELECT source, doc_id,
+            CAST(len(list_filter(string_split(text, ' '),
+              x -> len(x) > 0)) AS BIGINT) AS n_tok
+          FROM documents),
+        tot AS (SELECT source,
+            LEAST((2000 + CAST(SUM(n_tok) AS BIGINT) - 1) //
+              CAST(SUM(n_tok) AS BIGINT), 4) AS epochs
+          FROM tok GROUP BY source),
+        o AS (SELECT d.source, d.doc_id,
+            unnest(range(1, tot.epochs + 1)) AS epoch
+          FROM documents d JOIN tot USING (source))
+        SELECT source, doc_id, CAST(epoch AS BIGINT) AS epoch
+        FROM o ORDER BY source, doc_id, epoch"""))
   )
 }
