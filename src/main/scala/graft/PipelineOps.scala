@@ -168,6 +168,27 @@ object PipelineOps {
         FROM documents ORDER BY doc_id""")),
 
     Entry(
+      "corpus_orc",
+      // ORC interchange round-trip (the third columnar exchange format
+      // next to corpus_jsonl/corpus_csv): written partitioned by lang,
+      // read back with an explicit schema, hash-checked against the
+      // source table — any loss in the ORC write→read cycle breaks the
+      // oracle match.
+      (s, dir) => {
+        val out = s"target/graft_scratch/corpus_orc_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        t(s, dir, "documents")
+          .write.mode("overwrite").partitionBy("lang").orc(out)
+        s.read.schema("doc_id BIGINT, text STRING, source STRING, " +
+            "n_chars BIGINT, lang STRING").orc(out)
+          .select(col("doc_id"), col("lang"), col("source"),
+            col("n_chars"), length(col("text")).cast("long").as("len_rt"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, lang, source, n_chars,
+        CAST(len(text) AS BIGINT) AS len_rt
+        FROM documents ORDER BY doc_id""")),
+
+    Entry(
       "sample_temperature",
       // Temperature-sampling weights (α = 0.5) — the multilingual
       // rebalancing rule for LLM data mixes: lang weight ∝ √(n/n_max),

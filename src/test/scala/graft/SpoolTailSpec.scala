@@ -142,4 +142,17 @@ class SpoolTailSpec extends SparkSuite {
       .records(spark, Seq(dir), "snort.log", "s1").count()
     assert(spark.table("tail_closed").count() == batch && batch > 0)
   }
+
+  test("planner fails loud on a record index past Int range (ADVICE r4)") {
+    val st = new graft.streaming.SpoolTailStream(Seq("/nonexistent"), "x")
+    val start = graft.streaming.SpoolTailOffset(
+      Map("/f" -> Seq(0L, Int.MaxValue.toLong + 1)))
+    val end = graft.streaming.SpoolTailOffset(
+      Map("/f" -> Seq(1024L, Int.MaxValue.toLong + 2)))
+    val e = intercept[IllegalArgumentException] {
+      st.planInputPartitions(start, end)
+    }
+    assert(e.getMessage.contains("exceeds Int range"),
+      s"wrong failure: ${e.getMessage}")
+  }
 }
