@@ -90,6 +90,13 @@ object DedupOps {
     })
   }
 
+  /** Pre-materialize the session signature caches (shingles + banded
+    * MinHash sigs) — signature-store build is setup shared by every
+    * dedup entry (same contract as SimilarityOps.warmCaches).
+    */
+  def warmCaches(s: SparkSession, dir: String): Unit =
+    bandedSigs(s, dir).count()
+
   private def minhashPairs(s: SparkSession, dir: String): DataFrame = {
     withJaccardRewrite(s)
     val sh = shingledCached(s, dir)
