@@ -4,7 +4,7 @@ import java.util.concurrent.atomic.AtomicInteger
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, MapState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, ListState, MapState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
 
 import Tables._
 import graft.sources.Unified2Fixture
@@ -186,6 +186,40 @@ object StreamOps {
       }
       touched.foreach { case (t, a) => st.updateValue(t, a) }
       touched.valuesIterator.toSeq.iterator
+    }
+  }
+
+  case class RecentOut(user_id: Long, n_seen: Long, r1: Option[Long],
+      r2: Option[Long], r3: Option[Long])
+
+  /** transformWithState with a LIST STATE (+ a ValueState counter —
+    * two states in one processor): the bounded recent-events buffer
+    * every feature store keeps per key. The buffer holds the top-3
+    * events by (us, event_id) — an order-independent criterion, so
+    * micro-batch boundaries and per-batch row order can't change the
+    * result; n_seen grows monotonically for the Update-mode final
+    * reduce.
+    */
+  class RecentProcessor extends StatefulProcessor[Long, SessEv, RecentOut] {
+    @transient private var buf: ListState[SessEv] = _
+    @transient private var n: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      buf = getHandle.getListState[SessEv]("recent",
+        Encoders.product[SessEv], TTLConfig.NONE)
+      n = getHandle.getValueState[Long]("n_seen",
+        Encoders.scalaLong, TTLConfig.NONE)
+    }
+    override def handleInputRows(key: Long, rows: Iterator[SessEv],
+        tv: TimerValues): Iterator[RecentOut] = {
+      val fresh = rows.toSeq
+      val top = (buf.get().toSeq ++ fresh)
+        .sortBy(e => (-e.us, -e.event_id)).take(3)
+      buf.put(top.toArray)
+      val seen = (if (n.exists()) n.get() else 0L) + fresh.size
+      n.update(seen)
+      val ids = top.map(_.event_id)
+      Iterator.single(RecentOut(key, seen,
+        ids.headOption, ids.lift(1), ids.lift(2)))
     }
   }
 
@@ -480,6 +514,54 @@ object StreamOps {
         arg_max(event_id, epoch_us(ts)) AS last_event_id,
         MAX(epoch_us(ts)) AS last_us
         FROM events GROUP BY 1, 2 ORDER BY user_id, event_type""")),
+
+    Entry(
+      "stream_recent_events",
+      // transformWithState LIST STATE: bounded top-3 recent-events
+      // buffer per user (+ ValueState total counter) — the feature-
+      // store "last N interactions" shape. Selection by (us, event_id)
+      // is order-independent, so the streamed result equals the batch
+      // window rank (the oracle) regardless of batching.
+      (s, dir) => {
+        import s.implicits._
+        val provKey = "spark.sql.streaming.stateStore.providerClass"
+        val prev = s.conf.getOption(provKey)
+        s.conf.set(provKey, "org.apache.spark.sql.execution.streaming." +
+          "state.RocksDBStateStoreProvider")
+        try {
+          val evs: Dataset[SessEv] = eventStream(s, dir)
+            .select(col("user_id"), col("event_id"),
+              unix_micros(col("ts").cast("timestamp")).as("us"), col("value"))
+            .as[SessEv]
+          val recent = evs.groupByKey(_.user_id)
+            .transformWithState(new RecentProcessor,
+              TimeMode.None(), OutputMode.Update())
+          withShufflePartitions(s, 8)(
+            runOnce(s, recent.toDF(), OutputMode.Update()))
+            .groupBy(col("user_id"))
+            .agg(max(struct(col("n_seen"), col("r1"), col("r2"),
+              col("r3"))).as("last"))
+            .select(col("user_id"), col("last.n_seen").as("n_seen"),
+              col("last.r1").as("r1"), col("last.r2").as("r2"),
+              col("last.r3").as("r3"))
+            .orderBy(col("user_id"))
+        } finally prev match {
+          case Some(p) => s.conf.set(provKey, p)
+          case None => s.conf.unset(provKey)
+        }
+      },
+      Some("""WITH r AS (SELECT user_id, event_id,
+            ROW_NUMBER() OVER (PARTITION BY user_id
+              ORDER BY epoch_us(ts) DESC, event_id DESC) AS rk
+          FROM events),
+        a AS (SELECT user_id, COUNT(*) AS n_seen FROM events
+          GROUP BY 1)
+        SELECT a.user_id, a.n_seen,
+          MAX(CASE WHEN rk = 1 THEN event_id END) AS r1,
+          MAX(CASE WHEN rk = 2 THEN event_id END) AS r2,
+          MAX(CASE WHEN rk = 3 THEN event_id END) AS r3
+        FROM a JOIN r USING (user_id)
+        GROUP BY a.user_id, a.n_seen ORDER BY a.user_id""")),
 
     Entry(
       "stream_timer_sessions",
