@@ -279,6 +279,41 @@ object PipelineOps {
         FROM c WHERE cum_tok <= 800 ORDER BY source, doc_id""")),
 
     Entry(
+      "sample_weighted",
+      // Weighted sampling WITHOUT replacement (Efraimidis–Spirakis,
+      // IPL'06): each row draws key = u^(1/w) (u a deterministic
+      // hash-uniform in (0,1), w = n_chars) and the top-k keys per
+      // stratum are the sample — inclusion probability ∝ weight, one
+      // pass, no rejection loop, distributable (each executor scores
+      // locally; only the per-stratum top-k rank shuffles). The
+      // doc_id tiebreak makes near-equal keys engine-independent;
+      // only doc_id + rank are emitted, so the float key never has to
+      // hash-match — it only has to ORDER identically.
+      (s, dir) => {
+        val u = ((col("doc_id") * 2654435761L) % 1000003L + 1L)
+          .cast("double") / 1000004.0
+        val w = Window.partitionBy(col("lang"))
+          .orderBy(col("key").desc, col("doc_id"))
+        t(s, dir, "documents")
+          .withColumn("key",
+            pow(u, lit(1.0) / col("n_chars").cast("double")))
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= 5)
+          .select(col("lang"), col("rk"), col("doc_id"))
+          .orderBy(col("lang"), col("rk"))
+      },
+      Some("""WITH k AS (SELECT lang, doc_id,
+            pow(CAST((doc_id * 2654435761) % 1000003 + 1 AS DOUBLE)
+                / 1000004.0,
+              1.0 / CAST(n_chars AS DOUBLE)) AS key
+          FROM documents)
+        SELECT lang, rk, doc_id FROM (
+          SELECT lang, doc_id, CAST(ROW_NUMBER() OVER (
+              PARTITION BY lang ORDER BY key DESC, doc_id)
+            AS BIGINT) AS rk FROM k)
+        WHERE rk <= 5 ORDER BY lang, rk""")),
+
+    Entry(
       "mix_epochs",
       // The UPSAMPLING half of mix construction (mix_token_budget is
       // the downsampling half): sources short of the target token
