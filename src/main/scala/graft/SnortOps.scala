@@ -100,6 +100,15 @@ object SnortOps {
           col("d.ip_dst").as("ip_dst"))
         .coalesce(1).write.mode("overwrite")
         .parquet(s"$oracleBaseDir/packets_decoded")
+      // byte-identical copies of the RAW rule-map files: the parse
+      // entries' oracles re-implement the parsers in SQL over these
+      val rawDir = java.nio.file.Paths.get(s"$oracleBaseDir/raw")
+      java.nio.file.Files.createDirectories(rawDir)
+      Seq(sid, gen, cls).foreach { p =>
+        val src = java.nio.file.Paths.get(p)
+        java.nio.file.Files.copy(src, rawDir.resolve(src.getFileName),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
       java.lang.Boolean.TRUE
     })
     ()
@@ -153,24 +162,76 @@ object SnortOps {
     Entry("sigmap_parse", (s, _) => {
       val (sid, _, _) = Unified2Fixture.writeMaps(
         s"${Unified2Fixture.defaultRoot()}/maps")
+      dumpOracleBase(s)
       // refs is array<string> in the library API; the verify harness
       // compares flat columns, so render it as a csv column here.
       Maps.sigMap(s, sid)
         .withColumn("refs", array_join(col("refs"), ","))
         .orderBy(col("sid"))
-    }, None),
+    },
+      // the sid-msg.map parser re-implemented in SQL over a
+      // byte-identical copy of the raw file: comment/blank filter,
+      // '||' split + trim, digit guard, implicit gid 1, csv'd refs
+      Some(s"""WITH c AS (SELECT content FROM
+            read_text('$oracleBaseDir/raw/sid-msg.map')),
+          l AS (SELECT trim(x) AS line FROM
+            (SELECT unnest(string_split(content, chr(10))) AS x FROM c)),
+          f AS (SELECT line FROM l
+            WHERE line <> '' AND NOT starts_with(line, '#')),
+          p AS (SELECT list_transform(string_split(line, '||'),
+            x -> trim(x)) AS parts FROM f),
+          v AS (SELECT parts FROM p WHERE len(parts) >= 2
+            AND regexp_full_match(parts[1], '[0-9]+'))
+        SELECT CAST(1 AS BIGINT) AS gid, CAST(parts[1] AS BIGINT) AS sid,
+          parts[2] AS msg,
+          COALESCE(array_to_string(parts[3:], ','), '') AS refs
+        FROM v ORDER BY sid""")),
 
     Entry("genmap_parse", (s, _) => {
       val (_, gen, _) = Unified2Fixture.writeMaps(
         s"${Unified2Fixture.defaultRoot()}/maps")
+      dumpOracleBase(s)
       Maps.genMap(s, gen).orderBy(col("gid"), col("sid"))
-    }, None),
+    },
+      Some(s"""WITH c AS (SELECT content FROM
+            read_text('$oracleBaseDir/raw/gen-msg.map')),
+          l AS (SELECT trim(x) AS line FROM
+            (SELECT unnest(string_split(content, chr(10))) AS x FROM c)),
+          f AS (SELECT line FROM l
+            WHERE line <> '' AND NOT starts_with(line, '#')),
+          p AS (SELECT list_transform(string_split(line, '||'),
+            x -> trim(x)) AS parts FROM f),
+          v AS (SELECT parts FROM p WHERE len(parts) >= 3
+            AND regexp_full_match(parts[1], '[0-9]+')
+            AND regexp_full_match(parts[2], '[0-9]+'))
+        SELECT CAST(parts[1] AS BIGINT) AS gid,
+          CAST(parts[2] AS BIGINT) AS sid, parts[3] AS msg
+        FROM v ORDER BY gid, sid""")),
 
     Entry("classmap_parse", (s, _) => {
       val (_, _, cls) = Unified2Fixture.writeMaps(
         s"${Unified2Fixture.defaultRoot()}/maps")
+      dumpOracleBase(s)
       Maps.classMap(s, cls).orderBy(col("class_id"))
-    }, None),
+    },
+      // the 1-based ordinal id is line order among matching lines —
+      // parallel unnest zips (line, index) so the SQL keeps file order
+      Some(s"""WITH c AS (SELECT string_split(content, chr(10)) AS ls
+            FROM read_text('$oracleBaseDir/raw/classification.config')),
+          num AS (SELECT unnest(ls) AS rawline,
+            unnest(range(1, len(ls)+1)) AS i FROM c),
+          f AS (SELECT i, trim(rawline) AS line FROM num
+            WHERE starts_with(lower(trim(rawline)),
+              'config classification:')),
+          o AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY i) AS BIGINT)
+              AS class_id,
+            list_transform(string_split(
+              substring(line, len('config classification:')+1), ','),
+              x -> trim(x)) AS parts
+          FROM f)
+        SELECT class_id, parts[1] AS class_name, parts[2] AS class_desc,
+          CAST(parts[3] AS BIGINT) AS class_priority
+        FROM o WHERE len(parts) >= 3 ORDER BY class_id""")),
 
     Entry("sig_enrich", (s, _) => {
       dumpOracleBase(s)
