@@ -189,6 +189,37 @@ object PipelineOps {
         FROM documents ORDER BY doc_id""")),
 
     Entry(
+      "corpus_evolve",
+      // Schema EVOLUTION read: generation 1 of a corpus lacks a column
+      // later generations carry (here: n_chars added in gen 2);
+      // mergeSchema unions the physical schemas and back-fills NULL —
+      // the long-lived-corpus reality every 100 TB store hits. The
+      // aggregate proves the merged read: gen-1 rows count but
+      // contribute no chars. (Even doc_ids are written as gen 1.)
+      (s, dir) => {
+        val out = s"target/graft_scratch/corpus_evolve_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        val docs = t(s, dir, "documents")
+        docs.filter(col("doc_id") % 2 === 0)
+          .select(col("doc_id"), col("lang"))
+          .write.mode("overwrite").parquet(s"$out/gen=1")
+        docs.filter(col("doc_id") % 2 === 1)
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+          .write.mode("overwrite").parquet(s"$out/gen=2")
+        s.read.option("mergeSchema", "true").parquet(out)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            count(col("n_chars")).as("n_with_chars"),
+            sum(col("n_chars")).as("chars"))
+          .orderBy(col("lang"))
+      },
+      Some("""SELECT lang, COUNT(*) AS n_docs,
+          CAST(COUNT(CASE WHEN doc_id % 2 = 1 THEN 1 END) AS BIGINT)
+            AS n_with_chars,
+          CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN n_chars END) AS BIGINT)
+            AS chars
+        FROM documents GROUP BY lang ORDER BY lang""")),
+
+    Entry(
       "sample_temperature",
       // Temperature-sampling weights (α = 0.5) — the multilingual
       // rebalancing rule for LLM data mixes: lang weight ∝ √(n/n_max),
