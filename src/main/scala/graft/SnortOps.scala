@@ -100,6 +100,14 @@ object SnortOps {
           col("d.ip_dst").as("ip_dst"))
         .coalesce(1).write.mode("overwrite")
         .parquet(s"$oracleBaseDir/packets_decoded")
+      // raw frames as hex: packet_decode's oracle re-implements the
+      // whole eth→VLAN→IP→L4 walk in SQL over these
+      fixtureRecords(s2)
+        .filter(col("rec_type") === Unified2.Packet)
+        .select(col("event_id"), col("rec_index"),
+          hex(col("packet_data")).as("h"))
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$oracleBaseDir/packets_raw")
       // byte-identical copies of the RAW rule-map files: the parse
       // entries' oracles re-implement the parsers in SQL over these
       val rawDir = java.nio.file.Paths.get(s"$oracleBaseDir/raw")
@@ -274,6 +282,7 @@ object SnortOps {
 
     Entry("packet_decode", (s, _) => {
       SnortStar.registerFunctions(s)
+      dumpOracleBase(s)
       fixtureRecords(s)
         .filter(col("rec_type") === Unified2.Packet)
         .withColumn("d", expr("graft_decode_packet(packet_data)"))
@@ -281,7 +290,119 @@ object SnortOps {
         .withColumn("payload_hex", Net.hexlify(col("payload")))
         .drop("payload")
         .orderBy(col("event_id"), col("rec_index"))
-    }, None),
+    },
+      // the ENTIRE decode re-implemented in SQL over the raw frame hex
+      // (h2i macro = positional nibble fold): VLAN skip, IPv4 options
+      // via ihl, IPv6 fixed header, TCP data-offset skip, the icmp
+      // id/seq families, and the payload-start arithmetic — every
+      // guard mirrors DecodePacket's early returns, so absent layers
+      // are NULL on both sides
+      Some(s"""        CREATE MACRO h2i(h, p, k) AS list_reduce(
+          list_transform(range(CAST(p AS INT), CAST(p + k AS INT)),
+            i -> strpos('0123456789ABCDEF', h[CAST(i AS INT)]) - 1),
+          (a, b) -> a * 16 + b);
+        WITH p0 AS (SELECT event_id, rec_index, h, len(h) // 2 AS nb
+            FROM read_parquet('$oracleBaseDir/packets_raw/*.parquet')),
+        e0 AS (SELECT *, CASE WHEN nb >= 14 THEN h2i(h, 25, 4) END AS et0 FROM p0),
+        e1 AS (SELECT *,
+            CASE WHEN et0 = 33024 AND nb >= 18 THEN h2i(h, 33, 4) ELSE et0 END AS eth_type,
+            CASE WHEN et0 = 33024 AND nb >= 18 THEN h2i(h, 29, 4) % 4096 END AS vlan,
+            CASE WHEN et0 = 33024 AND nb >= 18 THEN 18 ELSE 14 END AS ib
+          FROM e0),
+        -- ip layer: ib = IP header start byte; guards replicate the early returns
+        i0 AS (SELECT *,
+            CASE WHEN eth_type = 2048 AND nb - ib >= 20 THEN 4
+                 WHEN eth_type = 34525 AND nb - ib >= 40 THEN 6 END AS fam,
+            2 * ib + 1 AS ps
+          FROM e1),
+        i1 AS (SELECT *,
+            CASE WHEN fam = 4 THEN h2i(h, ps, 2) // 16
+                 WHEN fam = 6 THEN h2i(h, ps, 8) // 268435456 END AS ip_ver,
+            CASE WHEN fam = 4 THEN h2i(h, ps, 2) % 16 END AS ip_hlen,
+            CASE WHEN fam = 4 THEN h2i(h, ps + 2, 2)
+                 WHEN fam = 6 THEN (h2i(h, ps, 8) // 1048576) % 256 END AS ip_tos,
+            CASE WHEN fam = 4 THEN h2i(h, ps + 4, 4)
+                 WHEN fam = 6 THEN h2i(h, ps + 8, 4) END AS ip_len,
+            CASE WHEN fam = 4 THEN h2i(h, ps + 8, 4) END AS ip_id,
+            CASE WHEN fam = 4 THEN h2i(h, ps + 12, 4) // 8192 END AS ip_flags,
+            CASE WHEN fam = 4 THEN h2i(h, ps + 12, 4) % 8192 END AS ip_off,
+            CASE WHEN fam = 4 THEN h2i(h, ps + 16, 2)
+                 WHEN fam = 6 THEN h2i(h, ps + 14, 2) END AS ip_ttl,
+            CASE WHEN fam = 4 THEN h2i(h, ps + 18, 2)
+                 WHEN fam = 6 THEN h2i(h, ps + 12, 2) END AS ip_proto,
+            CASE WHEN fam = 4 THEN h2i(h, ps + 20, 4) END AS ip_csum,
+            CASE WHEN fam = 4 THEN
+                h2i(h, ps + 24, 2) || '.' || h2i(h, ps + 26, 2) || '.' ||
+                h2i(h, ps + 28, 2) || '.' || h2i(h, ps + 30, 2)
+              WHEN fam = 6 THEN array_to_string(list_transform(range(0, 8),
+                g -> format('{:x}', h2i(h, ps + 16 + 4 * g, 4))), ':') END AS ip_src,
+            CASE WHEN fam = 4 THEN
+                h2i(h, ps + 32, 2) || '.' || h2i(h, ps + 34, 2) || '.' ||
+                h2i(h, ps + 36, 2) || '.' || h2i(h, ps + 38, 2)
+              WHEN fam = 6 THEN array_to_string(list_transform(range(0, 8),
+                g -> format('{:x}', h2i(h, ps + 48 + 4 * g, 4))), ':') END AS ip_dst,
+            CASE WHEN fam = 4 THEN ib + (h2i(h, ps, 2) % 16) * 4
+                 WHEN fam = 6 THEN ib + 40 END AS lb
+          FROM i0),
+        -- l4 layer: lb = start byte; pl = char pos; guards mirror the match cases
+        l0 AS (SELECT *, 2 * lb + 1 AS pl, nb - lb AS lrem,
+            CASE WHEN fam IS NULL THEN NULL
+                 WHEN ip_proto = 6  AND nb - lb >= 20 THEN 'tcp'
+                 WHEN ip_proto = 17 AND nb - lb >= 8  THEN 'udp'
+                 WHEN ip_proto IN (1, 58) AND nb - lb >= 4 THEN 'icmp'
+                 ELSE 'raw' END AS l4
+          FROM i1),
+        l1 AS (SELECT *,
+            CASE WHEN l4 = 'tcp' THEN h2i(h, pl, 4)
+                 WHEN l4 = 'udp' THEN h2i(h, pl, 4) END AS sport,
+            CASE WHEN l4 = 'tcp' THEN h2i(h, pl + 4, 4)
+                 WHEN l4 = 'udp' THEN h2i(h, pl + 4, 4) END AS dport,
+            CASE WHEN l4 = 'tcp' THEN h2i(h, pl + 8, 8) END AS tcp_seq,
+            CASE WHEN l4 = 'tcp' THEN h2i(h, pl + 16, 8) END AS tcp_ack,
+            CASE WHEN l4 = 'tcp' THEN h2i(h, pl + 24, 2) // 16 END AS tcp_off,
+            CASE WHEN l4 = 'tcp' THEN h2i(h, pl + 26, 2) END AS tcp_flags,
+            CASE WHEN l4 = 'tcp' THEN h2i(h, pl + 28, 4) END AS tcp_win,
+            CASE WHEN l4 = 'tcp' THEN h2i(h, pl + 32, 4) END AS tcp_csum,
+            CASE WHEN l4 = 'tcp' THEN h2i(h, pl + 36, 4) END AS tcp_urp,
+            CASE WHEN l4 = 'udp' THEN h2i(h, pl + 8, 4) END AS udp_len,
+            CASE WHEN l4 = 'udp' THEN h2i(h, pl + 12, 4) END AS udp_csum,
+            CASE WHEN l4 = 'icmp' THEN h2i(h, pl, 2) END AS icmp_type,
+            CASE WHEN l4 = 'icmp' THEN h2i(h, pl + 2, 2) END AS icmp_code,
+            CASE WHEN l4 = 'icmp' THEN h2i(h, pl + 4, 4) END AS icmp_csum
+          FROM l0),
+        l2 AS (SELECT *,
+            CASE WHEN l4 = 'icmp' AND icmp_type IN (0, 8, 13, 14, 17, 18)
+                  AND lrem - 4 >= 4 THEN h2i(h, pl + 8, 4) END AS icmp_id,
+            CASE WHEN l4 = 'icmp' AND icmp_type IN (0, 8, 13, 14, 17, 18)
+                  AND lrem - 4 >= 4 THEN h2i(h, pl + 12, 4) END AS icmp_seq,
+            CASE WHEN l4 = 'tcp' THEN
+                   CASE WHEN (h2i(h, pl + 24, 2) // 16) * 4 - 20 > 0
+                         AND lrem - 20 >= (h2i(h, pl + 24, 2) // 16) * 4 - 20
+                        THEN lb + (h2i(h, pl + 24, 2) // 16) * 4 ELSE lb + 20 END
+                 WHEN l4 = 'udp' THEN lb + 8
+                 WHEN l4 = 'icmp' THEN
+                   CASE WHEN icmp_type IN (0, 8, 13, 14, 17, 18) AND lrem - 4 >= 4
+                        THEN lb + 8 ELSE lb + 4 END
+                 WHEN l4 = 'raw' THEN lb END AS pb
+          FROM l1)
+        SELECT event_id, rec_index,
+          CAST(eth_type AS INT) AS eth_type, CAST(vlan AS INT) AS vlan,
+          CAST(ip_ver AS INT) AS ip_ver, CAST(ip_hlen AS INT) AS ip_hlen,
+          CAST(ip_tos AS INT) AS ip_tos, CAST(ip_len AS INT) AS ip_len,
+          CAST(ip_id AS INT) AS ip_id, CAST(ip_flags AS INT) AS ip_flags,
+          CAST(ip_off AS INT) AS ip_off, CAST(ip_ttl AS INT) AS ip_ttl,
+          CAST(ip_proto AS INT) AS ip_proto, CAST(ip_csum AS INT) AS ip_csum,
+          ip_src, ip_dst,
+          CAST(sport AS INT) AS sport, CAST(dport AS INT) AS dport,
+          CAST(tcp_seq AS BIGINT) AS tcp_seq, CAST(tcp_ack AS BIGINT) AS tcp_ack,
+          CAST(tcp_off AS INT) AS tcp_off, CAST(tcp_flags AS INT) AS tcp_flags,
+          CAST(tcp_win AS INT) AS tcp_win, CAST(tcp_csum AS INT) AS tcp_csum,
+          CAST(tcp_urp AS INT) AS tcp_urp, CAST(udp_len AS INT) AS udp_len,
+          CAST(udp_csum AS INT) AS udp_csum, CAST(icmp_type AS INT) AS icmp_type,
+          CAST(icmp_code AS INT) AS icmp_code, CAST(icmp_csum AS INT) AS icmp_csum,
+          CAST(icmp_id AS INT) AS icmp_id, CAST(icmp_seq AS INT) AS icmp_seq,
+          CASE WHEN pb IS NOT NULL THEN lower(substr(h, 2 * pb + 1)) END AS payload_hex
+        FROM l2 ORDER BY event_id, rec_index""")),
 
     Entry("star_normalize", (s, _) => {
       dumpOracleBase(s)
