@@ -117,15 +117,143 @@ object SnortOps {
         java.nio.file.Files.copy(src, rawDir.resolve(src.getFileName),
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       }
+      // ...and of the RAW spool files, for u2_parse's SQL re-parse
+      val spoolDir = java.nio.file.Paths.get(
+        Unified2Fixture.writeSpool(s"${Unified2Fixture.defaultRoot()}/spool"))
+      val rawSpool = java.nio.file.Paths.get(s"$oracleBaseDir/raw_spool")
+      java.nio.file.Files.createDirectories(rawSpool)
+      java.nio.file.Files.list(spoolDir).forEach { p =>
+        if (p.getFileName.toString.startsWith("snort.log"))
+          java.nio.file.Files.copy(p, rawSpool.resolve(p.getFileName),
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
       java.lang.Boolean.TRUE
     })
     ()
   }
 
   val entries: Seq[Entry] = Seq(
-    Entry("u2_parse", (s, _) =>
-      fixtureRecords(s).orderBy(col("src_file"), col("rec_index")),
-      None),
+    Entry("u2_parse", (s, _) => {
+      dumpOracleBase(s)
+      // binary columns render as hex for the flat-column verify
+      // surface (same move as sigmap_parse's csv'd refs); the library
+      // API keeps them binary
+      fixtureRecords(s)
+        .withColumn("ip_source", Net.hexlify(col("ip_source")))
+        .withColumn("ip_destination", Net.hexlify(col("ip_destination")))
+        .withColumn("packet_data", Net.hexlify(col("packet_data")))
+        .withColumn("extra_blob", Net.hexlify(col("extra_blob")))
+        .orderBy(col("src_file"), col("rec_index"))
+    },
+      // the unified2 PARSER re-implemented in SQL over byte-identical
+      // spool copies: a recursive CTE walks the (type, len) framing
+      // with the same truncated-tail stop, then per-type field
+      // extraction at the spec offsets (event v1/v2 ip4/ip6 incl. the
+      // conditional mpls/vlan tail, packet with plen clamp, extra-data
+      // with blob-length clamp) — binary columns land as unhex'd
+      // blobs. Only the src_file STRING maps through the record
+      // skeleton (basename join; path naming isn't parser logic).
+      Some(s"""        CREATE MACRO h2i(h, p, k) AS list_reduce(
+          list_transform(range(CAST(p AS INT), CAST(p + k AS INT)),
+            i -> strpos('0123456789ABCDEF', h[CAST(i AS INT)]) - 1),
+          (a, b) -> a * 16 + b);
+        WITH RECURSIVE
+        f AS (SELECT parse_filename(filename) AS fname, hex(content) AS h,
+            CAST(octet_length(content) AS BIGINT) AS nb
+          FROM read_blob('$oracleBaseDir/raw_spool/*')),
+        fmap AS (SELECT DISTINCT src_file, parse_filename(src_file) AS fname
+          FROM read_parquet('$oracleBaseDir/records_base/*.parquet')),
+        walk AS (
+          SELECT fname, h, nb, CAST(0 AS BIGINT) AS off, CAST(-1 AS BIGINT) AS idx,
+              CAST(NULL AS BIGINT) AS rtype, CAST(NULL AS BIGINT) AS boff,
+              CAST(NULL AS BIGINT) AS blen
+            FROM f
+          UNION ALL
+          SELECT fname, h, nb, off + 8 + h2i(h, 2*(off+4)+1, 8), idx + 1,
+              h2i(h, 2*off+1, 8), off + 8, h2i(h, 2*(off+4)+1, 8)
+            FROM walk
+            WHERE nb - off >= 8
+              AND h2i(h, 2*(off+4)+1, 8) < 2147483648
+              AND nb - off - 8 >= h2i(h, 2*(off+4)+1, 8)),
+        recs AS (SELECT fname, h, idx, rtype, boff, blen, 2*boff+1 AS pb
+          FROM walk WHERE idx >= 0),
+        -- event records: v1/v2, ip4/ip6
+        ev AS (SELECT *,
+            CASE WHEN rtype IN (72, 105) THEN 16 ELSE 4 END AS iplen,
+            rtype IN (104, 105) AS v2
+          FROM recs WHERE rtype IN (7, 72, 104, 105)),
+        ev2 AS (SELECT fname, idx, rtype,
+            h2i(h, pb, 8) AS sensor_id, h2i(h, pb+8, 8) AS event_id,
+            h2i(h, pb+16, 8) AS event_second, h2i(h, pb+24, 8) AS event_microsecond,
+            h2i(h, pb+32, 8) AS signature_id, h2i(h, pb+40, 8) AS generator_id,
+            h2i(h, pb+48, 8) AS signature_revision, h2i(h, pb+56, 8) AS classification_id,
+            h2i(h, pb+64, 8) AS priority_id,
+            lower(substr(h, CAST(pb+72 AS INT), CAST(2*iplen AS INT))) AS ip_source,
+            lower(substr(h, CAST(pb+72+2*iplen AS INT), CAST(2*iplen AS INT))) AS ip_destination,
+            h2i(h, pb+72+4*iplen, 4) AS sport_itype,
+            h2i(h, pb+76+4*iplen, 4) AS dport_icode,
+            h2i(h, pb+80+4*iplen, 2) AS protocol,
+            h2i(h, pb+82+4*iplen, 2) AS impact_flag,
+            h2i(h, pb+86+4*iplen, 2) AS blocked,
+            CASE WHEN v2 AND blen - (36+2*iplen+8) >= 6
+              THEN h2i(h, pb+88+4*iplen, 8) END AS mpls_label,
+            CASE WHEN v2 AND blen - (36+2*iplen+8) >= 6
+              THEN h2i(h, pb+96+4*iplen, 4) END AS vlan_id
+          FROM ev),
+        pk AS (SELECT fname, idx, rtype,
+            h2i(h, pb, 8) AS sensor_id, h2i(h, pb+8, 8) AS event_id,
+            h2i(h, pb+16, 8) AS event_second,
+            h2i(h, pb+24, 8) AS packet_second, h2i(h, pb+32, 8) AS packet_microsecond,
+            h2i(h, pb+40, 8) AS linktype,
+            lower(substr(h, CAST(pb+56 AS INT),
+              CAST(2*LEAST(h2i(h, pb+48, 8), blen-28) AS INT))) AS packet_data
+          FROM recs WHERE rtype = 2),
+        xd AS (SELECT fname, idx, rtype,
+            h2i(h, pb+16, 8) AS sensor_id, h2i(h, pb+24, 8) AS event_id,
+            h2i(h, pb+32, 8) AS event_second,
+            h2i(h, pb+40, 8) AS extra_type, h2i(h, pb+48, 8) AS extra_data_type,
+            lower(substr(h, CAST(pb+64 AS INT),
+              CAST(2*LEAST(h2i(h, pb+56, 8), blen-32) AS INT))) AS extra_blob
+          FROM recs WHERE rtype = 110),
+        other AS (SELECT fname, idx, rtype FROM recs
+          WHERE rtype NOT IN (7, 72, 104, 105, 2, 110)),
+        allr AS (
+          SELECT fname, idx, rtype, sensor_id, event_id, event_second,
+              event_microsecond, signature_id, generator_id, signature_revision,
+              classification_id, priority_id, ip_source, ip_destination,
+              sport_itype, dport_icode, protocol, impact_flag, blocked,
+              mpls_label, vlan_id,
+              NULL AS packet_second, NULL AS packet_microsecond, NULL AS linktype,
+              NULL AS packet_data, NULL AS extra_type, NULL AS extra_data_type,
+              NULL AS extra_blob
+            FROM ev2
+          UNION ALL BY NAME
+          SELECT fname, idx, rtype, sensor_id, event_id, event_second,
+              packet_second, packet_microsecond, linktype, packet_data
+            FROM pk
+          UNION ALL BY NAME
+          SELECT fname, idx, rtype, sensor_id, event_id, event_second,
+              extra_type, extra_data_type, extra_blob
+            FROM xd
+          UNION ALL BY NAME
+          SELECT fname, idx, rtype FROM other)
+        SELECT m.src_file, CAST(a.idx AS INT) AS rec_index,
+          CAST(a.rtype AS INT) AS rec_type,
+          a.sensor_id, a.event_id, a.event_second,
+          a.event_microsecond, a.signature_id, a.generator_id,
+          a.signature_revision, a.classification_id, a.priority_id,
+          a.ip_source, a.ip_destination,
+          CAST(a.sport_itype AS INT) AS sport_itype,
+          CAST(a.dport_icode AS INT) AS dport_icode,
+          CAST(a.protocol AS INT) AS protocol,
+          CAST(a.impact_flag AS INT) AS impact_flag,
+          CAST(a.blocked AS INT) AS blocked,
+          a.mpls_label, CAST(a.vlan_id AS INT) AS vlan_id,
+          a.packet_second, a.packet_microsecond, a.linktype, a.packet_data,
+          a.extra_type, a.extra_data_type, a.extra_blob,
+          'sensor1' AS sensor
+        FROM allr a JOIN fmap m USING (fname)
+        ORDER BY m.src_file, rec_index""")),
 
     Entry("u2_events", (s, _) => {
       dumpOracleBase(s)
