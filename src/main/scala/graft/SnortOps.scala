@@ -153,7 +153,7 @@ object SnortOps {
       // with blob-length clamp) — binary columns land as unhex'd
       // blobs. Only the src_file STRING maps through the record
       // skeleton (basename join; path naming isn't parser logic).
-      Some(s"""        CREATE MACRO h2i(h, p, k) AS list_reduce(
+      Some(s"""        CREATE OR REPLACE MACRO h2i(h, p, k) AS list_reduce(
           list_transform(range(CAST(p AS INT), CAST(p + k AS INT)),
             i -> strpos('0123456789ABCDEF', h[CAST(i AS INT)]) - 1),
           (a, b) -> a * 16 + b);
@@ -425,7 +425,7 @@ object SnortOps {
       // id/seq families, and the payload-start arithmetic — every
       // guard mirrors DecodePacket's early returns, so absent layers
       // are NULL on both sides
-      Some(s"""        CREATE MACRO h2i(h, p, k) AS list_reduce(
+      Some(s"""        CREATE OR REPLACE MACRO h2i(h, p, k) AS list_reduce(
           list_transform(range(CAST(p AS INT), CAST(p + k AS INT)),
             i -> strpos('0123456789ABCDEF', h[CAST(i AS INT)]) - 1),
           (a, b) -> a * 16 + b);

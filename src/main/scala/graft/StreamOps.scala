@@ -424,12 +424,46 @@ object StreamOps {
         val spool = Unified2Fixture.writeSpool(
           s"${Unified2Fixture.defaultRoot()}/spool")
         val recs = Spool.streamRecords(s, Seq(spool), "snort.log", "sensor1")
-        runOnce(s, recs.select(col("sensor"), col("src_file"),
+        // basename only: stream sources differ from the batch scan in
+        // path prefix (file:), not identity — the oracle walks copies
+        runOnce(s, recs.select(col("sensor"),
+            substring_index(col("src_file"), "/", -1).as("src_file"),
             col("rec_index"), col("rec_type"), col("event_id"),
             col("signature_id")), OutputMode.Append())
           .orderBy(col("src_file"), col("rec_index"))
       },
-      None),
+      // streamed records == the SQL re-parse of the raw spool (the
+      // reduced u2_parse oracle: framing walk + event/packet/extra ids)
+      Some(s"""CREATE OR REPLACE MACRO h2i(h, p, k) AS list_reduce(
+          list_transform(range(CAST(p AS INT), CAST(p + k AS INT)),
+            i -> strpos('0123456789ABCDEF', h[CAST(i AS INT)]) - 1),
+          (a, b) -> a * 16 + b);
+        WITH RECURSIVE
+        f AS (SELECT parse_filename(filename) AS src_file,
+            hex(content) AS h,
+            CAST(octet_length(content) AS BIGINT) AS nb
+          FROM read_blob('${SnortOps.oracleBaseDir}/raw_spool/*')),
+        walk AS (
+          SELECT src_file, h, nb, CAST(0 AS BIGINT) AS off,
+              CAST(-1 AS BIGINT) AS idx, CAST(NULL AS BIGINT) AS rtype,
+              CAST(NULL AS BIGINT) AS boff
+            FROM f
+          UNION ALL
+          SELECT src_file, h, nb, off + 8 + h2i(h, 2*(off+4)+1, 8),
+              idx + 1, h2i(h, 2*off+1, 8), off + 8
+            FROM walk
+            WHERE nb - off >= 8
+              AND h2i(h, 2*(off+4)+1, 8) < 2147483648
+              AND nb - off - 8 >= h2i(h, 2*(off+4)+1, 8)),
+        recs AS (SELECT src_file, h, idx, rtype, 2*boff+1 AS pb
+          FROM walk WHERE idx >= 0)
+        SELECT 'sensor1' AS sensor, src_file, CAST(idx AS INT) AS rec_index,
+          CAST(rtype AS INT) AS rec_type,
+          CASE WHEN rtype IN (7, 72, 104, 105, 2) THEN h2i(h, pb+8, 8)
+               WHEN rtype = 110 THEN h2i(h, pb+24, 8) END AS event_id,
+          CASE WHEN rtype IN (7, 72, 104, 105)
+               THEN h2i(h, pb+32, 8) END AS signature_id
+        FROM recs ORDER BY src_file, rec_index""")),
 
     Entry(
       "stream_tws_totals",
@@ -695,12 +729,43 @@ object StreamOps {
           s"${Unified2Fixture.defaultRoot()}/spool")
         val recs = graft.streaming.SpoolTail.streamRecords(
           s, Seq(spool), "snort.log", "sensor1")
-        runOnce(s, recs.select(col("sensor"), col("src_file"),
+        runOnce(s, recs.select(col("sensor"),
+            substring_index(col("src_file"), "/", -1).as("src_file"),
             col("rec_index"), col("rec_type"), col("event_id"),
             col("signature_id")), OutputMode.Append())
           .orderBy(col("src_file"), col("rec_index"))
       },
-      None),
+      // byte-offset-bookmark tail == the same SQL re-parse
+      Some(s"""CREATE OR REPLACE MACRO h2i(h, p, k) AS list_reduce(
+          list_transform(range(CAST(p AS INT), CAST(p + k AS INT)),
+            i -> strpos('0123456789ABCDEF', h[CAST(i AS INT)]) - 1),
+          (a, b) -> a * 16 + b);
+        WITH RECURSIVE
+        f AS (SELECT parse_filename(filename) AS src_file,
+            hex(content) AS h,
+            CAST(octet_length(content) AS BIGINT) AS nb
+          FROM read_blob('${SnortOps.oracleBaseDir}/raw_spool/*')),
+        walk AS (
+          SELECT src_file, h, nb, CAST(0 AS BIGINT) AS off,
+              CAST(-1 AS BIGINT) AS idx, CAST(NULL AS BIGINT) AS rtype,
+              CAST(NULL AS BIGINT) AS boff
+            FROM f
+          UNION ALL
+          SELECT src_file, h, nb, off + 8 + h2i(h, 2*(off+4)+1, 8),
+              idx + 1, h2i(h, 2*off+1, 8), off + 8
+            FROM walk
+            WHERE nb - off >= 8
+              AND h2i(h, 2*(off+4)+1, 8) < 2147483648
+              AND nb - off - 8 >= h2i(h, 2*(off+4)+1, 8)),
+        recs AS (SELECT src_file, h, idx, rtype, 2*boff+1 AS pb
+          FROM walk WHERE idx >= 0)
+        SELECT 'sensor1' AS sensor, src_file, CAST(idx AS INT) AS rec_index,
+          CAST(rtype AS INT) AS rec_type,
+          CASE WHEN rtype IN (7, 72, 104, 105, 2) THEN h2i(h, pb+8, 8)
+               WHEN rtype = 110 THEN h2i(h, pb+24, 8) END AS event_id,
+          CASE WHEN rtype IN (7, 72, 104, 105)
+               THEN h2i(h, pb+32, 8) END AS signature_id
+        FROM recs ORDER BY src_file, rec_index""")),
 
     Entry(
       "stream_topk",
