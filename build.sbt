@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench driver parses the LAST stdout line as the metric JSON;
+// sbt's "[success] Total time ..." footer otherwise lands after it
+// (r1–r5 all had parsed:null for exactly this reason). Suppress the
+// footer so graft.Bench's metric line is genuinely last.
+Global / showSuccess := false
+Global / showTiming := false
+// Pass the forked JVM's stdout through verbatim (no "[info] " log
+// prefix) — the metric line must be parseable exactly as printed.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -49,8 +49,12 @@ object Bench {
     results.toSeq.sortBy(-_._2).foreach { case (k, v) =>
       println(f"BENCHQ $k%-28s $v%8.3f s")
     }
-    println(jsonLine(sfDir, results.toMap))
+    // stop() BEFORE the metric line: any logging Spark emits during
+    // shutdown must not land after it (the driver parses the last
+    // stdout line; build.sbt suppresses sbt's [success] footer too).
     spark.stop()
+    println(jsonLine(sfDir, results.toMap))
+    System.out.flush()
   }
 
   /** The ONE machine-readable JSON line, printed LAST, with "metric"

@@ -317,9 +317,15 @@ object PipelineOps {
       // stratum are the sample — inclusion probability ∝ weight, one
       // pass, no rejection loop, distributable (each executor scores
       // locally; only the per-stratum top-k rank shuffles). The
-      // doc_id tiebreak makes near-equal keys engine-independent;
-      // only doc_id + rank are emitted, so the float key never has to
-      // hash-match — it only has to ORDER identically.
+      // doc_id tiebreak makes EQUAL keys engine-independent; only
+      // doc_id + rank are emitted, so the float key never has to
+      // hash-match — it only has to ORDER identically. Caveat (oracle
+      // contract, not engine correctness): JVM Math.pow and DuckDB's
+      // libm pow are not both correctly rounded, so a cross-engine
+      // rank flip is possible iff two DISTINCT keys land within ~1 ulp
+      // of each other — vanishingly rare for hash-uniform u and ruled
+      // out on the pinned corpus; quantizing the key would RAISE the
+      // risk (boundary-straddle ~1e-4 vs ulp-adjacency ~1e-16).
       (s, dir) => {
         val u = ((col("doc_id") * 2654435761L) % 1000003L + 1L)
           .cast("double") / 1000004.0

@@ -367,7 +367,8 @@ object SnortOps {
           FROM f)
         SELECT class_id, parts[1] AS class_name, parts[2] AS class_desc,
           CAST(parts[3] AS BIGINT) AS class_priority
-        FROM o WHERE len(parts) >= 3 ORDER BY class_id""")),
+        FROM o WHERE len(parts) >= 3
+          AND regexp_full_match(parts[3], '[0-9]+') ORDER BY class_id""")),
 
     Entry("sig_enrich", (s, _) => {
       dumpOracleBase(s)

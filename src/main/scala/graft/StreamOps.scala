@@ -808,46 +808,37 @@ object StreamOps {
       "stream_knn",
       // Streaming ANN serving: incoming query vectors (a bounded file
       // stream over the embeddings table, vec_id < 32 as the simulated
-      // query traffic) are scored against a BROADCAST in-memory index
-      // of the full corpus, emitting each query's top-5 by the same
-      // dot-product kernel the batch knn entries use. Zero shuffle:
-      // every micro-batch row maps to its answer locally, which is the
-      // production low-latency serving shape. At 100 TB the broadcast
-      // would hold the IVF centroids + cell shard directory instead of
-      // raw vectors (cells resident per-executor, queries routed by
-      // cell) — same plan shape, sharded payload. StreamSpec asserts
-      // exact agreement with the batch brute-force top-k.
+      // query traffic) probe the STANDING persisted IVF index — the
+      // same cell-partitioned store knn_ivf_persist builds — inside
+      // foreachBatch. Per micro-batch: centroids (KBs) broadcast to
+      // route each query to its 4 nearest cells, then ONLY those
+      // cells' assignment partitions are scanned (partition pruning =
+      // the on-disk posting lists) and TopKAgg picks the top-5. The
+      // corpus never moves: not collected to the driver, not
+      // broadcast, not shuffled — at 100 TB the per-batch cost is
+      // |batch| × probed-cell posting lists, the production serving
+      // shape. StreamSpec asserts exact agreement with the batch
+      // probe over the same index.
       (s, dir) => {
-        import s.implicits._
+        val idx = SimilarityOps.ensureIndex(s, dir)
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_stream_knn").toString
         val emb = s.read.parquet(s"$dir/embeddings.parquet")
-        val corpus = emb
-          .select(col("vec_id").cast("long"), col("embedding"))
-          .as[(Long, Array[Float])].collect()
-        val bc = s.sparkContext.broadcast(corpus)
         val qs = s.readStream.schema(emb.schema)
           .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
           .filter(col("vec_id") < 32)
-          .select(col("vec_id").cast("long"), col("embedding"))
-          .as[(Long, Array[Float])]
-        val hits = qs.flatMap { case (qid, qv) =>
-          // same accumulation as ExprKernels.dot: sequential double acc
-          def dot(a: Array[Float], b: Array[Float]): Double = {
-            var acc = 0.0; var i = 0
-            while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
-            acc
+          .select(col("vec_id").cast("long").as("qid"),
+            graft.functions.Vectors.normalized(col("embedding")).as("qvec"))
+        val q = qs.writeStream
+          .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
+              epoch: Long) =>
+            SimilarityOps.probeIndex(s, idx, batch.toDF(), nProbe = 4, k = 5)
+              .write.mode("overwrite").parquet(s"$root/b$epoch")
+            ()
           }
-          bc.value.iterator
-            .filter(_._1 != qid)
-            .map { case (id, v) => (id, dot(qv, v)) }
-            .toArray.sortBy { case (id, sim) => (-sim, id) }
-            .take(5).zipWithIndex
-            .map { case ((id, sim), i) => (qid, i + 1, id, sim) }
-        }.toDF("qid", "rank", "vec_id", "sim")
-        val res = runOnce(s, hits, OutputMode.Append())
-        // the memory sink holds the materialized rows; release the
-        // per-invocation index broadcast instead of leaking one per call
-        bc.destroy()
-        res.orderBy(col("qid"), col("rank"))
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        s.read.parquet(s"$root/b*").orderBy(col("qid"), col("rank"))
       },
       None),
 

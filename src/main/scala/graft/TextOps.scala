@@ -47,8 +47,10 @@ object TextOps {
       regexp_extract(url, "^[A-Za-z]+://[^/?#]+([^?#]*)", 1),
       "[^/]+/\\.\\./", "")
     val q0 = regexp_extract(url, "\\?([^#]*)", 1)
-    val q2 = regexp_replace(regexp_replace(q0,
-      "utm_[^&]*&", ""), "&?utm_[^&]*$", "")
+    // anchor the strip to a parameter BOUNDARY (start or '&'): a param
+    // whose name merely contains "utm_" (e.g. myutm_x=1) must survive
+    val q2 = regexp_replace(
+      regexp_replace(q0, "(^|&)utm_[^&]*", ""), "^&", "")
     concat(scheme, lit("://"), host,
       when(defaultPort || port === "", lit(""))
         .otherwise(concat(lit(":"), port)),
@@ -200,13 +202,14 @@ object TextOps {
           when(col("doc_id") % 2 === 0, lit(":443")).otherwise(lit(":8080")),
           lit("/a/b/../c/Page"), col("doc_id").cast("string"),
           lit("?utm_source=feed&id="), col("doc_id").cast("string"),
-          lit("&utm_campaign=x#frag"))
+          // myutm_keep must SURVIVE the boundary-anchored utm_ strip
+          lit("&myutm_keep=1&utm_campaign=x#frag"))
         t(s, dir, "documents")
           .select(col("doc_id"), url.as("url"),
             canonicalizeUrl(url).as("canon_url"),
             urlHost(url).as("host"),
             regexp_count(regexp_extract(url, "\\?([^#]*)", 1),
-              lit("utm_")).cast("long").as("n_tracking"))
+              lit("(^|&)utm_")).cast("long").as("n_tracking"))
           .orderBy(col("doc_id"))
       },
       Some("""WITH u AS (SELECT doc_id,
@@ -214,7 +217,7 @@ object TextOps {
             || CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE ':8080' END
             || '/a/b/../c/Page' || doc_id
             || '?utm_source=feed&id=' || doc_id
-            || '&utm_campaign=x#frag' AS url FROM documents),
+            || '&myutm_keep=1&utm_campaign=x#frag' AS url FROM documents),
         p AS (SELECT doc_id, url,
           lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
           regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1) AS hostport,
@@ -226,8 +229,8 @@ object TextOps {
           regexp_replace(lower(regexp_replace(hostport, ':[0-9]+$', '')),
             '^www\.', '') AS host,
           regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
-          regexp_replace(regexp_replace(q0, 'utm_[^&]*&', ''),
-            '&?utm_[^&]*$', '') AS q2 FROM p)
+          regexp_replace(regexp_replace(q0, '(^|&)utm_[^&]*', '', 'g'),
+            '^&', '') AS q2 FROM p)
         SELECT doc_id, url,
           scheme || '://' || host
             || CASE WHEN (scheme = 'https' AND port = '443')
@@ -236,7 +239,7 @@ object TextOps {
             || path
             || CASE WHEN q2 = '' THEN '' ELSE '?' || q2 END AS canon_url,
           host,
-          CAST(len(regexp_extract_all(q0, 'utm_')) AS BIGINT) AS n_tracking
+          CAST(len(regexp_extract_all(q0, '(^|&)utm_')) AS BIGINT) AS n_tracking
         FROM c ORDER BY doc_id""")),
 
     Entry(

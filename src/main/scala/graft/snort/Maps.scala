@@ -23,12 +23,18 @@ object Maps {
     Files.readAllLines(Paths.get(path)).asScala.toSeq
       .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
 
+  // Char.isDigit accepts Unicode digits and forall holds vacuously on
+  // "", both of which then throw in toLong — a malformed map line must
+  // be SKIPPED (matching the oracle's '[0-9]+' guard), never crash.
+  private def asciiDigits(s: String): Boolean =
+    s.nonEmpty && s.forall(c => c >= '0' && c <= '9')
+
   /** sid-msg.map: `sid || msg [|| ref]*` (gid implicitly 1). */
   def sigMap(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
     lines(path).flatMap { l =>
       val parts = l.split("\\|\\|").map(_.trim)
-      if (parts.length >= 2 && parts(0).forall(_.isDigit))
+      if (parts.length >= 2 && asciiDigits(parts(0)))
         Some((1L, parts(0).toLong, parts(1), parts.drop(2).toSeq))
       else None
     }.toDF("gid", "sid", "msg", "refs")
@@ -39,8 +45,8 @@ object Maps {
     import spark.implicits._
     lines(path).flatMap { l =>
       val parts = l.split("\\|\\|").map(_.trim)
-      if (parts.length >= 3 && parts(0).forall(_.isDigit) &&
-          parts(1).forall(_.isDigit))
+      if (parts.length >= 3 && asciiDigits(parts(0)) &&
+          asciiDigits(parts(1)))
         Some((parts(0).toLong, parts(1).toLong, parts(2)))
       else None
     }.toDF("gid", "sid", "msg")
@@ -57,7 +63,7 @@ object Maps {
       .zipWithIndex
       .flatMap { case (l, i) =>
         val parts = l.substring(prefix.length).split(",").map(_.trim)
-        if (parts.length >= 3)
+        if (parts.length >= 3 && asciiDigits(parts(2)))
           Some((i + 1L, parts(0), parts(1), parts(2).toLong))
         else None
       }.toDF("class_id", "class_name", "class_desc", "class_priority")

@@ -124,7 +124,8 @@ object Spool {
       else {
         val s = Files.list(dir)
         try s.iterator().asScala.map(_.getFileName.toString)
-          .filter(_.forall(_.isDigit)).map(_.toLong).toSeq
+          .filter(n => n.nonEmpty && n.forall(c => c >= '0' && c <= '9'))
+          .map(_.toLong).toSeq
         finally s.close()
       }
     val committed = batchIds(Paths.get(checkpoint, "commits"))

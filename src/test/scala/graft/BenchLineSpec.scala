@@ -43,4 +43,20 @@ class BenchLineSpec extends AnyFunSuite {
     val line = Bench.jsonLine("/root/testdata/sf0.01", Map.empty)
     assert(line == """{"metric":"total","value":0.000,"unit":"sec","sf":0.01,"queries":{}}""")
   }
+
+  test("emission path: sbt's success footer is suppressed so the line is last") {
+    // r1–r5 all recorded parsed:null because "[success] Total time ..."
+    // followed the metric line in stdout. build.sbt must keep the
+    // suppression settings, and Bench.main must print the line after
+    // spark.stop() with nothing following it.
+    val buildSbt = scala.io.Source.fromFile("build.sbt", "UTF-8").mkString
+    assert(buildSbt.contains("Global / showSuccess := false"), "showSuccess")
+    assert(buildSbt.contains("Global / showTiming := false"), "showTiming")
+    val bench = scala.io.Source.fromFile(
+      "src/main/scala/graft/Bench.scala", "UTF-8").mkString
+    val stopIdx = bench.indexOf("spark.stop()")
+    val printIdx = bench.indexOf("println(jsonLine(")
+    assert(stopIdx >= 0 && printIdx > stopIdx,
+      "metric line must print AFTER spark.stop()")
+  }
 }

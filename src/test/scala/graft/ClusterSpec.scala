@@ -36,6 +36,12 @@ class ClusterSpec extends SparkSuite {
     }
   }
 
+  test("an EMPTY pair list converges to an empty labeling (no NPE)") {
+    // regression: sum() over zero label rows is SQL NULL — the
+    // convergence probe must treat it as zero, not NPE
+    assert(cc(Seq.empty) == Map.empty)
+  }
+
   test("order of pair endpoints doesn't matter") {
     assert(cc(Seq((2L, 1L), (3L, 2L))) == cc(Seq((1L, 2L), (2L, 3L))))
   }

@@ -1,0 +1,71 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+/** Round-6 regressions: malformed rule-map lines must be skipped the
+  * way the oracle's `[0-9]+` guard skips them (never crash in toLong),
+  * and the ngram-jaccard prefix blocks must cap their fan-out.
+  */
+class Round6Spec extends SparkSuite {
+
+  test("sigMap skips empty / unicode-digit / alpha sids instead of crashing") {
+    val dir = Files.createTempDirectory("maps6")
+    val sid = dir.resolve("sid-msg.map")
+    Files.writeString(sid,
+      """|1 || ok alert
+         |٣ || unicode digit sid
+         | || empty sid
+         |x2 || alpha sid
+         |2 || second ok
+         |""".stripMargin)
+    val rows = graft.snort.Maps.sigMap(spark, sid.toString).collect()
+    assert(rows.map(_.getLong(1)).sorted.toSeq == Seq(1L, 2L))
+  }
+
+  test("genMap skips a line whose gid/aid is not ASCII-numeric") {
+    val dir = Files.createTempDirectory("maps6g")
+    val gen = dir.resolve("gen-msg.map")
+    Files.writeString(gen, "1 || ٣ || bad\n2 || 7 || good\n")
+    val g = graft.snort.Maps.genMap(spark, gen.toString).collect()
+    assert(g.length == 1 && g(0).getLong(0) == 2L)
+  }
+
+  test("ngram_jaccard drops a hot boilerplate-prefix block (df cap)") {
+    import spark.implicits._
+    val d = "target/fixtures_hotprefix"
+    val boiler = "BOILERPLATE HEAD " // 17 chars — shared 16-char prefix
+    // 12 docs share the boilerplate prefix but have distinct tails
+    // (block df=12 > 8 → dropped); docs 100/101 are a true near-dup
+    // pair in a df=2 block and must survive.
+    val docs = ((0L to 11L).map(i => (i,
+        boiler + s"unique tail $i " + ("x" * i.toInt),
+        "en", s"s$i", 40L)) ++ Seq(
+        (100L, "shared small block prefix aa common text body here",
+          "en", "s100", 50L),
+        (101L, "shared small block prefix aa common text body herE",
+          "en", "s101", 50L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val pairs = q("dedup_ngram_jaccard", d).collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet
+    assert(pairs == Set((100L, 101L)),
+      s"hot block must be dropped, small block kept: $pairs")
+  }
+
+  test("classMap skips a non-numeric priority but its ordinal is consumed") {
+    val dir = Files.createTempDirectory("maps6c")
+    val cls = dir.resolve("classification.config")
+    Files.writeString(cls,
+      """|config classification: a,A desc,1
+         |config classification: b,B desc,high
+         |config classification: c,C desc,3
+         |""".stripMargin)
+    val c = graft.snort.Maps.classMap(spark, cls.toString).collect()
+    // id assignment precedes the guard (idstools line-ordinal
+    // convention) — same on the oracle side (ROW_NUMBER before WHERE)
+    assert(c.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (3L, "c")))
+  }
+}

@@ -86,23 +86,20 @@ class StreamSpec extends SparkSuite {
     assert(all.filter(col("event_id") === 99L).count() == 1)
   }
 
-  test("stream_knn matches the batch brute-force top-k exactly") {
-    import org.apache.spark.sql.expressions.Window
+  test("stream_knn matches the batch IVF probe over the persisted index") {
+    // the streamed path must agree EXACTLY with a batch probe of the
+    // same standing index (same centroids, same nProbe/k, same
+    // normalized kernel) — no driver-side corpus collect anywhere
     import graft.functions.Vectors
     val streamed = q("stream_knn", sfDir).collect().toSeq
-    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
-    val qv = emb.filter(col("vec_id") < 32)
-      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("sim").desc, col("vec_id"))
-    val batch = emb.crossJoin(broadcast(qv))
-      .filter(col("vec_id") =!= col("qid"))
-      .withColumn("sim", Vectors.dot(col("embedding"), col("qvec")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 5)
-      .select(col("qid").cast("long"), col("rank"),
-        col("vec_id").cast("long"), col("sim"))
+    assert(streamed.nonEmpty)
+    val idx = SimilarityOps.ensureIndex(spark, sfDir)
+    val qv = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .filter(col("vec_id") < 32)
+      .select(col("vec_id").cast("long").as("qid"),
+        Vectors.normalized(col("embedding")).as("qvec"))
+    val batch = SimilarityOps.probeIndex(spark, idx, qv, nProbe = 4, k = 5)
       .orderBy(col("qid"), col("rank")).collect().toSeq
-    assert(streamed.nonEmpty && streamed == batch)
+    assert(streamed == batch)
   }
 }

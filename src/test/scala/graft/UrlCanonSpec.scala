@@ -45,6 +45,18 @@ class UrlCanonSpec extends SparkSuite {
       "https://a.com/x?id=1&q=2"))
   }
 
+  test("a param NAME merely containing utm_ survives the strip") {
+    // regression: the unanchored strip spliced '?myutm_x=1&id=2' into
+    // '?myid=2', corrupting the adjacent param
+    assert(canon(
+      "https://a.com/x?myutm_x=1&id=2",
+      "https://a.com/x?id=2&myutm_x=1",
+      "https://a.com/x?utm_a=1&myutm_x=1&utm_b=2") == Seq(
+      "https://a.com/x?myutm_x=1&id=2",
+      "https://a.com/x?id=2&myutm_x=1",
+      "https://a.com/x?myutm_x=1"))
+  }
+
   test("one dot-segment level resolves; fragments always drop") {
     assert(canon("https://a.com/a/b/../c#sec") == Seq("https://a.com/a/c"))
   }
