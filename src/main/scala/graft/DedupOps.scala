@@ -97,7 +97,82 @@ object DedupOps {
   def warmCaches(s: SparkSession, dir: String): Unit = {
     bandedSigs(s, dir).count()
     minhashStoreHist(s, dir)
+    dumpOracleBase(s, dir)
   }
+
+  /** SimHash64 signature per document (shared by the dedup_simhash
+    * entry and the oracle dump).
+    */
+  private def simhashSigs(s: SparkSession, dir: String): DataFrame = {
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_simhash", exprs => SimHash64(exprs.head), "scala_udf")
+    t(s, dir, "documents")
+      .withColumn("tokens", tokensOf(col("text")))
+      .select(col("doc_id"), expr("graft_simhash(tokens)").as("sig"))
+  }
+
+  /** Random-hyperplane LSH bucket keys per embedding (shared by the
+    * dedup_embedding entry and the oracle dump): 4 tables × 6
+    * deterministic (seed 42) hyperplanes; a vector's key per table is
+    * its 6 sign bits, disambiguated by the table id in the high bits.
+    */
+  private def embeddingBuckets(s: SparkSession, dir: String): DataFrame = {
+    val rng = new scala.util.Random(42)
+    val tables = Seq.fill(4)(Seq.fill(6)(Seq.fill(64)(rng.nextGaussian())))
+    val keys = tables.zipWithIndex.map { case (planes, ti) =>
+      planes.zipWithIndex.map { case (p, i) =>
+        when(Vectors.dot(col("embedding"), typedLit(p)) >= 0,
+          lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_ + _) + lit(ti.toLong << 32)
+    }
+    // pre-normalize once per vector so the per-pair work is a
+    // single dot product (not dot + two norms)
+    t(s, dir, "embeddings")
+      .withColumn("nv", Vectors.normalized(col("embedding")))
+      .select(col("vec_id"), col("nv"),
+        explode(array(keys: _*)).as("bucket"))
+  }
+
+  /** Absolute dump dir for the dedup oracle base. The 64-bit wrapping
+    * hashes themselves (MinHash permutations, SimHash, hyperplane sign
+    * keys over floats) are inexpressible in DuckDB — so the entries
+    * dump exactly those CANDIDATE-GENERATION intermediates once per
+    * (session, corpus), and the oracle re-runs everything downstream
+    * in SQL: bucket/band joins, split logic, exact Jaccard from
+    * text-derived shingles, hamming via bit_count∘xor, cosine via the
+    * bit-exact list_reduce fold, and connected components as a
+    * recursive CTE. The hash computation itself is spec'd directly
+    * (DedupSpec planted pairs).
+    */
+  val dumpBase = "/root/repo/target/graft_scratch/oracle_base/dedup"
+  private val dumpDone =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), java.lang.Boolean]()
+
+  def dumpOracleBase(s: SparkSession, dir: String): Unit =
+    dumpDone.computeIfAbsent((System.identityHashCode(s), dir), _ => {
+      bandedSigs(s, dir).coalesce(1)
+        .write.mode("overwrite").parquet(s"$dumpBase/banded")
+      simhashSigs(s, dir).coalesce(1)
+        .write.mode("overwrite").parquet(s"$dumpBase/simsig")
+      embeddingBuckets(s, dir).select(col("bucket"), col("vec_id"))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$dumpBase/embbuckets")
+      winnowFp(t(s, dir, "documents").select(col("doc_id"), col("text")))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$dumpBase/substrfp")
+      true
+    })
+
+  /** doc_id + word-3-shingle distinct set as a DuckDB CTE — the SQL
+    * twin of [[shingled]], shared by the minhash-family oracles.
+    */
+  private val shinglesSql =
+    """sh AS (SELECT doc_id, list_distinct(list_transform(
+        range(0, greatest(len(toks)-3, 0)+1),
+        i -> concat_ws(' ', toks[i+1], toks[i+2], toks[i+3]))) AS shingles
+      FROM (SELECT doc_id,
+        list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
+        FROM documents))"""
 
   /** Build-once half of dedup_incremental's lifecycle: historical
     * banded signatures persisted as a band-partitioned parquet store
@@ -230,8 +305,28 @@ object DedupOps {
       // >= 0.5 within buckets confirms and removes false positives.
       // Shingles/signatures are cached — they feed both the bucket join
       // and the verification join.
-      (s, dir) => minhashPairs(s, dir).orderBy(col("a"), col("b")),
-      None),
+      (s, dir) => {
+        dumpOracleBase(s, dir)
+        minhashPairs(s, dir).orderBy(col("a"), col("b"))
+      },
+      // Candidates re-joined in SQL from the DUMPED banded signatures
+      // (the 64-bit permutations are the one inexpressible step);
+      // exact-Jaccard verification re-derived ENTIRELY from text via
+      // the SQL shingle twin — int/int division, exact on both engines.
+      Some(s"""WITH $shinglesSql,
+        bd AS (SELECT band, bkey, doc_id
+          FROM read_parquet('$dumpBase/banded/*.parquet')),
+        cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+          FROM bd l JOIN bd r ON l.band = r.band AND l.bkey = r.bkey
+            AND l.doc_id < r.doc_id),
+        v AS (SELECT a, b,
+            CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE) /
+              len(list_distinct(list_concat(x.shingles, y.shingles)))
+              AS jaccard
+          FROM cand JOIN sh x ON cand.a = x.doc_id
+            JOIN sh y ON cand.b = y.doc_id)
+        SELECT a, b, jaccard FROM v WHERE jaccard >= 0.5
+        ORDER BY a, b""")),
 
     Entry(
       "dedup_clusters",
@@ -241,6 +336,7 @@ object DedupOps {
       // cluster size. This is the step that turns pairwise similarity
       // into the actual keep/drop decision of a corpus dedup pass.
       (s, dir) => {
+        dumpOracleBase(s, dir)
         val cc = connectedComponents(minhashPairs(s, dir).select(
           col("a"), col("b")))
         cc.groupBy(col("label").as("cluster"))
@@ -250,7 +346,33 @@ object DedupOps {
             concat_ws(",", col("members")).as("members"))
           .orderBy(col("cluster"))
       },
-      None),
+      // Same pair derivation as the dedup_minhash oracle, then
+      // connected components AS SQL: a recursive CTE propagates every
+      // reachable label to every vertex (undirected closure), min per
+      // vertex = its component's canonical keeper — independently
+      // re-deriving what the distributed hash-min loop computes.
+      Some(s"""WITH RECURSIVE $shinglesSql,
+        bd AS (SELECT band, bkey, doc_id
+          FROM read_parquet('$dumpBase/banded/*.parquet')),
+        cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+          FROM bd l JOIN bd r ON l.band = r.band AND l.bkey = r.bkey
+            AND l.doc_id < r.doc_id),
+        pv AS (SELECT a, b FROM (SELECT a, b,
+            CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE) /
+              len(list_distinct(list_concat(x.shingles, y.shingles)))
+              AS jaccard
+          FROM cand JOIN sh x ON cand.a = x.doc_id
+            JOIN sh y ON cand.b = y.doc_id) WHERE jaccard >= 0.5),
+        edges AS (SELECT a AS src, b AS dst FROM pv
+          UNION SELECT b, a FROM pv),
+        reach(id, lab) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id),
+        lab AS (SELECT id, MIN(lab) AS cluster FROM reach GROUP BY id)
+        SELECT cluster, CAST(COUNT(*) AS BIGINT) AS cluster_size,
+          string_agg(CAST(id AS VARCHAR), ',' ORDER BY id) AS members
+        FROM lab GROUP BY cluster ORDER BY cluster""")),
 
     Entry(
       "dedup_incremental",
@@ -267,6 +389,7 @@ object DedupOps {
       // entry). DedupSpec pins the planted cross-split pairs.
       (s, dir) => {
         withJaccardRewrite(s)
+        dumpOracleBase(s, dir)
         val hist = minhashStoreHist(s, dir)
           .select(col("band"), col("bkey"), col("doc_id").as("dup_of"))
         val probe = bandedSigs(s, dir).filter(col("doc_id") % 10 === 0)
@@ -283,7 +406,26 @@ object DedupOps {
           .select(col("new_id"), col("dup_of"), col("jaccard"))
           .orderBy(col("new_id"), col("dup_of"))
       },
-      None),
+      // The split/probe/verify pipeline re-run in SQL over the dumped
+      // banded signatures: history = %10≠0, probe = %10=0, candidates
+      // from the (band, bkey) join, exact Jaccard from text shingles.
+      Some(s"""WITH $shinglesSql,
+        bd AS (SELECT band, bkey, doc_id
+          FROM read_parquet('$dumpBase/banded/*.parquet')),
+        hist AS (SELECT band, bkey, doc_id AS dup_of FROM bd
+          WHERE doc_id % 10 <> 0),
+        probe AS (SELECT band, bkey, doc_id AS new_id FROM bd
+          WHERE doc_id % 10 = 0),
+        cand AS (SELECT DISTINCT dup_of, new_id
+          FROM hist JOIN probe USING (band, bkey)),
+        v AS (SELECT new_id, dup_of,
+            CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE) /
+              len(list_distinct(list_concat(x.shingles, y.shingles)))
+              AS jaccard
+          FROM cand JOIN sh x ON cand.dup_of = x.doc_id
+            JOIN sh y ON cand.new_id = y.doc_id)
+        SELECT new_id, dup_of, jaccard FROM v WHERE jaccard >= 0.5
+        ORDER BY new_id, dup_of""")),
 
     Entry(
       "dedup_simhash",
@@ -292,11 +434,8 @@ object DedupOps {
       // of the four 16-bit blocks matches exactly -> block-equality
       // bucketing, then hamming distance verify via bit_count(xor).
       (s, dir) => {
-        s.sessionState.functionRegistry.createOrReplaceTempFunction(
-          "graft_simhash", exprs => SimHash64(exprs.head), "scala_udf")
-        val sig = t(s, dir, "documents")
-          .withColumn("tokens", tokensOf(col("text")))
-          .select(col("doc_id"), expr("graft_simhash(tokens)").as("sig"))
+        dumpOracleBase(s, dir)
+        val sig = simhashSigs(s, dir)
         val blocked = sig.select(col("doc_id"), col("sig"),
             posexplode(expr("transform(sequence(0, 3), " +
               "b -> (sig >> (b * 16)) & 65535)")).as(Seq("blk", "bkey")))
@@ -312,7 +451,20 @@ object DedupOps {
           .filter(col("hamming") <= 3)
           .orderBy(col("a"), col("b"))
       },
-      None),
+      // Blocking + hamming verify re-derived in SQL from the dumped
+      // 64-bit signatures: the four 16-bit block keys via the same
+      // shift/mask arithmetic, hamming via bit_count∘xor.
+      Some(s"""WITH s AS (SELECT doc_id, sig
+          FROM read_parquet('$dumpBase/simsig/*.parquet')),
+        blk AS (SELECT doc_id, sig, b.b AS blk,
+            (sig >> (b.b * 16)) & 65535 AS bkey
+          FROM s CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b) b),
+        pairs AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
+            CAST(bit_count(xor(l.sig, r.sig)) AS INT) AS hamming
+          FROM blk l JOIN blk r ON l.blk = r.blk AND l.bkey = r.bkey
+            AND l.doc_id < r.doc_id)
+        SELECT a, b, hamming FROM pairs WHERE hamming <= 3
+        ORDER BY a, b""")),
 
     Entry(
       "dedup_ngram_jaccard",
@@ -385,21 +537,8 @@ object DedupOps {
       // small tables trade one wide (low-recall) signature for OR-ed
       // recall while the candidate join stays one hash-shuffle.
       (s, dir) => {
-        val rng = new scala.util.Random(42)
-        val tables = Seq.fill(4)(Seq.fill(6)(Seq.fill(64)(rng.nextGaussian())))
-        val keys = tables.zipWithIndex.map { case (planes, ti) =>
-          planes.zipWithIndex.map { case (p, i) =>
-            when(Vectors.dot(col("embedding"), typedLit(p)) >= 0,
-              lit(1L << i)).otherwise(lit(0L))
-          }.reduce(_ + _) + lit(ti.toLong << 32)
-        }
-        // pre-normalize once per vector so the per-pair work is a
-        // single dot product (not dot + two norms)
-        val keyed = t(s, dir, "embeddings")
-          .withColumn("nv", Vectors.normalized(col("embedding")))
-          .select(col("vec_id"), col("nv"),
-            explode(array(keys: _*)).as("bucket"))
-          .persist()
+        dumpOracleBase(s, dir)
+        val keyed = embeddingBuckets(s, dir).persist()
         val l = keyed.select(col("bucket"), col("vec_id").as("a"),
           col("nv").as("e_a"))
         val r = keyed.select(col("bucket"), col("vec_id").as("b"),
@@ -412,7 +551,27 @@ object DedupOps {
           .distinct()
           .orderBy(col("a"), col("b"))
       },
-      None),
+      // Candidates from the dumped bucket keys (float-sign hyperplane
+      // hashes are the inexpressible step); the cosine verify is
+      // re-computed in SQL with the bit-exact normalize+dot fold the
+      // knn_brute oracle proved (list_reduce ≡ the sequential kernel).
+      Some(s"""WITH norm AS (SELECT vec_id,
+            list_transform(embedding, x -> CAST(x AS DOUBLE) / sqrt(
+              list_reduce(list_transform(embedding,
+                y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)),
+                (a,b) -> a+b))) AS e
+          FROM embeddings),
+        k AS (SELECT bucket, vec_id
+          FROM read_parquet('$dumpBase/embbuckets/*.parquet')),
+        cand AS (SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+          FROM k l JOIN k r ON l.bucket = r.bucket
+            AND l.vec_id < r.vec_id),
+        v AS (SELECT a, b,
+            list_reduce(list_transform(range(1, len(x.e)+1),
+              i -> x.e[i]*y.e[i]), (p,q) -> p+q) AS cos
+          FROM cand JOIN norm x ON cand.a = x.vec_id
+            JOIN norm y ON cand.b = y.vec_id)
+        SELECT a, b, cos FROM v WHERE cos >= 0.35 ORDER BY a, b""")),
 
     Entry(
       "dedup_substring",
@@ -425,9 +584,26 @@ object DedupOps {
       // bounds any bucket's pair fan-out at C(8,2)) → count shared
       // fingerprints per pair, keep ≥ 3. Shuffles: one on the
       // fingerprint (bucket join), one on the pair — never n².
-      (s, dir) => substringPairs(
-        t(s, dir, "documents").select(col("doc_id"), col("text"))),
-      None),
+      (s, dir) => {
+        dumpOracleBase(s, dir)
+        substringPairs(
+          t(s, dir, "documents").select(col("doc_id"), col("text")))
+      },
+      // The df-band and pair-counting logic re-run in SQL over the
+      // dumped per-doc winnowing fingerprints (the rolling 64-bit hash
+      // is the inexpressible step; Round5Spec covers it directly).
+      Some(s"""WITH f0 AS (SELECT doc_id, fp
+          FROM read_parquet('$dumpBase/substrfp/*.parquet')),
+        rare AS (SELECT fp FROM (SELECT fp, COUNT(*) AS df
+            FROM f0 GROUP BY fp) WHERE df BETWEEN 2 AND 8),
+        keyed AS (SELECT f0.fp, f0.doc_id FROM f0 JOIN rare USING (fp)),
+        p AS (SELECT l.doc_id AS a, r.doc_id AS b,
+            CAST(COUNT(*) AS BIGINT) AS n_shared
+          FROM keyed l JOIN keyed r ON l.fp = r.fp
+            AND l.doc_id < r.doc_id
+          GROUP BY 1, 2)
+        SELECT a, b, n_shared FROM p WHERE n_shared >= 3
+        ORDER BY a, b""")),
 
     Entry(
       "dedup_decontaminate",
@@ -478,6 +654,18 @@ object DedupOps {
     * `dedup_substring` entry. Factored out so specs can run it on
     * planted fixtures.
     */
+  /** Exploded (doc_id, fp) winnowing fingerprints (k=8 chars, window
+    * 4) — single-pass native expression, shared by substringPairs and
+    * the oracle dump.
+    */
+  private def winnowFp(docs: DataFrame): DataFrame =
+    docs.withColumn("fp", explode(
+        org.apache.spark.sql.graft.DatasetBridge.column(
+          graft.functions.WinnowFingerprints(
+            org.apache.spark.sql.graft.DatasetBridge
+              .expression(col("text")), 8, 4))))
+      .select(col("doc_id"), col("fp"))
+
   def substringPairs(docs: DataFrame, minDf: Int = 2, maxDf: Int = 8,
       minShared: Int = 3): DataFrame = {
     // the fingerprint relation feeds the df count AND both sides of the
@@ -485,14 +673,7 @@ object DedupOps {
     // re-executes per branch. Single-pass native winnowing
     // (graft.functions.WinnowFingerprints): no per-position String
     // gram allocation, no intermediate arrays.
-    val fp = docs
-      .withColumn("fp", explode(
-        org.apache.spark.sql.graft.DatasetBridge.column(
-          graft.functions.WinnowFingerprints(
-            org.apache.spark.sql.graft.DatasetBridge
-              .expression(col("text")), 8, 4))))
-      .select(col("doc_id"), col("fp"))
-      .persist()
+    val fp = winnowFp(docs).persist()
     val rare = fp.groupBy(col("fp")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDf && col("df") <= maxDf)
       .select(col("fp"))

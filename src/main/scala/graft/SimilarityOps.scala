@@ -106,7 +106,125 @@ object SimilarityOps {
     centroids(s, dir).count()
     val (cen, codes) = pqIndex(s, dir, emb)
     cen.count(); codes.count()
+    dumpOracleBase(s, dir)
   }
+
+  /** Absolute dump dir for the IVF oracle base: the TRAINED index
+    * (centroids from the float k-means fixpoint, cell assignments) is
+    * the one piece DuckDB can't re-derive — dump it once per
+    * (session, corpus) and the oracle re-runs the entire SERVING path
+    * in SQL: query normalization, centroid ranking, probe pruning,
+    * dot-product scoring (the bit-exact list_reduce fold knn_brute
+    * proved) and the top-k rank. Training determinism is spec'd
+    * directly (KnnSpec / PQSpec).
+    */
+  val dumpBase = "/root/repo/target/graft_scratch/oracle_base/knn"
+  private val dumpDone =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), java.lang.Boolean]()
+
+  def dumpOracleBase(s: SparkSession, dir: String): Unit =
+    dumpDone.computeIfAbsent((System.identityHashCode(s), dir), _ => {
+      val cen = centroids(s, dir)
+      cen.coalesce(1).write.mode("overwrite").parquet(s"$dumpBase/centroids")
+      withNearestCell(embeddings(s, dir), col("embedding"), cen)
+        .select(col("cell"), col("vec_id"), col("embedding"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$dumpBase/assignments")
+      val (pqCen, pqCodes) = pqIndex(s, dir, embeddings(s, dir))
+      pqCen.coalesce(1)
+        .write.mode("overwrite").parquet(s"$dumpBase/pq_codebooks")
+      pqCodes.coalesce(1)
+        .write.mode("overwrite").parquet(s"$dumpBase/pq_codes")
+      true
+    })
+
+  /** The PQ/ADC serving path in SQL over the dumped codebooks+codes:
+    * per-query lookup table from the bit-exact zip fold, per-vector
+    * score = the 8 table entries folded IN SUBSPACE ORDER (matching
+    * pqSearch's ordered aggregate), top-5 by (score DESC, vec_id).
+    * `ivfPruned` restricts the scored corpus to each query's 4 probed
+    * cells (knn_ivf_pq); false = exhaustive ADC scan (knn_pq).
+    */
+  def pqProbeSql(qidPred: String, ivfPruned: Boolean): String = {
+    val cand =
+      if (!ivfPruned) "SELECT q.qid, ce.vec_id, ce.m, ce.code FROM q CROSS JOIN ce WHERE ce.vec_id <> q.qid"
+      else s"""SELECT pr.qid, ce.vec_id, ce.m, ce.code
+        FROM (SELECT qid, cell FROM (SELECT cs.qid, cs.cell,
+            row_number() OVER (PARTITION BY cs.qid
+              ORDER BY cs.csim DESC, cs.cell) AS crank
+          FROM (SELECT q.qid, c.cell,
+              list_reduce(list_transform(range(1, len(c.cvec)+1),
+                i -> q.qe[i]*c.cvec[i]), (a,b) -> a+b) AS csim
+            FROM q CROSS JOIN cen c) cs) WHERE crank <= 4) pr
+        JOIN asg a ON a.cell = pr.cell AND a.vec_id <> pr.qid
+        JOIN ce ON ce.vec_id = a.vec_id"""
+    s"""WITH norm AS (SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE) / sqrt(
+            list_reduce(list_transform(embedding,
+              y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)),
+              (a,b) -> a+b))) AS e
+        FROM embeddings),
+      q AS (SELECT vec_id AS qid, e AS qe FROM norm WHERE $qidPred),
+      cen AS (SELECT cell, cvec
+        FROM read_parquet('$dumpBase/centroids/*.parquet')),
+      asg AS (SELECT cell, vec_id
+        FROM read_parquet('$dumpBase/assignments/*.parquet')),
+      cb AS (SELECT m, code, cvec
+        FROM read_parquet('$dumpBase/pq_codebooks/*.parquet')),
+      ce AS (SELECT vec_id, mi - 1 AS m, codes[mi] AS code
+        FROM read_parquet('$dumpBase/pq_codes/*.parquet')
+        CROSS JOIN (SELECT unnest(range(1, 9)) AS mi) u),
+      tab AS (SELECT q2.qid, cb.m, cb.code,
+          list_reduce(list_transform(range(1, 9),
+            i -> q2.qe[cb.m*8 + i] * cb.cvec[i]), (a,b) -> a+b) AS tdot
+        FROM q q2 CROSS JOIN cb),
+      cand AS ($cand),
+      sc AS (SELECT c.qid, c.vec_id,
+          list_reduce(list(t.tdot ORDER BY t.m), (a,b) -> a+b)
+            AS approx_dot
+        FROM cand c JOIN tab t ON t.qid = c.qid AND t.m = c.m
+          AND t.code = c.code
+        GROUP BY c.qid, c.vec_id HAVING COUNT(*) = 8),
+      r AS (SELECT qid, CAST(row_number() OVER (PARTITION BY qid
+          ORDER BY approx_dot DESC, vec_id) AS INT) AS rank, vec_id,
+          approx_dot
+        FROM sc)
+      SELECT qid, rank, vec_id, approx_dot FROM r WHERE rank <= 5
+      ORDER BY qid, rank"""
+  }
+
+  /** The IVF probe/serve path as a DuckDB query over the dumped index
+    * — shared by knn_ivf, knn_ivf_persist (identical output, KnnSpec
+    * pins it) and stream_knn (wider query set).
+    */
+  def ivfProbeSql(qidPred: String): String =
+    s"""WITH norm AS (SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE) / sqrt(
+            list_reduce(list_transform(embedding,
+              y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)),
+              (a,b) -> a+b))) AS e
+        FROM embeddings),
+      cen AS (SELECT cell, cvec
+        FROM read_parquet('$dumpBase/centroids/*.parquet')),
+      asg AS (SELECT cell, vec_id, embedding
+        FROM read_parquet('$dumpBase/assignments/*.parquet')),
+      q AS (SELECT vec_id AS qid, e AS qe FROM norm WHERE $qidPred),
+      cs AS (SELECT q.qid, q.qe, c.cell,
+          list_reduce(list_transform(range(1, len(c.cvec)+1),
+            i -> q.qe[i]*c.cvec[i]), (a,b) -> a+b) AS csim
+        FROM q CROSS JOIN cen c),
+      pr AS (SELECT qid, qe, cell FROM (SELECT *, row_number() OVER (
+          PARTITION BY qid ORDER BY csim DESC, cell) AS crank FROM cs)
+        WHERE crank <= 4),
+      sc AS (SELECT pr.qid, a.vec_id,
+          list_reduce(list_transform(range(1, len(a.embedding)+1),
+            i -> a.embedding[i]*pr.qe[i]), (x,y) -> x+y) AS sim
+        FROM asg a JOIN pr ON a.cell = pr.cell
+        WHERE a.vec_id <> pr.qid),
+      r AS (SELECT qid, CAST(row_number() OVER (PARTITION BY qid
+          ORDER BY sim DESC, vec_id) AS INT) AS rank, vec_id, sim
+        FROM sc)
+      SELECT qid, rank, vec_id, sim FROM r WHERE rank <= 5
+      ORDER BY qid, rank"""
 
   private def trainCentroids(s: SparkSession, dir: String): DataFrame = {
     val emb = embeddings(s, dir)
@@ -204,6 +322,7 @@ object SimilarityOps {
       // probe's cell filter a partition-pruned read (the on-disk form
       // of IVF posting lists). KnnSpec pins persisted ≡ in-memory.
       (s, dir) => {
+        dumpOracleBase(s, dir)
         val idx = s"target/graft_scratch/ivf_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
         writeIndex(s, dir, idx)
         val q = embeddings(s, dir).filter(col("vec_id") < 10)
@@ -211,7 +330,7 @@ object SimilarityOps {
         probeIndex(s, idx, q, nProbe = 4, k = 5)
           .orderBy(col("qid"), col("rank"))
       },
-      None),
+      Some(ivfProbeSql("vec_id < 10"))),
 
     Entry(
       "knn_brute",
@@ -262,6 +381,7 @@ object SimilarityOps {
       // worst case, where recall ~ fraction probed. On clustered real
       // embeddings the same plan recalls >0.9 at the same probe count.
       (s, dir) => {
+        dumpOracleBase(s, dir)
         val emb = embeddings(s, dir)
         val cen = centroids(s, dir)
         val assigned = withNearestCell(emb, col("embedding"), cen)
@@ -282,7 +402,7 @@ object SimilarityOps {
         topkPerQuery(scored, "sim", 5)
           .orderBy(col("qid"), col("rank"))
       },
-      None),
+      Some(ivfProbeSql("vec_id < 10"))),
 
     Entry(
       "emb_centroid",
@@ -326,6 +446,7 @@ object SimilarityOps {
       // deployment sharing one index. Scan cost: |probed cells| rows
       // of 8-byte codes instead of the full float corpus.
       (s, dir) => {
+        dumpOracleBase(s, dir)
         val emb = embeddings(s, dir)
         val cen = centroids(s, dir)
         val (pqCen, codes) = pqIndex(s, dir, emb)
@@ -347,14 +468,16 @@ object SimilarityOps {
           .select(col("qid"), col("vec_id"),
             posexplode(col("codes")).as(Seq("m", "code")))
           .join(broadcast(table), Seq("qid", "m", "code"))
+          // ordered fold, not SUM — see pqSearch: reproducible floats
           .groupBy(col("qid"), col("vec_id"))
-          .agg(sum(col("tdot")).as("approx_dot"), count(lit(1)).as("nm"))
-          .filter(col("nm") === PqM)
-          .select(col("qid"), col("vec_id"), col("approx_dot"))
+          .agg(array_sort(collect_list(struct(col("m"), col("tdot")))).as("mt"))
+          .filter(size(col("mt")) === PqM)
+          .select(col("qid"), col("vec_id"),
+            expr("aggregate(mt, 0D, (acc, e) -> acc + e.tdot)").as("approx_dot"))
         topkPerQuery(scored, "approx_dot", 5)
           .orderBy(col("qid"), col("rank"))
       },
-      None),
+      Some(pqProbeSql("vec_id < 10", ivfPruned = true))),
 
     Entry(
       "knn_pq",
@@ -367,13 +490,14 @@ object SimilarityOps {
       // the uniform-random test vectors is quantization-bound; PQSpec
       // proves exact retrieval on separable planted clusters.
       (s, dir) => {
+        dumpOracleBase(s, dir)
         val emb = embeddings(s, dir)
         val (cen, codes) = pqIndex(s, dir, emb)
         val q = emb.filter(col("vec_id") < 10)
           .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
         pqSearch(cen, codes, q, 5)
       },
-      None)
+      Some(pqProbeSql("vec_id < 10", ivfPruned = false)))
   )
 
   /** Number of PQ subspaces (64 dims / 8 = 8-dim sub-vectors). */
@@ -501,14 +625,20 @@ object SimilarityOps {
   def pqSearch(cen: DataFrame, codes: DataFrame, queries: DataFrame,
       k: Int): DataFrame = {
     val table = pqTable(cen, queries)
+    // Σ_m folded in SUBSPACE ORDER (collect → sort by m → aggregate):
+    // a bare SUM() adds the 8 doubles in shuffle-arrival order, which
+    // is nondeterministic run-to-run for floats — the ordered fold is
+    // reproducible and lets the DuckDB oracle replicate it bit-exactly.
     val scored = codes
       .select(col("vec_id"), posexplode(col("codes")).as(Seq("m", "code")))
       .join(broadcast(table), Seq("m", "code"))
       .groupBy(col("qid"), col("vec_id"))
-      .agg(sum(col("tdot")).as("approx_dot"), count(lit(1)).as("nm"))
+      .agg(array_sort(collect_list(struct(col("m"), col("tdot")))).as("mt"))
+      .filter(size(col("mt")) === PqM)
+      .select(col("qid"), col("vec_id"),
+        expr("aggregate(mt, 0D, (acc, e) -> acc + e.tdot)").as("approx_dot"))
     topkPerQuery(
-      scored.filter(col("nm") === PqM && col("vec_id") =!= col("qid"))
-        .select(col("qid"), col("vec_id"), col("approx_dot")),
+      scored.filter(col("vec_id") =!= col("qid")),
       "approx_dot", k)
       .orderBy(col("qid"), col("rank"))
   }

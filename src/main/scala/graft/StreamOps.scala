@@ -820,6 +820,7 @@ object StreamOps {
       // shape. StreamSpec asserts exact agreement with the batch
       // probe over the same index.
       (s, dir) => {
+        SimilarityOps.dumpOracleBase(s, dir)
         val idx = SimilarityOps.ensureIndex(s, dir)
         val root = java.nio.file.Files
           .createTempDirectory("graft_stream_knn").toString
@@ -840,7 +841,10 @@ object StreamOps {
         q.awaitTermination()
         s.read.parquet(s"$root/b*").orderBy(col("qid"), col("rank"))
       },
-      None),
+      // stream splitting must not change a single row vs the batch
+      // probe of the same standing index — the oracle is the full
+      // serving path in SQL over the dumped centroids/assignments.
+      Some(SimilarityOps.ivfProbeSql("vec_id < 32"))),
 
     Entry(
       "stream_asof",

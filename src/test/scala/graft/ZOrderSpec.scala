@@ -58,8 +58,12 @@ class ZOrderSpec extends SparkSuite {
     val (hTouched, hTotal) = filesTouched(s"$root/h", 32, 63)
     assert(zTotal == 16 && hTotal >= 16)
     // the 32x32 query rectangle is 1/64 of the space: a z-layout keeps
-    // it inside very few rectangles; a hash layout smears it everywhere
-    assert(zTouched <= 2, s"z-order touched $zTouched of $zTotal")
+    // it inside very few rectangles; a hash layout smears it everywhere.
+    // Bound is 3, not 2: repartitionByRange SAMPLES its boundaries
+    // (seeded by rdd.id, so they shift with session history) — the
+    // 1024-value query z-run spans ≤2 ideal 4096-value files plus at
+    // most one more under sampling skew.
+    assert(zTouched <= 3, s"z-order touched $zTouched of $zTotal")
     assert(hTouched == hTotal, s"hash touched $hTouched of $hTotal")
 
     // layout changes bytes on disk, never the relation
