@@ -827,6 +827,13 @@ object MultimodalOps {
         val vecs = mmSource(s, dir).as(Encoders.product[MMIn])
           .mapPartitions(embedBatch)(Encoders.product[MMVec])
           .toDF()
+          .persist()
+        // dump the encoded unit vectors (the wrapping-hash stub encoder
+        // is the one inexpressible step; KnnSpec pins its determinism)
+        // so the oracle re-runs the whole ANN in SQL
+        vecs.coalesce(1)
+          .write.mode("overwrite")
+          .parquet(s"${SimilarityOps.dumpBase}/mmvecs")
         val q = vecs.filter(col("doc_id") < 5)
           .select(col("doc_id").as("qid"), col("vec").as("qvec"))
         val w = Window.partitionBy(col("qid"))
@@ -839,7 +846,19 @@ object MultimodalOps {
           .select(col("qid"), col("rank"), col("doc_id"), col("sim"))
           .orderBy(col("qid"), col("rank"))
       },
-      None)
+      Some(s"""WITH v AS (SELECT doc_id, vec
+          FROM read_parquet('${SimilarityOps.dumpBase}/mmvecs/*.parquet')),
+        q AS (SELECT doc_id AS qid, vec AS qvec FROM v
+          WHERE doc_id < 5),
+        sc AS (SELECT q.qid, v.doc_id,
+            list_reduce(list_transform(range(1, len(v.vec)+1),
+              i -> v.vec[i]*q.qvec[i]), (a,b) -> a+b) AS sim
+          FROM v CROSS JOIN q WHERE v.doc_id <> q.qid),
+        r AS (SELECT qid, CAST(row_number() OVER (PARTITION BY qid
+            ORDER BY sim DESC, doc_id) AS INT) AS rank, doc_id, sim
+          FROM sc)
+        SELECT qid, rank, doc_id, sim FROM r WHERE rank <= 3
+        ORDER BY qid, rank"""))
   )
 
   case class MMVec(doc_id: Long, vec: Array[Double])

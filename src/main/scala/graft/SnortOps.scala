@@ -849,10 +849,61 @@ object SnortOps {
           Maps.enrichSignatures(
             Unified2.alertsAssembled(s, Seq(spool), "snort.log", "bulk1"),
             Maps.combinedSigMap(s, sid, gen)),
-          Maps.classMap(s, cls))
-        SnortStar.normalize(alerts)("event")
+          Maps.classMap(s, cls)).persist()
+        // dump the enriched pre-normalize base (parse+assembly output)
+        // so the oracle independently re-derives the star cid windows
+        // and dim keys at bulk scale; the persist keeps the ingest a
+        // single parse pass (the dump is the first action on it)
+        alerts
+          .withColumn("n_pkts",
+            greatest(coalesce(size(col("packets")), lit(0)), lit(1)))
+          .select(col("sensor"), col("src_file"), col("rec_index"),
+            col("generator_id"), col("signature_id"), col("sig_rev"),
+            col("sig_priority"), col("classification_id"), col("sig_msg"),
+            col("event_ts"), col("n_pkts"))
+          .write.mode("overwrite").parquet(s"$oracleBaseDir/bulk_alerts")
+        SnortStar.normalize(alerts)("event").orderBy(col("sid"), col("cid"))
       },
-      None),
+      // star_normalize's SQL window re-derivation (two-level cid prefix
+      // sums, dense-rank dim keys, slot expansion, Snorby timestamp
+      // render) applied to the 60k-alert bulk dump.
+      Some(s"""WITH e AS (SELECT * FROM
+            read_parquet('$oracleBaseDir/bulk_alerts/*.parquet')),
+          sd AS (SELECT sensor, CAST(DENSE_RANK() OVER (ORDER BY sensor)
+              AS BIGINT) AS sensor_sid
+            FROM (SELECT DISTINCT sensor FROM e)),
+          g2 AS (SELECT *, CAST(DENSE_RANK() OVER (ORDER BY s_gid,
+                s_sid, s_rev, s_class_id, s_priority, s_msg) AS BIGINT)
+                AS sig_id
+            FROM (SELECT DISTINCT generator_id AS s_gid,
+                signature_id AS s_sid, sig_rev AS s_rev,
+                classification_id AS s_class_id,
+                sig_priority AS s_priority, sig_msg AS s_msg FROM e)),
+          fb AS (SELECT sensor, src_file, COALESCE(SUM(file_pkts) OVER (
+                PARTITION BY sensor ORDER BY src_file
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS file_base
+            FROM (SELECT sensor, src_file, SUM(n_pkts) AS file_pkts
+              FROM e GROUP BY ALL)),
+          wc AS (SELECT e.*, fb.file_base + COALESCE(SUM(e.n_pkts)
+                OVER (PARTITION BY e.sensor, e.src_file
+                  ORDER BY e.rec_index
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                + 1 AS cid_base
+            FROM e JOIN fb USING (sensor, src_file)),
+          ev0 AS (SELECT sd.sensor_sid AS sid, wc.cid_base,
+              g2.sig_id,
+              strftime(wc.event_ts, '%Y-%m-%d %H:%M:%S') AS ts,
+              unnest(range(0, wc.n_pkts)) AS slot
+            FROM wc JOIN sd USING (sensor)
+            JOIN g2 ON wc.generator_id = g2.s_gid
+              AND wc.signature_id = g2.s_sid AND wc.sig_rev = g2.s_rev
+              AND wc.classification_id = g2.s_class_id
+              AND wc.sig_priority = g2.s_priority
+              AND wc.sig_msg = g2.s_msg)
+        SELECT sid, CAST(cid_base + slot AS BIGINT) AS cid,
+          sig_id AS signature, ts AS "timestamp"
+        FROM ev0 ORDER BY sid, cid""")),
 
     Entry(
       "inet_cidr_enrich",

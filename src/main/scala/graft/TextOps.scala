@@ -364,6 +364,7 @@ object TextOps {
       // no per-position String allocation). No shuffle, no UDF.
       (s, dir) => {
         import org.apache.spark.sql.graft.DatasetBridge
+        DedupOps.dumpOracleBase(s, dir)
         val fps = DatasetBridge.column(graft.functions.WinnowFingerprints(
           DatasetBridge.expression(col("text")), 8, 4))
         t(s, dir, "documents")
@@ -373,7 +374,16 @@ object TextOps {
             array_max(col("fps")).as("fp_max"))
           .orderBy(col("doc_id"))
       },
-      None),
+      // count/min/max re-aggregated in SQL over the dumped exploded
+      // fingerprint relation (shared with dedup_substring's oracle);
+      // the left join keeps docs whose text is too short for any
+      // 8-gram (n_fp 0, null min/max on both engines).
+      Some(s"""SELECT d.doc_id, CAST(COUNT(f.fp) AS BIGINT) AS n_fp,
+          MIN(f.fp) AS fp_min, MAX(f.fp) AS fp_max
+        FROM documents d LEFT JOIN
+          read_parquet('${DedupOps.dumpBase}/substrfp/*.parquet') f
+          ON d.doc_id = f.doc_id
+        GROUP BY d.doc_id ORDER BY d.doc_id""")),
 
     Entry(
       "text_tfidf",
