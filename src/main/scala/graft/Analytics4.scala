@@ -136,31 +136,40 @@ object Analytics4 {
 
     Entry(
       "q71_fuzzy_match",
-      // Blocked fuzzy matching (the entity-resolution pattern): only
-      // pairs sharing a block key (nation, mktsegment) are compared —
-      // an equi-join shuffle, never an n² cross join — then exact
-      // distance ≤ 2 on the candidates via the BANDED levenshtein
-      // expression (O(k·n) with early exit; identical filter + kept
-      // values to the full-matrix function, LevBandSpec). At 100 TB
-      // the block key is the whole game: candidate count stays linear
-      // in block size.
+      // Fuzzy matching (the entity-resolution pattern) with RECALL-1
+      // blocking: candidates come from an equi-join on FastSS
+      // symmetric-deletion variant hashes (DeletionVariants — any pair
+      // with edit distance ≤ 2 must share a ≤2-deletion variant), then
+      // exact distance ≤ 2 via the BANDED levenshtein expression
+      // (O(k·n) with early exit; identical filter + kept values to the
+      // full-matrix function, LevBandSpec). Output is IDENTICAL to a
+      // full within-(nation, segment) quadratic compare — the oracle
+      // runs that quadratic form — but candidate volume stays linear
+      // in data: the old (nation, mktsegment) attribute blocking had a
+      // FIXED ~125 blocks, so 10× data meant 100× pairs (measured
+      // super-linear at the sf1 scaling decade).
       (s, dir) => {
         import org.apache.spark.sql.graft.DatasetBridge
-        val c = t(s, dir, "customer").select(col("c_nationkey"),
-          col("c_mktsegment"), col("c_custkey"), col("c_name"))
-        val a = c.select(col("c_nationkey"), col("c_mktsegment"),
-          col("c_custkey").as("a_key"), col("c_name").as("a_name"))
-        val b = c.select(col("c_nationkey"), col("c_mktsegment"),
-          col("c_custkey").as("b_key"), col("c_name").as("b_name"))
-        a.join(b, Seq("c_nationkey", "c_mktsegment"))
+        // the explode runs once per join side — cheaper than paying a
+        // 2.6M-row cache materialization to share it (measured)
+        val keyed = t(s, dir, "customer")
+          .select(col("c_nationkey"), col("c_mktsegment"),
+            col("c_custkey"), col("c_name"),
+            explode(DatasetBridge.column(graft.functions.DeletionVariants(
+              DatasetBridge.expression(col("c_name")), 2))).as("v"))
+        val a = keyed.select(col("c_nationkey"), col("c_mktsegment"),
+          col("v"), col("c_custkey").as("a_key"), col("c_name").as("a_name"))
+        val b = keyed.select(col("c_nationkey"), col("c_mktsegment"),
+          col("v"), col("c_custkey").as("b_key"), col("c_name").as("b_name"))
+        a.join(b, Seq("c_nationkey", "c_mktsegment", "v"))
           .filter(col("a_key") < col("b_key"))
+          .select(col("a_key"), col("a_name"), col("b_key"), col("b_name"))
+          .distinct()
           .withColumn("dist", DatasetBridge.column(
             graft.functions.LevenshteinBand(
               DatasetBridge.expression(col("a_name")),
               DatasetBridge.expression(col("b_name")), 2)).cast("long"))
           .filter(col("dist") <= 2)
-          .select(col("a_key"), col("a_name"), col("b_key"), col("b_name"),
-            col("dist"))
           .orderBy(col("a_key"), col("b_key"))
       },
       Some("""SELECT a.c_custkey AS a_key, a.c_name AS a_name,

@@ -181,6 +181,53 @@ object ExprKernels {
     new GenericArrayData(out.toArray)
   }
 
+  /** FastSS symmetric-deletion variant hashes (Bocek et al., 2007):
+    * FNV-1a 64 of the byte string with every subset of ≤ k positions
+    * deleted, deduplicated. Two strings with edit distance ≤ k ALWAYS
+    * share a variant (each edit op costs at most one deletion per
+    * side), so an equi-join on the variant hash is a recall-1 blocking
+    * key for threshold-k fuzzy matching — candidate volume stays
+    * linear in data where a fixed attribute block key grows pair
+    * counts quadratically. Over-generated candidates (true distance in
+    * (k, 2k]) are removed by the exact [[levBand]] verify. Bounded to
+    * short join keys: C(len, k) variants per row — fail loudly past
+    * 256 bytes instead of silently exploding.
+    */
+  def delVariants(s: UTF8String, k: Int): ArrayData = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    require(n <= 256,
+      s"delVariants: key length $n exceeds 256 bytes — this blocking " +
+        "scheme is for short join keys (names/codes), not documents")
+    require(k >= 1 && k <= 2, s"delVariants supports k in [1,2], got $k")
+    val seen = new java.util.HashSet[java.lang.Long]()
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    // hash with positions d1 (and d2) skipped; -1 = nothing skipped
+    def hashSkipping(d1: Int, d2: Int): Long = {
+      var h = 0xcbf29ce484222325L
+      var i = 0
+      while (i < n) {
+        if (i != d1 && i != d2) {
+          h ^= (bytes(i) & 0xffL); h *= 0x100000001b3L
+        }
+        i += 1
+      }
+      h
+    }
+    def add(h: Long): Unit = if (seen.add(h)) out += h
+    add(hashSkipping(-1, -1))
+    var i = 0
+    while (i < n) {
+      add(hashSkipping(i, -1))
+      if (k >= 2) {
+        var j = i + 1
+        while (j < n) { add(hashSkipping(i, j)); j += 1 }
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   /** Banded (Ukkonen) Levenshtein: the exact edit distance when it is
     * <= k, else k+1. O((2k+1)·n) time and one O(m) row — vs the full
     * O(n·m) matrix of plain levenshtein — with a whole-row early exit

@@ -1,9 +1,9 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, IntegerType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Threshold-banded Levenshtein distance: exact when <= k, capped at
@@ -45,4 +45,38 @@ case class LevenshteinBand(left: Expression, right: Expression, k: Int)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+/** FastSS symmetric-deletion blocking keys for threshold-k fuzzy
+  * matching: hashes of every ≤ k-deletion variant of the string.
+  * Pairs with edit distance ≤ k are GUARANTEED to share a key, so the
+  * equi-join on the exploded keys is a recall-1 candidate generator
+  * whose block sizes track distinct-value multiplicity instead of a
+  * fixed attribute block's quadratic growth (the q71 scale fix —
+  * measured super-linear at the sf1 decade with attribute blocking).
+  * Kernel in [[ExprKernels.delVariants]].
+  */
+case class DeletionVariants(child: Expression, k: Int)
+    extends UnaryExpression {
+
+  require(k >= 1 && k <= 2, s"supported k in [1,2], got $k")
+
+  override def prettyName: String = "graft_del_variants"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${child.dataType.simpleString}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    ExprKernels.delVariants(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.ExprKernels.delVariants($c, $k);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }

@@ -54,6 +54,55 @@ class Round6Spec extends SparkSuite {
       s"hot block must be dropped, small block kept: $pairs")
   }
 
+  test("strings within edit distance 2 always share a deletion variant") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def variants(s: String): Set[Long] = {
+      val arr = graft.functions.ExprKernels
+        .delVariants(UTF8String.fromString(s), 2)
+      (0 until arr.numElements()).map(arr.getLong).toSet
+    }
+    val rng = new scala.util.Random(1)
+    for (_ <- 1 to 300) {
+      val base = rng.alphanumeric.take(6 + rng.nextInt(15)).mkString
+      var s = base
+      for (_ <- 0 until 1 + rng.nextInt(2)) {
+        val p = if (s.isEmpty) 0 else rng.nextInt(s.length)
+        s = rng.nextInt(3) match {
+          case 0 if s.nonEmpty => s.patch(p, Nil, 1)
+          case 1 => s.patch(p, Seq(('a' + rng.nextInt(26)).toChar), 0)
+          case _ if s.nonEmpty =>
+            s.updated(p, ('a' + rng.nextInt(26)).toChar)
+          case _ => s
+        }
+      }
+      assert(variants(base).intersect(variants(s)).nonEmpty,
+        s"no shared variant: '$base' vs '$s'")
+    }
+  }
+
+  test("q71's deletion-variant blocking equals the quadratic block join") {
+    import org.apache.spark.sql.graft.DatasetBridge
+    val fast = q("q71_fuzzy_match", sfDir).collect().toSeq
+    val c = spark.read.parquet(s"$sfDir/customer.parquet")
+      .select(col("c_nationkey"), col("c_mktsegment"), col("c_custkey"),
+        col("c_name"))
+    val a = c.select(col("c_nationkey"), col("c_mktsegment"),
+      col("c_custkey").as("a_key"), col("c_name").as("a_name"))
+    val b = c.select(col("c_nationkey"), col("c_mktsegment"),
+      col("c_custkey").as("b_key"), col("c_name").as("b_name"))
+    val quad = a.join(b, Seq("c_nationkey", "c_mktsegment"))
+      .filter(col("a_key") < col("b_key"))
+      .withColumn("dist", DatasetBridge.column(
+        graft.functions.LevenshteinBand(
+          DatasetBridge.expression(col("a_name")),
+          DatasetBridge.expression(col("b_name")), 2)).cast("long"))
+      .filter(col("dist") <= 2)
+      .select(col("a_key"), col("a_name"), col("b_key"), col("b_name"),
+        col("dist"))
+      .orderBy(col("a_key"), col("b_key")).collect().toSeq
+    assert(fast == quad, s"fast=${fast.size} quad=${quad.size}")
+  }
+
   test("classMap skips a non-numeric priority but its ordinal is consumed") {
     val dir = Files.createTempDirectory("maps6c")
     val cls = dir.resolve("classification.config")
