@@ -150,26 +150,44 @@ object Analytics4 {
       // super-linear at the sf1 scaling decade).
       (s, dir) => {
         import org.apache.spark.sql.graft.DatasetBridge
-        // the explode runs once per join side — cheaper than paying a
-        // 2.6M-row cache materialization to share it (measured)
-        val keyed = t(s, dir, "customer")
-          .select(col("c_nationkey"), col("c_mktsegment"),
-            col("c_custkey"), col("c_name"),
-            explode(DatasetBridge.column(graft.functions.DeletionVariants(
-              DatasetBridge.expression(col("c_name")), 2))).as("v"))
-        val a = keyed.select(col("c_nationkey"), col("c_mktsegment"),
-          col("v"), col("c_custkey").as("a_key"), col("c_name").as("a_name"))
-        val b = keyed.select(col("c_nationkey"), col("c_mktsegment"),
-          col("v"), col("c_custkey").as("b_key"), col("c_name").as("b_name"))
-        a.join(b, Seq("c_nationkey", "c_mktsegment", "v"))
+        val c = t(s, dir, "customer").select(col("c_nationkey"),
+          col("c_mktsegment"), col("c_custkey"), col("c_name"))
+        // SLIM candidate relation: the ~170×-fanout self-join carries
+        // only (custkey, 64-bit hash of (nation, segment, variant)) —
+        // names/segments rejoin AFTER the distinct pair set shrinks
+        // (measured 74 s → the wide-row join shuffled ~2 GB/side at
+        // the sf1 decade). A 64-bit hash collision could smuggle a
+        // cross-block candidate in, so the verify re-checks the block
+        // columns before the distance.
+        val keyed = c
+          .withColumn("v", explode(DatasetBridge.column(
+            graft.functions.DeletionVariants(
+              DatasetBridge.expression(col("c_name")), 2))))
+          .select(col("c_custkey").as("key"),
+            xxhash64(col("c_nationkey"), col("c_mktsegment"), col("v"))
+              .as("bk"))
+        val cand = keyed.toDF("a_key", "bk")
+          .join(keyed.toDF("b_key", "bk"), "bk")
           .filter(col("a_key") < col("b_key"))
-          .select(col("a_key"), col("a_name"), col("b_key"), col("b_name"))
-          .distinct()
+          .select(col("a_key"), col("b_key")).distinct()
+        // name lookups broadcast here (a dim-sized side); at cluster
+        // scale these become shuffle joins on the key — still linear
+        val an = c.select(col("c_custkey").as("a_key"),
+          col("c_name").as("a_name"), col("c_nationkey").as("a_nat"),
+          col("c_mktsegment").as("a_seg"))
+        val bn = c.select(col("c_custkey").as("b_key"),
+          col("c_name").as("b_name"), col("c_nationkey").as("b_nat"),
+          col("c_mktsegment").as("b_seg"))
+        cand.join(broadcast(an), "a_key").join(broadcast(bn), "b_key")
+          .filter(col("a_nat") === col("b_nat") &&
+            col("a_seg") === col("b_seg"))
           .withColumn("dist", DatasetBridge.column(
             graft.functions.LevenshteinBand(
               DatasetBridge.expression(col("a_name")),
               DatasetBridge.expression(col("b_name")), 2)).cast("long"))
           .filter(col("dist") <= 2)
+          .select(col("a_key"), col("a_name"), col("b_key"), col("b_name"),
+            col("dist"))
           .orderBy(col("a_key"), col("b_key"))
       },
       Some("""SELECT a.c_custkey AS a_key, a.c_name AS a_name,

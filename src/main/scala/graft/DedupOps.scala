@@ -112,13 +112,23 @@ object DedupOps {
   }
 
   /** Random-hyperplane LSH bucket keys per embedding (shared by the
-    * dedup_embedding entry and the oracle dump): 4 tables × 6
+    * dedup_embedding entry and the oracle dump): 4 tables of
     * deterministic (seed 42) hyperplanes; a vector's key per table is
-    * its 6 sign bits, disambiguated by the table id in the high bits.
+    * its sign bits, disambiguated by the table id in the high bits.
+    * Bits per table SCALE with corpus size (≥6, targeting ~16 vectors
+    * per bucket): a fixed bit count is a fixed 2^bits buckets, whose
+    * occupancy — and therefore candidate PAIR count — grows
+    * quadratically with the corpus (measured at the sf1 decade:
+    * 15 s with 6 fixed bits over 20k vectors). More bits cost recall
+    * per table; the 4 OR-ed tables buy it back.
     */
   private def embeddingBuckets(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val n = emb.count()
+    val bits = math.max(6, math.ceil(
+      math.log(math.max(n / 16.0, 1.0)) / math.log(2.0)).toInt)
     val rng = new scala.util.Random(42)
-    val tables = Seq.fill(4)(Seq.fill(6)(Seq.fill(64)(rng.nextGaussian())))
+    val tables = Seq.fill(4)(Seq.fill(bits)(Seq.fill(64)(rng.nextGaussian())))
     val keys = tables.zipWithIndex.map { case (planes, ti) =>
       planes.zipWithIndex.map { case (p, i) =>
         when(Vectors.dot(col("embedding"), typedLit(p)) >= 0,
@@ -127,7 +137,7 @@ object DedupOps {
     }
     // pre-normalize once per vector so the per-pair work is a
     // single dot product (not dot + two norms)
-    t(s, dir, "embeddings")
+    emb
       .withColumn("nv", Vectors.normalized(col("embedding")))
       .select(col("vec_id"), col("nv"),
         explode(array(keys: _*)).as("bucket"))
@@ -144,22 +154,27 @@ object DedupOps {
     * recursive CTE. The hash computation itself is spec'd directly
     * (DedupSpec planted pairs).
     */
-  val dumpBase = "/root/repo/target/graft_scratch/oracle_base/dedup"
+  /** Placeholder-form SQL path root (see [[OracleDumps]] — dump paths
+    * are corpus-scoped so concurrent/interleaved runs against other
+    * dirs can't clobber the gate's dumps).
+    */
+  private val dumpSql = s"${OracleDumps.SqlRoot}/dedup"
   private val dumpDone =
     new java.util.concurrent.ConcurrentHashMap[(Int, String), java.lang.Boolean]()
 
   def dumpOracleBase(s: SparkSession, dir: String): Unit =
     dumpDone.computeIfAbsent((System.identityHashCode(s), dir), _ => {
+      val base = s"${OracleDumps.root(dir)}/dedup"
       bandedSigs(s, dir).coalesce(1)
-        .write.mode("overwrite").parquet(s"$dumpBase/banded")
+        .write.mode("overwrite").parquet(s"$base/banded")
       simhashSigs(s, dir).coalesce(1)
-        .write.mode("overwrite").parquet(s"$dumpBase/simsig")
+        .write.mode("overwrite").parquet(s"$base/simsig")
       embeddingBuckets(s, dir).select(col("bucket"), col("vec_id"))
         .coalesce(1)
-        .write.mode("overwrite").parquet(s"$dumpBase/embbuckets")
+        .write.mode("overwrite").parquet(s"$base/embbuckets")
       winnowFp(t(s, dir, "documents").select(col("doc_id"), col("text")))
         .coalesce(1)
-        .write.mode("overwrite").parquet(s"$dumpBase/substrfp")
+        .write.mode("overwrite").parquet(s"$base/substrfp")
       true
     })
 
@@ -315,7 +330,7 @@ object DedupOps {
       // the SQL shingle twin — int/int division, exact on both engines.
       Some(s"""WITH $shinglesSql,
         bd AS (SELECT band, bkey, doc_id
-          FROM read_parquet('$dumpBase/banded/*.parquet')),
+          FROM read_parquet('$dumpSql/banded/*.parquet')),
         cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
           FROM bd l JOIN bd r ON l.band = r.band AND l.bkey = r.bkey
             AND l.doc_id < r.doc_id),
@@ -353,7 +368,7 @@ object DedupOps {
       // re-deriving what the distributed hash-min loop computes.
       Some(s"""WITH RECURSIVE $shinglesSql,
         bd AS (SELECT band, bkey, doc_id
-          FROM read_parquet('$dumpBase/banded/*.parquet')),
+          FROM read_parquet('$dumpSql/banded/*.parquet')),
         cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
           FROM bd l JOIN bd r ON l.band = r.band AND l.bkey = r.bkey
             AND l.doc_id < r.doc_id),
@@ -411,7 +426,7 @@ object DedupOps {
       // from the (band, bkey) join, exact Jaccard from text shingles.
       Some(s"""WITH $shinglesSql,
         bd AS (SELECT band, bkey, doc_id
-          FROM read_parquet('$dumpBase/banded/*.parquet')),
+          FROM read_parquet('$dumpSql/banded/*.parquet')),
         hist AS (SELECT band, bkey, doc_id AS dup_of FROM bd
           WHERE doc_id % 10 <> 0),
         probe AS (SELECT band, bkey, doc_id AS new_id FROM bd
@@ -455,7 +470,7 @@ object DedupOps {
       // 64-bit signatures: the four 16-bit block keys via the same
       // shift/mask arithmetic, hamming via bit_count∘xor.
       Some(s"""WITH s AS (SELECT doc_id, sig
-          FROM read_parquet('$dumpBase/simsig/*.parquet')),
+          FROM read_parquet('$dumpSql/simsig/*.parquet')),
         blk AS (SELECT doc_id, sig, b.b AS blk,
             (sig >> (b.b * 16)) & 65535 AS bkey
           FROM s CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b) b),
@@ -562,7 +577,7 @@ object DedupOps {
                 (a,b) -> a+b))) AS e
           FROM embeddings),
         k AS (SELECT bucket, vec_id
-          FROM read_parquet('$dumpBase/embbuckets/*.parquet')),
+          FROM read_parquet('$dumpSql/embbuckets/*.parquet')),
         cand AS (SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
           FROM k l JOIN k r ON l.bucket = r.bucket
             AND l.vec_id < r.vec_id),
@@ -593,7 +608,7 @@ object DedupOps {
       // dumped per-doc winnowing fingerprints (the rolling 64-bit hash
       // is the inexpressible step; Round5Spec covers it directly).
       Some(s"""WITH f0 AS (SELECT doc_id, fp
-          FROM read_parquet('$dumpBase/substrfp/*.parquet')),
+          FROM read_parquet('$dumpSql/substrfp/*.parquet')),
         rare AS (SELECT fp FROM (SELECT fp, COUNT(*) AS df
             FROM f0 GROUP BY fp) WHERE df BETWEEN 2 AND 8),
         keyed AS (SELECT f0.fp, f0.doc_id FROM f0 JOIN rare USING (fp)),

@@ -95,6 +95,25 @@ object SimilarityOps {
     perSession.getOrElseUpdate(dir, trainCentroids(s, dir))
   }
 
+  /** Cell assignments of the whole corpus — the OTHER half of the IVF
+    * index, cached like the centroids. The argmax fold is O(cells ×
+    * dims) per vector and cells grow ~n/37, so re-deriving it inside
+    * every probe entry turned index build into a quadratic-ish per-
+    * entry tax at the sf1 decade (knn_ivf 17 s, of which ~7 s was
+    * re-assignment); a real deployment assigns once at index time.
+    */
+  private def assignedCached(s: SparkSession, dir: String): DataFrame = {
+    val perSession = centroidCache.synchronized {
+      centroidCache.computeIfAbsent(s,
+        _ => scala.collection.concurrent.TrieMap.empty[String, DataFrame])
+    }
+    perSession.getOrElseUpdate(s"$dir#assigned",
+      withNearestCell(embeddings(s, dir), col("embedding"),
+          centroids(s, dir))
+        .select(col("cell"), col("vec_id"), col("embedding"))
+        .persist())
+  }
+
   /** Pre-train the session index caches (IVF centroids + PQ codebooks
     * and codes). Index BUILD is deployment setup shared by every query
     * against the corpus — exactly the cache contract above — so Bench
@@ -104,6 +123,7 @@ object SimilarityOps {
   def warmCaches(s: SparkSession, dir: String): Unit = {
     val emb = embeddings(s, dir)
     centroids(s, dir).count()
+    assignedCached(s, dir).count()
     val (cen, codes) = pqIndex(s, dir, emb)
     cen.count(); codes.count()
     dumpOracleBase(s, dir)
@@ -118,22 +138,25 @@ object SimilarityOps {
     * proved) and the top-k rank. Training determinism is spec'd
     * directly (KnnSpec / PQSpec).
     */
-  val dumpBase = "/root/repo/target/graft_scratch/oracle_base/knn"
+  // placeholder-form SQL path root: dump paths are corpus-scoped (see
+  // OracleDumps) so interleaved runs against other dirs — fixture
+  // specs, another SF's bench — can't clobber the gate's dumps
+  private val dumpSql = s"${OracleDumps.SqlRoot}/knn"
   private val dumpDone =
     new java.util.concurrent.ConcurrentHashMap[(Int, String), java.lang.Boolean]()
 
   def dumpOracleBase(s: SparkSession, dir: String): Unit =
     dumpDone.computeIfAbsent((System.identityHashCode(s), dir), _ => {
+      val base = s"${OracleDumps.root(dir)}/knn"
       val cen = centroids(s, dir)
-      cen.coalesce(1).write.mode("overwrite").parquet(s"$dumpBase/centroids")
-      withNearestCell(embeddings(s, dir), col("embedding"), cen)
-        .select(col("cell"), col("vec_id"), col("embedding"))
-        .coalesce(1).write.mode("overwrite").parquet(s"$dumpBase/assignments")
+      cen.coalesce(1).write.mode("overwrite").parquet(s"$base/centroids")
+      assignedCached(s, dir)
+        .coalesce(1).write.mode("overwrite").parquet(s"$base/assignments")
       val (pqCen, pqCodes) = pqIndex(s, dir, embeddings(s, dir))
       pqCen.coalesce(1)
-        .write.mode("overwrite").parquet(s"$dumpBase/pq_codebooks")
+        .write.mode("overwrite").parquet(s"$base/pq_codebooks")
       pqCodes.coalesce(1)
-        .write.mode("overwrite").parquet(s"$dumpBase/pq_codes")
+        .write.mode("overwrite").parquet(s"$base/pq_codes")
       true
     })
 
@@ -165,13 +188,13 @@ object SimilarityOps {
         FROM embeddings),
       q AS (SELECT vec_id AS qid, e AS qe FROM norm WHERE $qidPred),
       cen AS (SELECT cell, cvec
-        FROM read_parquet('$dumpBase/centroids/*.parquet')),
+        FROM read_parquet('$dumpSql/centroids/*.parquet')),
       asg AS (SELECT cell, vec_id
-        FROM read_parquet('$dumpBase/assignments/*.parquet')),
+        FROM read_parquet('$dumpSql/assignments/*.parquet')),
       cb AS (SELECT m, code, cvec
-        FROM read_parquet('$dumpBase/pq_codebooks/*.parquet')),
+        FROM read_parquet('$dumpSql/pq_codebooks/*.parquet')),
       ce AS (SELECT vec_id, mi - 1 AS m, codes[mi] AS code
-        FROM read_parquet('$dumpBase/pq_codes/*.parquet')
+        FROM read_parquet('$dumpSql/pq_codes/*.parquet')
         CROSS JOIN (SELECT unnest(range(1, 9)) AS mi) u),
       tab AS (SELECT q2.qid, cb.m, cb.code,
           list_reduce(list_transform(range(1, 9),
@@ -204,9 +227,9 @@ object SimilarityOps {
               (a,b) -> a+b))) AS e
         FROM embeddings),
       cen AS (SELECT cell, cvec
-        FROM read_parquet('$dumpBase/centroids/*.parquet')),
+        FROM read_parquet('$dumpSql/centroids/*.parquet')),
       asg AS (SELECT cell, vec_id, embedding
-        FROM read_parquet('$dumpBase/assignments/*.parquet')),
+        FROM read_parquet('$dumpSql/assignments/*.parquet')),
       q AS (SELECT vec_id AS qid, e AS qe FROM norm WHERE $qidPred),
       cs AS (SELECT q.qid, q.qe, c.cell,
           list_reduce(list_transform(range(1, len(c.cvec)+1),
@@ -256,10 +279,8 @@ object SimilarityOps {
     * lists).
     */
   def writeIndex(s: SparkSession, dir: String, outPath: String): Unit = {
-    val emb = embeddings(s, dir)
     val cen = centroids(s, dir)
-    val assigned = withNearestCell(emb, col("embedding"), cen)
-      .select(col("cell"), col("vec_id"), col("embedding"))
+    val assigned = assignedCached(s, dir)
     cen.write.mode("overwrite").parquet(s"$outPath/centroids")
     // repartition on the partition column first: one file per cell
     // instead of (tasks × cells) small files — the small-files guard
@@ -384,8 +405,7 @@ object SimilarityOps {
         dumpOracleBase(s, dir)
         val emb = embeddings(s, dir)
         val cen = centroids(s, dir)
-        val assigned = withNearestCell(emb, col("embedding"), cen)
-          .select(col("cell"), col("vec_id"), col("embedding"))
+        val assigned = assignedCached(s, dir)
         val q = emb.filter(col("vec_id") < 10)
           .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
         val wProbe = Window.partitionBy(col("qid"))
@@ -450,7 +470,7 @@ object SimilarityOps {
         val emb = embeddings(s, dir)
         val cen = centroids(s, dir)
         val (pqCen, codes) = pqIndex(s, dir, emb)
-        val assigned = withNearestCell(emb, col("embedding"), cen)
+        val assigned = assignedCached(s, dir)
           .select(col("cell"), col("vec_id"))
         val q = emb.filter(col("vec_id") < 10)
           .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
@@ -833,7 +853,7 @@ object MultimodalOps {
         // so the oracle re-runs the whole ANN in SQL
         vecs.coalesce(1)
           .write.mode("overwrite")
-          .parquet(s"${SimilarityOps.dumpBase}/mmvecs")
+          .parquet(s"${OracleDumps.root(dir)}/knn/mmvecs")
         val q = vecs.filter(col("doc_id") < 5)
           .select(col("doc_id").as("qid"), col("vec").as("qvec"))
         val w = Window.partitionBy(col("qid"))
@@ -847,7 +867,7 @@ object MultimodalOps {
           .orderBy(col("qid"), col("rank"))
       },
       Some(s"""WITH v AS (SELECT doc_id, vec
-          FROM read_parquet('${SimilarityOps.dumpBase}/mmvecs/*.parquet')),
+          FROM read_parquet('${OracleDumps.SqlRoot}/knn/mmvecs/*.parquet')),
         q AS (SELECT doc_id AS qid, vec AS qvec FROM v
           WHERE doc_id < 5),
         sc AS (SELECT q.qid, v.doc_id,

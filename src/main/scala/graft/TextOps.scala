@@ -381,7 +381,7 @@ object TextOps {
       Some(s"""SELECT d.doc_id, CAST(COUNT(f.fp) AS BIGINT) AS n_fp,
           MIN(f.fp) AS fp_min, MAX(f.fp) AS fp_max
         FROM documents d LEFT JOIN
-          read_parquet('${DedupOps.dumpBase}/substrfp/*.parquet') f
+          read_parquet('${OracleDumps.SqlRoot}/dedup/substrfp/*.parquet') f
           ON d.doc_id = f.doc_id
         GROUP BY d.doc_id ORDER BY d.doc_id""")),
 

@@ -46,7 +46,11 @@ object Verify {
     // outDir must not reference result dirs that were never written
     val json = SparkEntry.oracleSql
       .filter { case (k, _) => only.isEmpty || only(k) }
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      // dump paths are corpus-scoped; the static SQL carries a
+      // placeholder — bind it to THIS run's corpus here
+      .map { case (k, v) => s"${q(k)}: ${q(v.replace(
+        OracleDumps.Placeholder, OracleDumps.slug(sfDir)))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }
