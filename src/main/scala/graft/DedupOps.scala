@@ -143,20 +143,19 @@ object DedupOps {
         explode(array(keys: _*)).as("bucket"))
   }
 
-  /** Absolute dump dir for the dedup oracle base. The 64-bit wrapping
-    * hashes themselves (MinHash permutations, SimHash, hyperplane sign
-    * keys over floats) are inexpressible in DuckDB — so the entries
-    * dump exactly those CANDIDATE-GENERATION intermediates once per
+  /** Dedup oracle-base dumps. The 64-bit wrapping hashes themselves
+    * (MinHash permutations, SimHash, hyperplane sign keys over floats,
+    * winnowing) are inexpressible in DuckDB — so the entries dump
+    * exactly those CANDIDATE-GENERATION intermediates once per
     * (session, corpus), and the oracle re-runs everything downstream
     * in SQL: bucket/band joins, split logic, exact Jaccard from
     * text-derived shingles, hamming via bit_count∘xor, cosine via the
     * bit-exact list_reduce fold, and connected components as a
     * recursive CTE. The hash computation itself is spec'd directly
-    * (DedupSpec planted pairs).
-    */
-  /** Placeholder-form SQL path root (see [[OracleDumps]] — dump paths
-    * are corpus-scoped so concurrent/interleaved runs against other
-    * dirs can't clobber the gate's dumps).
+    * (DedupSpec planted pairs). Paths are corpus-scoped (see
+    * [[OracleDumps]]) so interleaved runs against other dirs can't
+    * clobber the gate's dumps; `dumpSql` is the placeholder form baked
+    * into the static SQL.
     */
   private val dumpSql = s"${OracleDumps.SqlRoot}/dedup"
   private val dumpDone =
