@@ -426,8 +426,14 @@ object TextOps {
       "text_bm25",
       // BM25 retrieval scoring (k1=1.2, b=0.75) for a fixed query term
       // set over the documents table — per-doc tf against broadcast df
-      // + avgdl scalars, one (doc,term) shuffle, top-20. Rows-only
-      // (transcendental idf has no cross-engine-exact SQL twin);
+      // + avgdl scalars, one (doc,term) shuffle, top-20. The
+      // transcendental idf (JVM log vs libm, a ulp hazard) is the ONE
+      // step without a cross-engine-exact SQL twin — so the tiny
+      // per-term idf table is dumped and the oracle re-runs everything
+      // else in SQL: tokenization, tf/dl integers, the exact avgdl
+      // (integer-valued doubles sum exactly under 2^53, so AVG is
+      // order-independent), the rational contrib expression in the
+      // same op order, and the per-doc score as an ordered fold.
       // TextAndKnnSpec pins the formula on planted fixtures.
       (s, dir) => {
         val query = Seq("the", "data", "and")
@@ -445,15 +451,48 @@ object TextOps {
         val df = tf.groupBy(col("term"))
           .agg(countDistinct(col("doc_id")).cast("double").as("df"))
         val idf = log((lit(n) - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
-        tf.join(broadcast(df.withColumn("idf", idf)), Seq("term"))
+        val idfTbl = df.withColumn("idf", idf)
+        idfTbl.coalesce(1).write.mode("overwrite")
+          .parquet(s"${OracleDumps.root(dir)}/text/bm25_idf")
+        tf.join(broadcast(idfTbl), Seq("term"))
           .withColumn("contrib", col("idf") * col("tf") * (lit(1.2) + 1.0) /
             (col("tf") + lit(1.2) *
               (lit(1.0) - 0.75 + lit(0.75) * col("dl") / avgdl)))
-          .groupBy(col("doc_id")).agg(sum(col("contrib")).as("score"))
+          // ordered fold, not SUM: ≤3 term contributions added in term
+          // order — reproducible floats the oracle can replicate
+          .groupBy(col("doc_id"))
+          .agg(array_sort(collect_list(
+            struct(col("term"), col("contrib")))).as("tc"))
+          .select(col("doc_id"),
+            expr("aggregate(tc, 0D, (acc, e) -> acc + e.contrib)")
+              .as("score"))
           .orderBy(col("score").desc, col("doc_id"))
           .limit(20)
       },
-      None),
+      Some(s"""WITH dd AS (SELECT doc_id,
+            CAST(len(list_filter(string_split(lower(text), ' '),
+              x -> len(x) > 0)) AS DOUBLE) AS dl,
+            list_filter(string_split(lower(text), ' '),
+              x -> len(x) > 0) AS w
+          FROM documents),
+        st AS (SELECT AVG(dl) AS avgdl FROM dd),
+        tf AS (SELECT doc_id, dl, term, CAST(COUNT(*) AS DOUBLE) AS tf
+          FROM (SELECT doc_id, dl, unnest(w) AS term FROM dd)
+          WHERE term IN ('the', 'data', 'and')
+          GROUP BY doc_id, dl, term),
+        idf AS (SELECT term, idf
+          FROM read_parquet('${OracleDumps.SqlRoot}/text/bm25_idf/*.parquet')),
+        c AS (SELECT t.doc_id, t.term,
+            i.idf * t.tf * (1.2 + 1.0) / (t.tf + 1.2 *
+              (1.0 - 0.75 + 0.75 * t.dl / (SELECT avgdl FROM st)))
+              AS contrib
+          FROM tf t JOIN idf i USING (term)),
+        sc AS (SELECT doc_id,
+            list_reduce(list(contrib ORDER BY term), (a, b) -> a + b)
+              AS score
+          FROM c GROUP BY doc_id)
+        SELECT doc_id, score FROM sc
+        ORDER BY score DESC, doc_id LIMIT 20""")),
 
     Entry(
       "text_chunk",
