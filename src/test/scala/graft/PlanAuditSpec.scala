@@ -57,6 +57,16 @@ class PlanAuditSpec extends SparkSuite {
     assert("hashpartitioning\\(qid".r.findAllIn(p).size <= 1, p.take(800))
   }
 
+  test("q71: variant blocking is an equi-join; name lookups broadcast") {
+    // the FastSS candidate join must plan as a HASH EQUI-join on the
+    // slim bk key — never a cartesian/nested-loop (at the toy test SF
+    // AQE broadcasts it; at scale the same equi-join shuffles on bk)
+    val p = plan("q71_fuzzy_match")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(800))
+    assert("HashJoin \\[bk".r.findAllIn(p).nonEmpty, p.take(1200))
+  }
+
   test("u2_bulk_ingest: assembly is map-only — correlation adds no shuffle") {
     // single-pass per-file assembly: the only exchanges allowed are the
     // cid windows' per-(sensor, file) partitioning and the tiny
