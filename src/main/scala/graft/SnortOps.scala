@@ -614,6 +614,7 @@ object SnortOps {
         13 -> "normalized_js"))
       val spool = Unified2Fixture.writeSpool(
         s"${Unified2Fixture.defaultRoot()}/spool")
+      dumpOracleBase(s)
       graft.sources.Unified2
         .records(s, Seq(spool), "snort.log", "sensor1")
         .filter(col("rec_type") === graft.sources.Unified2.ExtraData)
@@ -633,7 +634,59 @@ object SnortOps {
             .otherwise(col("extra_blob").cast("string"))
             .as("value_text"))
         .orderBy(col("event_id"), col("extra_type"))
-    }, None),
+    },
+      // the framing walk + EXTRA_DATA field extraction re-used from
+      // the u2_parse oracle, plus the type dispatch and rendering in
+      // SQL: ipv4 as per-byte dotted quad, text as UTF-8 decode. The
+      // RFC 5952 ipv6 branch renders as raw hex here — the fixture
+      // has no ipv6 extra record, so IF one is ever added the oracle
+      // MISMATCHES loudly instead of silently skipping it (that
+      // branch is proven directly by Inet6Spec).
+      Some(s"""CREATE OR REPLACE MACRO h2i(h, p, k) AS list_reduce(
+          list_transform(range(CAST(p AS INT), CAST(p + k AS INT)),
+            i -> strpos('0123456789ABCDEF', h[CAST(i AS INT)]) - 1),
+          (a, b) -> a * 16 + b);
+        WITH RECURSIVE
+        f AS (SELECT hex(content) AS h,
+            CAST(octet_length(content) AS BIGINT) AS nb
+          FROM read_blob('$oracleBaseDir/raw_spool/*')),
+        walk AS (
+          SELECT h, nb, CAST(0 AS BIGINT) AS off, CAST(-1 AS BIGINT) AS idx,
+              CAST(NULL AS BIGINT) AS rtype, CAST(NULL AS BIGINT) AS boff,
+              CAST(NULL AS BIGINT) AS blen
+            FROM f
+          UNION ALL
+          SELECT h, nb, off + 8 + h2i(h, 2*(off+4)+1, 8), idx + 1,
+              h2i(h, 2*off+1, 8), off + 8, h2i(h, 2*(off+4)+1, 8)
+            FROM walk
+            WHERE nb - off >= 8
+              AND h2i(h, 2*(off+4)+1, 8) < 2147483648
+              AND nb - off - 8 >= h2i(h, 2*(off+4)+1, 8)),
+        xd AS (SELECT h, 2*boff+1 AS pb, blen,
+            h2i(h, 2*boff+1+24, 8) AS event_id,
+            h2i(h, 2*boff+1+32, 8) AS event_second,
+            h2i(h, 2*boff+1+40, 8) AS extra_type,
+            lower(substr(h, CAST(2*boff+1+64 AS INT),
+              CAST(2*LEAST(h2i(h, 2*boff+1+56, 8), blen-32) AS INT)))
+              AS bh
+          FROM walk WHERE idx >= 0 AND rtype = 110)
+        SELECT 'sensor1' AS sensor, event_id, event_second,
+          CAST(extra_type AS INT) AS extra_type,
+          CASE extra_type WHEN 1 THEN 'xff_ipv4' WHEN 2 THEN 'xff_ipv6'
+            WHEN 4 THEN 'http_uri' WHEN 5 THEN 'http_hostname'
+            WHEN 6 THEN 'gzip_data' WHEN 7 THEN 'smtp_filename'
+            WHEN 8 THEN 'smtp_mail_from' WHEN 9 THEN 'smtp_rcpt_to'
+            WHEN 10 THEN 'smtp_headers' WHEN 11 THEN 'src_ipv6'
+            WHEN 12 THEN 'dst_ipv6' WHEN 13 THEN 'normalized_js'
+            ELSE 'unknown' END AS type_name,
+          CASE WHEN extra_type = 1 THEN
+              CAST(h2i(bh, 1, 2) AS VARCHAR) || '.' ||
+              CAST(h2i(bh, 3, 2) AS VARCHAR) || '.' ||
+              CAST(h2i(bh, 5, 2) AS VARCHAR) || '.' ||
+              CAST(h2i(bh, 7, 2) AS VARCHAR)
+            WHEN extra_type IN (2, 11, 12) THEN bh
+            ELSE decode(unhex(bh)) END AS value_text
+        FROM xd ORDER BY event_id, extra_type""")),
 
     Entry("star_report", (s, _) => {
       // the Snorby-style dashboard rollup over the NORMALIZED star:
