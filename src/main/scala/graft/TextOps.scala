@@ -614,6 +614,114 @@ object TextOps {
             CAST(len(bi) - len(list_distinct(bi)) AS DOUBLE) /
               CAST(len(bi) AS DOUBLE)
           ELSE 0.0 END AS dup_frac
-        FROM b ORDER BY doc_id"""))
+        FROM b ORDER BY doc_id""")),
+
+    Entry(
+      "bpe_train",
+      // BPE tokenizer TRAINING (Sennrich et al., ACL'16) — the real
+      // iterative merge loop text_bigrams only takes one statistic of:
+      // words aggregate to (count, char-symbol sequence) once, then
+      // each round counts adjacent symbol pairs weighted by word
+      // frequency, picks the most frequent (ties: lexicographic — a
+      // total order), and rewrites every sequence by the greedy
+      // left-to-right merge (a string fold whose tail-token check
+      // can't false-positive: symbols never contain the separator).
+      // Output = the merge TABLE, the actual artifact BPE training
+      // produces. Scale shape: the word aggregation is the only
+      // full-corpus shuffle; each round is one pair-count shuffle
+      // over the VOCAB (heavy-hitters-bounded, millions of rows at
+      // 100 TB, not the corpus) + a 1-row argmax broadcast back —
+      // the standard distributed-tokenizer-training topology.
+      // Everything is integer counts and exact strings, so the
+      // 10-round loop oracles EXACTLY against an unrolled SQL twin.
+      (s, dir) => {
+        val nMerges = 10
+        val chars = expr(
+          "transform(sequence(1, length(word)), i -> substring(word, i, 1))")
+        var vocab = t(s, dir, "documents")
+          .select(explode(words(lower(col("text")))).as("word"))
+          .groupBy(col("word")).agg(count(lit(1)).as("wc"))
+          .select(col("wc"),
+            concat(array_join(chars, " "), lit(" </w>")).as("seq"))
+          .localCheckpoint(true)
+        val merges = scala.collection.mutable.ArrayBuffer
+          .empty[(Int, String, String, String, Long)]
+        for (step <- 1 to nMerges) {
+          val toks = split(col("seq"), " ")
+          val best = vocab
+            .select(col("wc"), toks.as("toks"))
+            // a fully-merged single-token word has no pairs — and
+            // sequence(1, 0) would DESCEND, not come back empty
+            .select(col("wc"), explode(expr(
+              "CASE WHEN size(toks) >= 2 THEN " +
+                "transform(sequence(1, size(toks) - 1), " +
+                "i -> struct(toks[i-1] AS a, toks[i] AS b)) " +
+                "ELSE CAST(array() AS ARRAY<STRUCT<a: STRING, b: STRING>>) " +
+                "END")).as("p"))
+            .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+            .agg(sum(col("wc")).as("cnt"))
+            .orderBy(col("cnt").desc, col("a"), col("b"))
+            .limit(1).head()
+          val (a, b, cnt) =
+            (best.getString(0), best.getString(1), best.getLong(2))
+          merges += ((step, a, b, a + b, cnt))
+          val (aL, bL) = (lit(a), lit(b))
+          val rewritten = aggregate(
+            expr("slice(split(seq, ' '), 2, " +
+              "greatest(size(split(seq, ' ')) - 1, 0))"),
+            expr("element_at(split(seq, ' '), 1)"),
+            (acc, x) => when(x === bL && (acc === aL ||
+                acc.endsWith(concat(lit(" "), aL))),
+              when(acc === aL, concat(aL, bL))
+                .otherwise(concat(
+                  acc.substr(lit(1), length(acc) - length(aL) - 1),
+                  lit(" "), aL, bL)))
+              .otherwise(concat(acc, lit(" "), x)))
+          vocab = vocab.select(col("wc"), rewritten.as("seq"))
+            .localCheckpoint(true)
+        }
+        import s.implicits._
+        merges.toSeq
+          .toDF("step", "pair_a", "pair_b", "merged", "cnt")
+          .orderBy(col("step"))
+      },
+      Some(bpeSql(10)))
   )
+
+  /** The BPE training loop unrolled as SQL: stage k counts stage
+    * k-1's vocabulary pairs, takes the 1-row argmax under the same
+    * (count DESC, pair) total order, and rewrites via the identical
+    * greedy string fold (DuckDB list_reduce seeds with the first
+    * element ≡ the Spark aggregate's init).
+    */
+  private def bpeSql(nMerges: Int): String = {
+    val stages = (1 to nMerges).map { k =>
+      s"""p$k AS (SELECT t2.a, t2.b, CAST(SUM(t2.wc) AS BIGINT) AS cnt
+        FROM (SELECT v.wc, v.toks[u.i] AS a, v.toks[u.i + 1] AS b
+          FROM (SELECT wc, string_split(seq, ' ') AS toks
+            FROM v${k - 1}) v,
+            unnest(range(1, len(v.toks))) AS u(i)) t2
+        GROUP BY t2.a, t2.b),
+      best$k AS (SELECT CAST($k AS INT) AS step, a, b, cnt FROM p$k
+        ORDER BY cnt DESC, a, b LIMIT 1),
+      v$k AS (SELECT v.wc, list_reduce(string_split(v.seq, ' '),
+          (acc, x) -> CASE WHEN x = bb.b AND (acc = bb.a
+              OR ends_with(acc, ' ' || bb.a))
+            THEN CASE WHEN acc = bb.a THEN bb.a || bb.b
+              ELSE substr(acc, 1, len(acc) - len(bb.a) - 1)
+                || ' ' || bb.a || bb.b END
+            ELSE acc || ' ' || x END) AS seq
+        FROM v${k - 1} v CROSS JOIN best$k bb)"""
+    }.mkString(",\n      ")
+    s"""WITH v0 AS (SELECT CAST(COUNT(*) AS BIGINT) AS wc,
+        array_to_string(string_split(word, ''), ' ') || ' </w>' AS seq
+      FROM (SELECT unnest(list_filter(string_split(lower(text), ' '),
+          x -> len(x) > 0)) AS word FROM documents)
+      GROUP BY word),
+      $stages
+      SELECT step, a AS pair_a, b AS pair_b, a || b AS merged, cnt
+      FROM (${(1 to nMerges).map(k => s"SELECT * FROM best$k")
+        .mkString(" UNION ALL ")})
+      ORDER BY step"""
+  }
 }

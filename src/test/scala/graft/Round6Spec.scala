@@ -103,6 +103,50 @@ class Round6Spec extends SparkSuite {
     assert(fast == quad, s"fast=${fast.size} quad=${quad.size}")
   }
 
+  test("bpe_train matches an independent in-memory BPE reference") {
+    import spark.implicits._
+    val d = "target/fixtures_bpe"
+    val texts = Seq(
+      "low lower lowest low low newer newest wide wider widest",
+      "low slow slower newest newest lower low wide",
+      "the lowest slowest newest low lower the the")
+    texts.zipWithIndex.map { case (t2, i) =>
+      (i.toLong, t2, "en", s"s$i", t2.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val got = q("bpe_train", d).collect().toSeq
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    // reference: plain in-memory BPE (Sennrich et al.), greedy
+    // left-to-right rewrite, ties broken (count DESC, a, b)
+    val words = texts.flatMap(_.toLowerCase.split(" ").filter(_.nonEmpty))
+    var vocab: Seq[(Vector[String], Long)] = words.groupBy(identity).toSeq
+      .map { case (w, g) =>
+        (w.map(_.toString).toVector :+ "</w>", g.size.toLong) }
+    val expect = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, String, Long)]
+    for (step <- 1 to 10) {
+      val counts = scala.collection.mutable
+        .Map.empty[(String, String), Long].withDefaultValue(0L)
+      for ((seq, c) <- vocab; i <- 0 until seq.length - 1)
+        counts((seq(i), seq(i + 1))) += c
+      val ((a, b), cnt) = counts.toSeq
+        .sortBy { case ((x, y), c) => (-c, x, y) }.head
+      expect += ((step, a, b, a + b, cnt))
+      vocab = vocab.map { case (seq, c) =>
+        val nb = Vector.newBuilder[String]
+        var i = 0
+        while (i < seq.length) {
+          if (i + 1 < seq.length && seq(i) == a && seq(i + 1) == b) {
+            nb += (a + b); i += 2
+          } else { nb += seq(i); i += 1 }
+        }
+        (nb.result(), c)
+      }
+    }
+    assert(got == expect.toSeq, s"got $got\nexpect $expect")
+  }
+
   test("classMap skips a non-numeric priority but its ordinal is consumed") {
     val dir = Files.createTempDirectory("maps6c")
     val cls = dir.resolve("classification.config")
