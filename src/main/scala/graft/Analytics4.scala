@@ -159,10 +159,16 @@ object Analytics4 {
         // the sf1 decade). A 64-bit hash collision could smuggle a
         // cross-block candidate in, so the verify re-checks the block
         // columns before the distance.
+        // window 12 (last 12 chars): variant count per row is a
+        // CONSTANT 79 instead of O(len²) — the sf1 decade's 15.8×
+        // outlier was exactly the variant count growing with name
+        // length. Suffix window because c_name's entropy is its
+        // trailing digits; recall-1 for dist ≤ 2 is preserved (proof
+        // at ExprKernels.delVariants, property-tested in Round6Spec).
         val keyed = c
           .withColumn("v", explode(DatasetBridge.column(
             graft.functions.DeletionVariants(
-              DatasetBridge.expression(col("c_name")), 2))))
+              DatasetBridge.expression(col("c_name")), 2, 12))))
           .select(col("c_custkey").as("key"),
             xxhash64(col("c_nationkey"), col("c_mktsegment"), col("v"))
               .as("bk"))

@@ -163,7 +163,7 @@ object DedupOps {
 
   def dumpOracleBase(s: SparkSession, dir: String): Unit =
     dumpDone.computeIfAbsent((System.identityHashCode(s), dir), _ => {
-      val base = s"${OracleDumps.root(dir)}/dedup"
+      val base = s"${OracleDumps.root(s, dir)}/dedup"
       bandedSigs(s, dir).coalesce(1)
         .write.mode("overwrite").parquet(s"$base/banded")
       simhashSigs(s, dir).coalesce(1)
@@ -486,11 +486,15 @@ object DedupOps {
       // blocking key (xxhash64 of the 16-char prefix) is pluggable —
       // MinHash-LSH above is the general-scale path; prefix blocking is
       // the cheap variant when near-dups share document heads.
-      // Block doc-frequency is CAPPED at [2, 8] (dedup_substring's
-      // df-band): df=1 blocks pair with nothing, and a boilerplate
-      // prefix shared by millions of docs is non-discriminative — the
-      // cut bounds any bucket's fan-out at C(8,2) instead of C(n,2),
-      // the property that keeps prefix blocking viable at 100 TB.
+      // Hot blocks are SAMPLED, not dropped: each block keeps its 8
+      // lowest doc_ids (deterministic), bounding any bucket's fan-out
+      // at C(8,2) instead of C(n,2) — the property that keeps prefix
+      // blocking viable at 100 TB. Sampling (vs the old df ≤ 8 drop)
+      // means a >8-copy duplicate cluster sharing a prefix still
+      // surfaces its sampled pairs instead of silently vanishing — the
+      // recall cliff ADVICE r6 flagged. Docs beyond the cap in a hot
+      // block are REPORTED only via their sampled peers; that bound is
+      // the documented semantics of this entry.
       (s, dir) => {
         withJaccardRewrite(s)
         s.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -504,9 +508,10 @@ object DedupOps {
             xxhash64(substring(col("text"), 1, 16)).as("blk"))
           .persist()
         val blocked = grams
-          .withColumn("df", count(lit(1)).over(
-            org.apache.spark.sql.expressions.Window.partitionBy(col("blk"))))
-          .filter(col("df").between(2, 8))
+          .withColumn("rn", row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("blk"))
+              .orderBy(col("doc_id"))))
+          .filter(col("rn") <= 8)
         val l = blocked.select(col("blk"), col("doc_id").as("a"),
           col("grams").as("g_a"))
         val r = blocked.select(col("blk"), col("doc_id").as("b"),
@@ -533,8 +538,9 @@ object DedupOps {
             END AS grams
           FROM documents),
         k AS (SELECT doc_id, blk, grams FROM (
-            SELECT *, COUNT(*) OVER (PARTITION BY blk) AS df FROM g)
-          WHERE df BETWEEN 2 AND 8),
+            SELECT *, row_number() OVER (PARTITION BY blk
+              ORDER BY doc_id) AS rn FROM g)
+          WHERE rn <= 8),
         pairs AS (SELECT l.doc_id AS a, r.doc_id AS b,
             CAST(len(list_intersect(l.grams, r.grams)) AS DOUBLE) /
               len(list_distinct(list_concat(l.grams, r.grams))) AS jaccard

@@ -73,8 +73,16 @@ object MakeScale {
         val p = part.next()
         if (p.getFileName.toString.endsWith(".parquet")) src = p
       }
+      require(src != null,
+        s"no .parquet part file under $tmp — write produced nothing?")
       val dst = Paths.get(s"$out/$n.parquet")
-      Files.deleteIfExists(dst)
+      // an earlier non-single-file write may have left dst as a part-
+      // file DIRECTORY: deleteIfExists throws on non-empty dirs, so
+      // clear it recursively first
+      if (Files.isDirectory(dst))
+        Files.walk(dst).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.deleteIfExists(p))
+      else Files.deleteIfExists(dst)
       Files.move(src, dst, StandardCopyOption.REPLACE_EXISTING)
       // drop the now-empty tmp dir (part file already moved out)
       Files.walk(Paths.get(tmp)).sorted(java.util.Comparator.reverseOrder())

@@ -147,7 +147,7 @@ object SimilarityOps {
 
   def dumpOracleBase(s: SparkSession, dir: String): Unit =
     dumpDone.computeIfAbsent((System.identityHashCode(s), dir), _ => {
-      val base = s"${OracleDumps.root(dir)}/knn"
+      val base = s"${OracleDumps.root(s, dir)}/knn"
       val cen = centroids(s, dir)
       cen.coalesce(1).write.mode("overwrite").parquet(s"$base/centroids")
       assignedCached(s, dir)
@@ -307,11 +307,21 @@ object SimilarityOps {
         _ => scala.collection.concurrent.TrieMap.empty[String, String])
     }
     perSession.getOrElseUpdate(dir, {
-      val idx = s"target/graft_scratch/ivf_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val idx = ivfStorePath(s, dir)
       writeIndex(s, dir, idx)
       idx
     })
   }
+
+  /** Corpus- AND applicationId-scoped store path: concurrent JVMs on
+    * the same corpus (test suite + bench) must never overwrite each
+    * other's standing index mid-probe — same scoping rationale as
+    * minhashStoreHist and OracleDumps.root.
+    */
+  private def ivfStorePath(s: SparkSession, dir: String): String =
+    "target/graft_scratch/ivf_" +
+      (dir + "_" + s.sparkContext.applicationId)
+        .replaceAll("[^a-zA-Z0-9]", "_")
 
   /** Probe a persisted IVF index: nearest `nProbe` cells per query,
     * scan only those cells' assignment partitions, exact top-k within.
@@ -344,7 +354,7 @@ object SimilarityOps {
       // of IVF posting lists). KnnSpec pins persisted ≡ in-memory.
       (s, dir) => {
         dumpOracleBase(s, dir)
-        val idx = s"target/graft_scratch/ivf_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        val idx = ivfStorePath(s, dir)
         writeIndex(s, dir, idx)
         val q = embeddings(s, dir).filter(col("vec_id") < 10)
           .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
@@ -853,7 +863,7 @@ object MultimodalOps {
         // so the oracle re-runs the whole ANN in SQL
         vecs.coalesce(1)
           .write.mode("overwrite")
-          .parquet(s"${OracleDumps.root(dir)}/knn/mmvecs")
+          .parquet(s"${OracleDumps.root(s, dir)}/knn/mmvecs")
         val q = vecs.filter(col("doc_id") < 5)
           .select(col("doc_id").as("qid"), col("vec").as("qvec"))
         val w = Window.partitionBy(col("qid"))

@@ -55,12 +55,23 @@ object SnortOps {
     * DOWNSTREAM of the dump (joins, fallbacks, dense_rank keys, text
     * assembly) is what those oracles check.
     */
-  val oracleBaseDir = "/root/repo/target/graft_scratch/oracle_base"
+  // placeholder form: interpolated into the static SQL strings;
+  // Verify binds the applicationId (alongside the SF slug) when it
+  // writes oracle_sql.json. AppId scoping keeps a concurrent JVM's
+  // re-dump from overwriting these mid-read (same rationale as
+  // OracleDumps.root).
+  val oracleBaseDir =
+    s"${OracleDumps.Base}/snort__${OracleDumps.AppIdPlaceholder}"
+  /** Runtime (this-JVM) resolution of [[oracleBaseDir]] for writes. */
+  def oracleWriteDir(s: SparkSession): String =
+    oracleBaseDir.replace(OracleDumps.AppIdPlaceholder,
+      s.sparkContext.applicationId)
   private val dumpDone =
     new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean]()
   /** public so Bench's untimed warmup can pay the write once */
   def dumpOracleBase(s: SparkSession): Unit = {
     dumpDone.computeIfAbsent(s, (s2: SparkSession) => {
+      val od = oracleWriteDir(s2)
       val (sid, gen, cls) = Unified2Fixture.writeMaps(
         s"${Unified2Fixture.defaultRoot()}/maps")
       Unified2.alerts(fixtureRecords(s2))
@@ -74,11 +85,11 @@ object SnortOps {
           Net.ipToString(col("ip_destination")).as("dst_ip"),
           col("sport_itype"), col("dport_icode"), col("protocol"))
         .coalesce(1).write.mode("overwrite")
-        .parquet(s"$oracleBaseDir/alerts_base")
+        .parquet(s"$od/alerts_base")
       Maps.combinedSigMap(s2, sid, gen).coalesce(1)
-        .write.mode("overwrite").parquet(s"$oracleBaseDir/sigmap")
+        .write.mode("overwrite").parquet(s"$od/sigmap")
       Maps.classMap(s2, cls).coalesce(1)
-        .write.mode("overwrite").parquet(s"$oracleBaseDir/classmap")
+        .write.mode("overwrite").parquet(s"$od/classmap")
       // record-level skeleton (no binary payloads): lets SQL re-derive
       // the event←packet/extra ASSEMBLY (grouping keys + counts)
       fixtureRecords(s2)
@@ -86,7 +97,7 @@ object SnortOps {
           col("sensor_id"), col("event_id"), col("event_second"),
           col("rec_type"))
         .coalesce(1).write.mode("overwrite")
-        .parquet(s"$oracleBaseDir/records_base")
+        .parquet(s"$od/records_base")
       // decoded per-packet headers (decode itself is binary, spec-
       // tested; addresses land as dotted-quad/RFC5952 strings) keyed
       // by record identity — SQL re-derives slot ranks, cid, inet_aton
@@ -99,7 +110,7 @@ object SnortOps {
           col("d.ip_ver").as("ip_ver"), col("d.ip_src").as("ip_src"),
           col("d.ip_dst").as("ip_dst"))
         .coalesce(1).write.mode("overwrite")
-        .parquet(s"$oracleBaseDir/packets_decoded")
+        .parquet(s"$od/packets_decoded")
       // raw frames as hex: packet_decode's oracle re-implements the
       // whole eth→VLAN→IP→L4 walk in SQL over these
       fixtureRecords(s2)
@@ -107,10 +118,10 @@ object SnortOps {
         .select(col("event_id"), col("rec_index"),
           hex(col("packet_data")).as("h"))
         .coalesce(1).write.mode("overwrite")
-        .parquet(s"$oracleBaseDir/packets_raw")
+        .parquet(s"$od/packets_raw")
       // byte-identical copies of the RAW rule-map files: the parse
       // entries' oracles re-implement the parsers in SQL over these
-      val rawDir = java.nio.file.Paths.get(s"$oracleBaseDir/raw")
+      val rawDir = java.nio.file.Paths.get(s"$od/raw")
       java.nio.file.Files.createDirectories(rawDir)
       Seq(sid, gen, cls).foreach { p =>
         val src = java.nio.file.Paths.get(p)
@@ -120,7 +131,7 @@ object SnortOps {
       // ...and of the RAW spool files, for u2_parse's SQL re-parse
       val spoolDir = java.nio.file.Paths.get(
         Unified2Fixture.writeSpool(s"${Unified2Fixture.defaultRoot()}/spool"))
-      val rawSpool = java.nio.file.Paths.get(s"$oracleBaseDir/raw_spool")
+      val rawSpool = java.nio.file.Paths.get(s"$od/raw_spool")
       java.nio.file.Files.createDirectories(rawSpool)
       java.nio.file.Files.list(spoolDir).forEach { p =>
         if (p.getFileName.toString.startsWith("snort.log"))
@@ -914,7 +925,8 @@ object SnortOps {
             col("generator_id"), col("signature_id"), col("sig_rev"),
             col("sig_priority"), col("classification_id"), col("sig_msg"),
             col("event_ts"), col("n_pkts"))
-          .write.mode("overwrite").parquet(s"$oracleBaseDir/bulk_alerts")
+          .write.mode("overwrite")
+          .parquet(s"${oracleWriteDir(s)}/bulk_alerts")
         SnortStar.normalize(alerts)("event").orderBy(col("sid"), col("cid"))
       },
       // star_normalize's SQL window re-derivation (two-level cid prefix

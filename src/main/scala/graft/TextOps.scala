@@ -453,7 +453,7 @@ object TextOps {
         val idf = log((lit(n) - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
         val idfTbl = df.withColumn("idf", idf)
         idfTbl.coalesce(1).write.mode("overwrite")
-          .parquet(s"${OracleDumps.root(dir)}/text/bm25_idf")
+          .parquet(s"${OracleDumps.root(s, dir)}/text/bm25_idf")
         tf.join(broadcast(idfTbl), Seq("term"))
           .withColumn("contrib", col("idf") * col("tf") * (lit(1.2) + 1.0) /
             (col("tf") + lit(1.2) *

@@ -46,10 +46,10 @@ object Verify {
     // outDir must not reference result dirs that were never written
     val json = SparkEntry.oracleSql
       .filter { case (k, _) => only.isEmpty || only(k) }
-      // dump paths are corpus-scoped; the static SQL carries a
-      // placeholder — bind it to THIS run's corpus here
-      .map { case (k, v) => s"${q(k)}: ${q(v.replace(
-        OracleDumps.Placeholder, OracleDumps.slug(sfDir)))}" }
+      // dump paths are corpus- AND applicationId-scoped; the static
+      // SQL carries placeholders — bind them to THIS run here
+      .map { case (k, v) => s"${q(k)}: ${q(
+        OracleDumps.bind(v, spark, sfDir))}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

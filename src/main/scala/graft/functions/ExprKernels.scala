@@ -181,34 +181,59 @@ object ExprKernels {
     new GenericArrayData(out.toArray)
   }
 
-  /** FastSS symmetric-deletion variant hashes (Bocek et al., 2007):
-    * FNV-1a 64 of the byte string with every subset of ≤ k positions
-    * deleted, deduplicated. Two strings with edit distance ≤ k ALWAYS
-    * share a variant (each edit op costs at most one deletion per
-    * side), so an equi-join on the variant hash is a recall-1 blocking
-    * key for threshold-k fuzzy matching — candidate volume stays
-    * linear in data where a fixed attribute block key grows pair
-    * counts quadratically. Over-generated candidates (true distance in
-    * (k, 2k]) are removed by the exact [[levBand]] verify. Bounded to
-    * short join keys: C(len, k) variants per row — fail loudly past
-    * 256 bytes instead of silently exploding.
+  /** FastSS symmetric-deletion variant hashes (Bocek et al., 2007)
+    * over a fixed-length SUFFIX window: FNV-1a 64 of the last
+    * `min(len, w)` UTF-16 chars with every subset of ≤ k positions
+    * deleted, deduplicated.
+    *
+    * Chars, not bytes: [[levBand]] measures edit distance over UTF-16
+    * chars (String.charAt), so the blocking key must delete the SAME
+    * units — deleting UTF-8 bytes would need ≥2 byte deletions for one
+    * multi-byte char substitution and silently break the recall
+    * contract on non-ASCII input.
+    *
+    * Why a window is still recall-1 for window edit distance ≤ k:
+    * take an optimal alignment of s and t with cost ≤ k. Edits beyond
+    * both windows leave the windows untouched. Within the windows,
+    * each substitution deletes one char on each side, each insert/
+    * delete deletes one char on one side AND shifts the window
+    * boundary, pulling ≤1 extra trailing char into the OTHER side's
+    * window — trimmed by one extra trailing deletion there. Each of
+    * the ≤ k edits therefore costs at most one deletion per side, so
+    * two strings with edit distance ≤ k always share a ≤ k-deletion
+    * variant of their windows. A SUFFIX (not prefix) window because
+    * structured keys (Customer#000000001) put their entropy at the
+    * END — a prefix window would degenerate to one giant block.
+    *
+    * The window caps variant count at C(w,2)+w+1 per row — CONSTANT,
+    * where full-string FastSS is O(len²) (the q71 sf1 decade outlier:
+    * 15.8× wall at 10× data because upsampling lengthens names).
+    * Over-generated candidates (window-distance ≤ k but true distance
+    * > k) are removed by the exact [[levBand]] verify, identical to
+    * before.
     */
-  def delVariants(s: UTF8String, k: Int): ArrayData = {
-    val bytes = s.getBytes
-    val n = bytes.length
-    require(n <= 256,
-      s"delVariants: key length $n exceeds 256 bytes — this blocking " +
-        "scheme is for short join keys (names/codes), not documents")
+  def delVariants(s: UTF8String, k: Int, w: Int): ArrayData = {
     require(k >= 1 && k <= 2, s"delVariants supports k in [1,2], got $k")
+    require(w >= 4 && w <= 64,
+      s"delVariants window must be in [4,64], got $w — this blocking " +
+        "scheme is for short join keys (names/codes), not documents")
+    val str = s.toString
+    val full = str.length
+    val n = math.min(full, w)
+    val off = full - n // suffix window start
     val seen = new java.util.HashSet[java.lang.Long]()
     val out = scala.collection.mutable.ArrayBuffer.empty[Long]
-    // hash with positions d1 (and d2) skipped; -1 = nothing skipped
+    // hash with window positions d1 (and d2) skipped; -1 = none.
+    // Each UTF-16 char feeds FNV as two bytes (hi, lo) so distinct
+    // char sequences keep distinct hash streams.
     def hashSkipping(d1: Int, d2: Int): Long = {
       var h = 0xcbf29ce484222325L
       var i = 0
       while (i < n) {
         if (i != d1 && i != d2) {
-          h ^= (bytes(i) & 0xffL); h *= 0x100000001b3L
+          val c = str.charAt(off + i)
+          h ^= ((c >> 8) & 0xffL); h *= 0x100000001b3L
+          h ^= (c & 0xffL); h *= 0x100000001b3L
         }
         i += 1
       }

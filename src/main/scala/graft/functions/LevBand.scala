@@ -48,18 +48,21 @@ case class LevenshteinBand(left: Expression, right: Expression, k: Int)
 }
 
 /** FastSS symmetric-deletion blocking keys for threshold-k fuzzy
-  * matching: hashes of every ≤ k-deletion variant of the string.
-  * Pairs with edit distance ≤ k are GUARANTEED to share a key, so the
-  * equi-join on the exploded keys is a recall-1 candidate generator
-  * whose block sizes track distinct-value multiplicity instead of a
-  * fixed attribute block's quadratic growth (the q71 scale fix —
-  * measured super-linear at the sf1 decade with attribute blocking).
-  * Kernel in [[ExprKernels.delVariants]].
+  * matching: hashes of every ≤ k-deletion variant of the string's
+  * last-`w`-chars window. Pairs with edit distance ≤ k are GUARANTEED
+  * to share a key (recall-1 proof in [[ExprKernels.delVariants]]), so
+  * the equi-join on the exploded keys is a recall-1 candidate
+  * generator whose block sizes track distinct-value multiplicity
+  * instead of a fixed attribute block's quadratic growth (the q71
+  * scale fix — measured super-linear at the sf1 decade with attribute
+  * blocking). The window keeps the per-row variant count CONSTANT
+  * (C(w,2)+w+1) instead of O(len²).
   */
-case class DeletionVariants(child: Expression, k: Int)
+case class DeletionVariants(child: Expression, k: Int, w: Int = 12)
     extends UnaryExpression {
 
   require(k >= 1 && k <= 2, s"supported k in [1,2], got $k")
+  require(w >= 4 && w <= 64, s"supported window in [4,64], got $w")
 
   override def prettyName: String = "graft_del_variants"
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -70,12 +73,12 @@ case class DeletionVariants(child: Expression, k: Int)
       s"$prettyName requires string, got ${child.dataType.simpleString}")
 
   override protected def nullSafeEval(input: Any): Any =
-    ExprKernels.delVariants(input.asInstanceOf[UTF8String], k)
+    ExprKernels.delVariants(input.asInstanceOf[UTF8String], k, w)
 
   override protected def doGenCode(ctx: CodegenContext,
       ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.ExprKernels.delVariants($c, $k);")
+      s"${ev.value} = graft.functions.ExprKernels.delVariants($c, $k, $w);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
