@@ -67,6 +67,44 @@ class PlanAuditSpec extends SparkSuite {
     assert("HashJoin \\[bk".r.findAllIn(p).nonEmpty, p.take(1200))
   }
 
+  test("probeIndex: assignments scan prunes to the probed cells' partitions") {
+    // stream_knn / knn_ivf_persist serve from the cell-PARTITIONED
+    // on-disk index; the probe joins assignments on the `cell`
+    // partition column against a broadcast probe set, and the scan
+    // must read ONLY the probed cells' files (the on-disk form of IVF
+    // posting-list pruning — at 100 TB this is the difference between
+    // reading nProbe cells and the whole corpus). Asserted on the
+    // EXECUTED plan's numFiles metric with AQE + codegen on, like
+    // PartitionPruningSpec does for day partitions.
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val dir = "/root/testdata/sf0.01" // sf0.001 trains 1 cell — no bound
+    val idx = SimilarityOps.ensureIndex(spark, dir)
+    val totalCells = spark.read.parquet(s"$idx/assignments")
+      .select(col("cell")).distinct().count()
+    assert(totalCells > 2, s"corpus trained only $totalCells cells")
+    val q1 = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter(col("vec_id") === 0)
+      .select(col("vec_id").as("qid"),
+        graft.functions.Vectors.normalized(col("embedding")).as("qvec"))
+    val probed = SimilarityOps.probeIndex(spark, idx, q1, nProbe = 2, k = 3)
+    assert(probed.count() == 3)
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p.collect {
+      case f: FileSourceScanExec => Seq(f)
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case qs: QueryStageExec => scans(qs.plan)
+    }.flatten
+    val asgScan = scans(probed.queryExecution.executedPlan)
+      .find(_.output.exists(_.name == "vec_id"))
+      .getOrElse(fail("no assignments scan in plan"))
+    val nFiles = asgScan.metrics("numFiles").value
+    // one file per cell (writeIndex's repartition guard): 1 query x
+    // nProbe=2 cells means the scan may touch at most 2 files
+    assert(nFiles <= 2,
+      s"assignments scan read $nFiles files for 2 probed of $totalCells cells")
+  }
+
   test("u2_bulk_ingest: assembly is map-only — correlation adds no shuffle") {
     // single-pass per-file assembly: the only exchanges allowed are the
     // cid windows' per-(sensor, file) partitioning and the tiny
