@@ -635,41 +635,35 @@ object TextOps {
       // Everything is integer counts and exact strings, so the
       // 10-round loop oracles EXACTLY against an unrolled SQL twin.
       (s, dir) => {
-        val nMerges = 10
-        val chars = expr(
-          "transform(sequence(1, length(word)), i -> substring(word, i, 1))")
-        var vocab = t(s, dir, "documents")
-          .select(explode(words(lower(col("text")))).as("word"))
-          .groupBy(col("word")).agg(count(lit(1)).as("wc"))
-          .select(col("wc"),
-            concat(array_join(chars, " "), lit(" </w>")).as("seq"))
-          .localCheckpoint(true)
-        val merges = scala.collection.mutable.ArrayBuffer
-          .empty[(Int, String, String, String, Long)]
-        for (step <- 1 to nMerges) {
-          val toks = split(col("seq"), " ")
-          val best = vocab
-            .select(col("wc"), toks.as("toks"))
-            // a fully-merged single-token word has no pairs — and
-            // sequence(1, 0) would DESCEND, not come back empty
-            .select(col("wc"), explode(expr(
-              "CASE WHEN size(toks) >= 2 THEN " +
-                "transform(sequence(1, size(toks) - 1), " +
-                "i -> struct(toks[i-1] AS a, toks[i] AS b)) " +
-                "ELSE CAST(array() AS ARRAY<STRUCT<a: STRING, b: STRING>>) " +
-                "END")).as("p"))
-            .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-            .agg(sum(col("wc")).as("cnt"))
-            .orderBy(col("cnt").desc, col("a"), col("b"))
-            .limit(1).head()
-          val (a, b, cnt) =
-            (best.getString(0), best.getString(1), best.getLong(2))
-          merges += ((step, a, b, a + b, cnt))
+        import s.implicits._
+        bpeMerges(s, dir, 10)
+          .toDF("step", "pair_a", "pair_b", "merged", "cnt")
+          .orderBy(col("step"))
+      },
+      Some(bpeSql(10))),
+
+    Entry(
+      "bpe_apply",
+      // BPE ENCODING with the trained merge table — the operator every
+      // pipeline actually runs at 100 TB (train once on a sample,
+      // apply to the whole corpus). The application is a PURE
+      // PROJECTION: the 10 merges are literals folded into a chain of
+      // per-word greedy rewrites (the same string fold bpe_train's
+      // rewrite step proved oracle-able), so encoding shuffles NOTHING
+      // — no distinct-word join, no corpus exchange; the only shuffle
+      // in the plan is training's word aggregate, paid once per
+      // (session, corpus) like the IVF/PQ index caches. Per doc:
+      // word count and total post-merge token count.
+      (s, dir) => {
+        val merges = bpeMergesCached(s, dir, 10)
+        // one merge level: greedy left-to-right rewrite of the
+        // space-separated symbol string (identical fold to training)
+        def mergeFold(seq: Column, a: String, b: String): Column = {
           val (aL, bL) = (lit(a), lit(b))
-          val rewritten = aggregate(
-            expr("slice(split(seq, ' '), 2, " +
-              "greatest(size(split(seq, ' ')) - 1, 0))"),
-            expr("element_at(split(seq, ' '), 1)"),
+          aggregate(
+            slice(split(seq, " "), lit(2),
+              greatest(size(split(seq, " ")) - 1, lit(0))),
+            element_at(split(seq, " "), 1),
             (acc, x) => when(x === bL && (acc === aL ||
                 acc.endsWith(concat(lit(" "), aL))),
               when(acc === aL, concat(aL, bL))
@@ -677,24 +671,106 @@ object TextOps {
                   acc.substr(lit(1), length(acc) - length(aL) - 1),
                   lit(" "), aL, bL)))
               .otherwise(concat(acc, lit(" "), x)))
-          vocab = vocab.select(col("wc"), rewritten.as("seq"))
-            .localCheckpoint(true)
         }
-        import s.implicits._
-        merges.toSeq
-          .toDF("step", "pair_a", "pair_b", "merged", "cnt")
-          .orderBy(col("step"))
+        def charSeq(w: Column): Column = concat(array_join(
+          transform(sequence(lit(1), length(w)),
+            i => w.substr(i, lit(1))), " "), lit(" </w>"))
+        // one transform() per merge level: each level references the
+        // previous ONCE (the fold's internal re-reads bind the lambda
+        // variable, not the chain), keeping the expression tree linear
+        // in nMerges instead of exponential
+        var seqs: Column =
+          transform(words(lower(col("text"))), charSeq _)
+        for ((_, a, b, _, _) <- merges)
+          seqs = transform(seqs, s0 => mergeFold(s0, a, b))
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            size(words(lower(col("text")))).cast("long").as("n_words"),
+            aggregate(seqs, lit(0L),
+              (acc, s0) => acc + size(split(s0, " ")).cast("long"))
+              .as("n_bpe_tokens"))
+          .orderBy(col("doc_id"))
       },
-      Some(bpeSql(10)))
+      Some(bpeApplySql(10)))
   )
 
-  /** The BPE training loop unrolled as SQL: stage k counts stage
-    * k-1's vocabulary pairs, takes the 1-row argmax under the same
-    * (count DESC, pair) total order, and rewrites via the identical
-    * greedy string fold (DuckDB list_reduce seeds with the first
-    * element ≡ the Spark aggregate's init).
+  /** The bpe_train merge loop (Sennrich et al., ACL'16), extracted so
+    * bpe_apply can reuse the trained table: word-aggregate once, then
+    * per round count adjacent symbol pairs weighted by word frequency,
+    * take the (count DESC, pair) argmax, greedy-rewrite every
+    * sequence. Returns (step, pair_a, pair_b, merged, cnt) rows.
     */
-  private def bpeSql(nMerges: Int): String = {
+  private def bpeMerges(s: SparkSession, dir: String,
+      nMerges: Int): Seq[(Int, String, String, String, Long)] = {
+    val chars = expr(
+      "transform(sequence(1, length(word)), i -> substring(word, i, 1))")
+    var vocab = t(s, dir, "documents")
+      .select(explode(words(lower(col("text")))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("wc"))
+      .select(col("wc"),
+        concat(array_join(chars, " "), lit(" </w>")).as("seq"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, String, Long)]
+    for (step <- 1 to nMerges) {
+      val toks = split(col("seq"), " ")
+      val best = vocab
+        .select(col("wc"), toks.as("toks"))
+        // a fully-merged single-token word has no pairs — and
+        // sequence(1, 0) would DESCEND, not come back empty
+        .select(col("wc"), explode(expr(
+          "CASE WHEN size(toks) >= 2 THEN " +
+            "transform(sequence(1, size(toks) - 1), " +
+            "i -> struct(toks[i-1] AS a, toks[i] AS b)) " +
+            "ELSE CAST(array() AS ARRAY<STRUCT<a: STRING, b: STRING>>) " +
+            "END")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("wc")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1).head()
+      val (a, b, cnt) =
+        (best.getString(0), best.getString(1), best.getLong(2))
+      merges += ((step, a, b, a + b, cnt))
+      val (aL, bL) = (lit(a), lit(b))
+      val rewritten = aggregate(
+        expr("slice(split(seq, ' '), 2, " +
+          "greatest(size(split(seq, ' ')) - 1, 0))"),
+        expr("element_at(split(seq, ' '), 1)"),
+        (acc, x) => when(x === bL && (acc === aL ||
+            acc.endsWith(concat(lit(" "), aL))),
+          when(acc === aL, concat(aL, bL))
+            .otherwise(concat(
+              acc.substr(lit(1), length(acc) - length(aL) - 1),
+              lit(" "), aL, bL)))
+          .otherwise(concat(acc, lit(" "), x)))
+      vocab = vocab.select(col("wc"), rewritten.as("seq"))
+        .localCheckpoint(true)
+    }
+    merges.toSeq
+  }
+
+  /** Merge table cached per (session, corpus): training is the
+    * build-once half of the tokenizer lifecycle (the same contract as
+    * the IVF/PQ index caches); encoding entries serve from it.
+    * bpe_train deliberately does NOT use this cache — measuring the
+    * training loop is that entry's point.
+    */
+  private val bpeMergeCache = new java.util.concurrent.ConcurrentHashMap[
+    (Int, String), Seq[(Int, String, String, String, Long)]]()
+  private def bpeMergesCached(s: SparkSession, dir: String,
+      nMerges: Int): Seq[(Int, String, String, String, Long)] =
+    bpeMergeCache.computeIfAbsent(
+      (System.identityHashCode(s), s"$dir#$nMerges"),
+      _ => bpeMerges(s, dir, nMerges))
+
+  /** The training loop's CTE chain, shared by the bpe_train and
+    * bpe_apply oracles: stage k counts stage k-1's vocabulary pairs,
+    * takes the 1-row argmax under the same (count DESC, pair) total
+    * order, and rewrites via the identical greedy string fold (DuckDB
+    * list_reduce seeds with the first element ≡ the Spark aggregate's
+    * init). Yields CTEs v0..v$n and best1..best$n.
+    */
+  private def bpeStagesSql(nMerges: Int): String = {
     val stages = (1 to nMerges).map { k =>
       s"""p$k AS (SELECT t2.a, t2.b, CAST(SUM(t2.wc) AS BIGINT) AS cnt
         FROM (SELECT v.wc, v.toks[u.i] AS a, v.toks[u.i + 1] AS b
@@ -713,15 +789,57 @@ object TextOps {
             ELSE acc || ' ' || x END) AS seq
         FROM v${k - 1} v CROSS JOIN best$k bb)"""
     }.mkString(",\n      ")
-    s"""WITH v0 AS (SELECT CAST(COUNT(*) AS BIGINT) AS wc,
+    s"""v0 AS (SELECT CAST(COUNT(*) AS BIGINT) AS wc,
         array_to_string(string_split(word, ''), ' ') || ' </w>' AS seq
       FROM (SELECT unnest(list_filter(string_split(lower(text), ' '),
           x -> len(x) > 0)) AS word FROM documents)
       GROUP BY word),
-      $stages
+      $stages"""
+  }
+
+  private def bpeSql(nMerges: Int): String =
+    s"""WITH ${bpeStagesSql(nMerges)}
       SELECT step, a AS pair_a, b AS pair_b, a || b AS merged, cnt
       FROM (${(1 to nMerges).map(k => s"SELECT * FROM best$k")
         .mkString(" UNION ALL ")})
       ORDER BY step"""
+
+  /** bpe_apply's twin: re-trains the merge table via the shared
+    * stages, then encodes per DISTINCT word (the oracle may use the
+    * word-cache trick — integer token counts match the Spark side's
+    * per-row projection exactly) and aggregates counts per document.
+    */
+  private def bpeApplySql(nMerges: Int): String = {
+    val applyStages = (1 to nMerges).map { k =>
+      s"""e$k AS (SELECT e.word, list_reduce(string_split(e.seq, ' '),
+          (acc, x) -> CASE WHEN x = bb.b AND (acc = bb.a
+              OR ends_with(acc, ' ' || bb.a))
+            THEN CASE WHEN acc = bb.a THEN bb.a || bb.b
+              ELSE substr(acc, 1, len(acc) - len(bb.a) - 1)
+                || ' ' || bb.a || bb.b END
+            ELSE acc || ' ' || x END) AS seq
+        FROM e${k - 1} e CROSS JOIN best$k bb)"""
+    }.mkString(",\n      ")
+    s"""WITH ${bpeStagesSql(nMerges)},
+      w AS (SELECT doc_id, unnest(list_filter(
+          string_split(lower(text), ' '), x -> len(x) > 0)) AS word
+        FROM documents),
+      e0 AS (SELECT word,
+          array_to_string(string_split(word, ''), ' ') || ' </w>' AS seq
+        FROM (SELECT DISTINCT word FROM w)),
+      $applyStages,
+      wl AS (SELECT word,
+          CAST(len(string_split(seq, ' ')) AS BIGINT) AS n_toks
+        FROM e$nMerges),
+      agg AS (SELECT w.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+          CAST(SUM(wl.n_toks) AS BIGINT) AS n_bpe_tokens
+        FROM w JOIN wl ON w.word = wl.word
+        GROUP BY w.doc_id)
+      -- LEFT from documents: a wordless doc still emits a (0, 0) row,
+      -- matching the Spark side's pure projection
+      SELECT d.doc_id, COALESCE(agg.n_words, 0) AS n_words,
+        COALESCE(agg.n_bpe_tokens, 0) AS n_bpe_tokens
+      FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+      ORDER BY d.doc_id"""
   }
 }
