@@ -467,6 +467,55 @@ object SimilarityOps {
         FROM s ORDER BY label, dim""")),
 
     Entry(
+      "emb_quantize",
+      // Symmetric int8 scalar quantization of the embedding store —
+      // the 4× storage compressor a 100 TB vector corpus runs before
+      // anything else (PQ's 32× is for SEARCH; int8 keeps per-dim
+      // fidelity for re-ranking/training reads). Pure projection, no
+      // shuffle: per vector, scale = 127/max|x|, q_i = floor(x_i·scale
+      // + 0.5), plus the reconstruction-error audit (a quantizer
+      // without its error report is unusable). Every float output is
+      // an order-INDEPENDENT fold — max selects an exactly-computed
+      // element, the checksum is integer — so the oracle hash-matches
+      // bit-for-bit with no ordered-fold gymnastics.
+      (s, dir) =>
+        t(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+          .withColumn("mx", array_max(transform(col("embedding"),
+            x => abs(x.cast("double")))))
+          .withColumn("scale",
+            when(col("mx") > 0, lit(127.0) / col("mx")).otherwise(lit(1.0)))
+          .withColumn("q", transform(col("embedding"),
+            x => floor(x.cast("double") * col("scale") + lit(0.5))
+              .cast("int")))
+          .select(col("vec_id"), col("scale"),
+            aggregate(col("q"), lit(0L), (acc, v) => acc + v).as("q_sum"),
+            array_min(col("q")).as("q_min"),
+            array_max(col("q")).as("q_max"),
+            array_max(zip_with(col("embedding"), col("q"),
+              (x, qi) => abs(x.cast("double") -
+                qi.cast("double") / col("scale")))).as("max_err"))
+          .orderBy(col("vec_id")),
+      Some("""WITH b AS (SELECT vec_id, embedding,
+            list_max(list_transform(embedding,
+              x -> abs(CAST(x AS DOUBLE)))) AS mx
+          FROM embeddings),
+        sc AS (SELECT vec_id, embedding,
+            CASE WHEN mx > 0 THEN 127.0 / mx ELSE 1.0 END AS scale
+          FROM b),
+        qq AS (SELECT vec_id, embedding, scale,
+            list_transform(embedding, x -> CAST(floor(
+              CAST(x AS DOUBLE) * scale + 0.5) AS INTEGER)) AS q
+          FROM sc)
+        SELECT vec_id, scale,
+          CAST(list_reduce(q, (a, v) -> a + v) AS BIGINT) AS q_sum,
+          list_min(q) AS q_min, list_max(q) AS q_max,
+          list_max(list_transform(range(1, len(q) + 1),
+            i -> abs(CAST(embedding[i] AS DOUBLE)
+              - CAST(q[i] AS DOUBLE) / scale))) AS max_err
+        FROM qq ORDER BY vec_id""")),
+
+    Entry(
       "knn_ivf_pq",
       // The production ANN composition: IVF cell PRUNING (probe the 4
       // nearest cells, skip the rest of the corpus) × PQ COMPRESSION

@@ -61,4 +61,30 @@ class Round7Spec extends SparkSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(got == expect, s"got $got\nexpect $expect")
   }
+
+  test("emb_quantize: int8 codes bound the reconstruction error by half a step") {
+    // |x·s − q| ≤ 1/2 by construction, so |x − q/s| ≤ 1/(2s); codes
+    // stay in the int8 envelope and q_sum is a faithful checksum of a
+    // hand-quantized row.
+    val rows = q("emb_quantize", sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val scale = r.getAs[Double]("scale")
+      val maxErr = r.getAs[Double]("max_err")
+      assert(r.getAs[Int]("q_min") >= -127 && r.getAs[Int]("q_max") <= 127,
+        s"vec ${r.getAs[Long]("vec_id")} outside int8 envelope")
+      assert(maxErr <= 0.5 / scale + 1e-12,
+        s"vec ${r.getAs[Long]("vec_id")}: err $maxErr > half-step ${0.5 / scale}")
+    }
+    // hand-check one vector end-to-end
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .filter(org.apache.spark.sql.functions.col("vec_id") === 0)
+      .collect()(0).getAs[scala.collection.Seq[Float]]("embedding")
+    val mx = emb.map(x => math.abs(x.toDouble)).max
+    val s0 = if (mx > 0) 127.0 / mx else 1.0
+    val qs = emb.map(x => math.floor(x.toDouble * s0 + 0.5).toLong).sum
+    val row0 = rows.find(_.getAs[Long]("vec_id") == 0L).get
+    assert(row0.getAs[Double]("scale") == s0)
+    assert(row0.getAs[Long]("q_sum") == qs)
+  }
 }
