@@ -105,6 +105,24 @@ class PlanAuditSpec extends SparkSuite {
       s"assignments scan read $nFiles files for 2 probed of $totalCells cells")
   }
 
+  test("bpe_apply: encoding is a pure projection — no agg/join shuffle") {
+    // the merge table is a session-cached literal list; applying it
+    // must plan as a chain of per-row transforms. The only exchange
+    // allowed is the final presentation sort (rangepartitioning) —
+    // any hashpartitioning means a join or aggregate snuck into the
+    // 100 TB encode path.
+    q("bpe_apply", sfDir).count() // warm the merge-table cache
+    val p = plan("bpe_apply")
+    assert(!p.contains("hashpartitioning"), p.take(1000))
+    assert(!p.contains("Join"), p.take(1000))
+  }
+
+  test("emb_quantize: pure projection — no shuffle but the final sort") {
+    val p = plan("emb_quantize")
+    assert(!p.contains("hashpartitioning"), p.take(1000))
+    assert(!p.contains("Join"), p.take(1000))
+  }
+
   test("u2_bulk_ingest: assembly is map-only — correlation adds no shuffle") {
     // single-pass per-file assembly: the only exchanges allowed are the
     // cid windows' per-(sensor, file) partitioning and the tiny
