@@ -62,6 +62,38 @@ class Round7Spec extends SparkSuite {
     assert(got == expect, s"got $got\nexpect $expect")
   }
 
+  test("windowed deletion variants: recall-1 holds at the window boundary") {
+    // The random property test (Round6Spec) covers the bulk; these are
+    // the deterministic adversarial shapes of the suffix-window proof
+    // — length-shifting edits AT and AROUND the window edge, where the
+    // boundary-trim argument does the work.
+    import org.apache.spark.unsafe.types.UTF8String
+    def variants(s: String): Set[Long] = {
+      val arr = graft.functions.ExprKernels
+        .delVariants(UTF8String.fromString(s), 2, 12)
+      (0 until arr.numElements()).map(arr.getLong).toSet
+    }
+    val s = "Customer#000004217 xq"  // 21 chars, window = last 12
+    val w = s.length - 12
+    val cases: Seq[(String, String)] = Seq(
+      "substitution before the window" -> s.updated(0, 'Z'),
+      "deletion just before the window (w-1)" -> s.patch(w - 1, Nil, 1),
+      "deletion of the FIRST window char" -> s.patch(w, Nil, 1),
+      "deletion of the LAST char" -> s.patch(s.length - 1, Nil, 1),
+      "insertion at the window front edge" -> s.patch(w, Seq('Q'), 0),
+      "two deletions at both window ends" ->
+        s.patch(w, Nil, 1).patch(s.length - 2, Nil, 1),
+      "substitution at boundary + deletion outside" ->
+        s.updated(w, 'Z').patch(0, Nil, 1),
+      "multi-byte substitution at the boundary" -> s.updated(w, 'é'),
+      "deletion + multi-byte insertion inside window" ->
+        s.patch(s.length - 3, Nil, 1).patch(s.length - 6, Seq('ü'), 0))
+    cases.foreach { case (label, t2) =>
+      assert(variants(s).intersect(variants(t2)).nonEmpty,
+        s"no shared variant for: $label ('$s' vs '$t2')")
+    }
+  }
+
   test("emb_quantize: int8 codes bound the reconstruction error by half a step") {
     // |x·s − q| ≤ 1/2 by construction, so |x − q/s| ≤ 1/(2s); codes
     // stay in the int8 envelope and q_sum is a faithful checksum of a
