@@ -318,34 +318,74 @@ object Analytics5 {
       // PageRank (damping 0.85, 3 fixed iterations, init 1.0) over the
       // undirected part hierarchy — the numeric-fixpoint loop rounding
       // out the iterative family (closure = set growth, CC = label
-      // min, BFS = frontier, this = float mass flow). Per iteration:
-      // one join rank⋈edges + one shuffle on the destination key —
-      // the textbook distributed PR step; per-level localCheckpoint
-      // keeps the plan one iteration deep. Hub skew at scale is the
-      // usual AQE-skew/salting case. Rows-only (Σ-of-doubles is
-      // partition-order dependent); GraphSpec asserts mass
-      // conservation and hub-over-leaf ordering instead.
+      // min, BFS = frontier, this = mass flow). Per iteration: one
+      // join rank⋈edges + one shuffle on the destination key — the
+      // textbook distributed PR step; per-level localCheckpoint keeps
+      // the plan one iteration deep. Hub skew at scale is the usual
+      // AQE-skew/salting case.
+      //
+      // Rank mass is FIXED-POINT: scaled longs in 1e-12 units (init
+      // 1e12 = rank 1.0; 0.15 → 1.5e11; per-edge contribution =
+      // rank div deg; damping = (85·Σc) div 100). Integer sums are
+      // order-independent, so the per-dst aggregation is exactly
+      // reproducible AND exactly expressible as DuckDB BIGINT sums —
+      // this was the only rows-only entry that wasn't an approximation
+      // by construction (VERDICT r7 #1). Truncation bias: each div
+      // loses <1 unit (1e-12 rank), total drift ~1e-7 over 3
+      // iterations — far inside GraphSpec's 1e-6 mass-conservation
+      // band. Long headroom: 85·Σc overflows only past ~1e5 rank
+      // units landing on ONE node (mass here concentrates ~10× per
+      // hub, nowhere near it); Spark 4 ANSI mode makes any overflow
+      // throw rather than wrap, and DuckDB computes the same stages
+      // in HUGEINT. The final rank is the single IEEE division
+      // units/1e12 on both engines → bit-identical doubles.
       (s, dir) => {
         val e = edges(s, dir)
         val und = e.select(col("child").as("a"), col("parent").as("b"))
           .union(e.select(col("parent").as("a"), col("child").as("b")))
         val deg = und.groupBy(col("a"))
-          .agg(count(lit(1)).cast("double").as("deg"))
+          .agg(count(lit(1)).as("deg"))
         val und2 = und.join(deg, "a").persist()
-        var r = deg.select(col("a").as("node"), lit(1.0).as("rank"))
+        var r = deg.select(col("a").as("node"),
+            lit(1000000000000L).as("rank"))
           .localCheckpoint(true)
         for (_ <- 1 to 3) {
           r = und2.join(r, und2("a") === r("node"))
-            .select(col("b"), (col("rank") / col("deg")).as("c"))
+            .select(col("b"), expr("rank div deg").as("c"))
             .groupBy(col("b"))
-            .agg((lit(0.15) + lit(0.85) * sum(col("c"))).as("rank"))
+            .agg((lit(150000000000L) +
+              expr("(85 * sum(c)) div 100")).as("rank"))
             .select(col("b").as("node"), col("rank"))
             .localCheckpoint(true)
         }
         und2.unpersist()
-        r.orderBy(col("node"))
+        r.select(col("node"),
+            (col("rank").cast("double") / lit(1e12)).as("rank"))
+          .orderBy(col("node"))
       },
-      None),
+      Some(s"""WITH $oracleEdges,
+        und AS (
+          SELECT child AS a, parent AS b FROM edges
+          UNION ALL
+          SELECT parent AS a, child AS b FROM edges),
+        deg AS (SELECT a, COUNT(*) AS deg FROM und GROUP BY a),
+        ud AS (SELECT und.a, und.b, deg.deg FROM und JOIN deg USING (a)),
+        r0 AS (SELECT a AS node, CAST(1000000000000 AS BIGINT) AS rank
+               FROM deg),
+        r1 AS (SELECT u.b AS node,
+                 CAST(150000000000 + (85 * SUM(r.rank // u.deg)) // 100
+                   AS BIGINT) AS rank
+               FROM ud u JOIN r0 r ON r.node = u.a GROUP BY u.b),
+        r2 AS (SELECT u.b AS node,
+                 CAST(150000000000 + (85 * SUM(r.rank // u.deg)) // 100
+                   AS BIGINT) AS rank
+               FROM ud u JOIN r1 r ON r.node = u.a GROUP BY u.b),
+        r3 AS (SELECT u.b AS node,
+                 CAST(150000000000 + (85 * SUM(r.rank // u.deg)) // 100
+                   AS BIGINT) AS rank
+               FROM ud u JOIN r2 r ON r.node = u.a GROUP BY u.b)
+        SELECT node, CAST(rank AS DOUBLE) / 1e12 AS rank
+        FROM r3 ORDER BY node""")),
 
     Entry(
       "dq_report",

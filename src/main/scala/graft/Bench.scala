@@ -45,18 +45,34 @@ object Bench {
     // sessions), making regressions indistinguishable from host load.
     // The min of 2 is the entry's achievable serving time on this
     // host; real plan regressions survive the min, noise doesn't.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
-    val results = sel.map { case (name, fn) =>
+    // Clamp to ≥1 (reps=0 would skip the loop and emit Double.MaxValue,
+    // poisoning the parsed JSON) and survive a non-numeric env value —
+    // a crash here loses the whole round's metric line (ADVICE r7).
+    val reps = math.max(1,
+      try sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+      catch { case _: NumberFormatException => 2 })
+    // Fail-LOUD: an entry whose plan throws must not contribute its
+    // time-to-throw as a legitimate serving time and read as a speedup.
+    // Every failed rep is logged; an entry with zero successful reps is
+    // counted in "errors" and EXCLUDED from the total (VERDICT r7 #2).
+    var errors = 0
+    val results = sel.flatMap { case (name, fn) =>
       var best = Double.MaxValue
+      var ok = false
       var r = 0
       while (r < reps) {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+        val threw =
+          try { fn(spark, sfDir).count(); false }
+          catch { case e: Throwable =>
+            System.err.println(s"BENCHERR $name rep=$r ${e.getClass.getName}: ${e.getMessage}")
+            true
+          }
         val dt = (System.nanoTime() - t0) / 1e9
-        if (dt < best) best = dt
+        if (!threw) { ok = true; if (dt < best) best = dt }
         r += 1
       }
-      name -> best
+      if (ok) Some(name -> best) else { errors += 1; None }
     }
     // Full per-query detail on separate lines (human/log readability);
     // the machine-readable line below stays compact.
@@ -69,8 +85,11 @@ object Bench {
     // try/catch: a shutdown-hook or FS error in stop() must not eat
     // the metric line — that would null the round's bench (ADVICE r6).
     try spark.stop() catch { case _: Throwable => () }
-    println(jsonLine(sfDir, results.toMap))
+    println(jsonLine(sfDir, results.toMap, errors = errors))
     System.out.flush()
+    // nonzero rc on any broken entry — a fast failure must not read
+    // as a green (let alone faster) bench run
+    if (errors > 0) sys.exit(1)
   }
 
   /** The ONE machine-readable JSON line, printed LAST, with "metric"
@@ -83,11 +102,11 @@ object Bench {
     * BenchLineSpec pins this contract.)
     */
   def jsonLine(sfDir: String, results: Map[String, Double],
-      budget: Int = 1400): String = {
+      budget: Int = 1400, errors: Int = 0): String = {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val sfNum = raw"sf([0-9.]+)".r.findFirstMatchIn(sfDir)
       .map(_.group(1)).getOrElse("0.1")
-    val header = f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":$sfNum,"queries":"""
+    val header = f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":$sfNum,"errors":$errors,"queries":"""
     val entries = results.toSeq.sortBy { case (k, v) => (-v, k) }
       .map { case (k, v) => f""""$k":$v%.3f""" }
     val kept = scala.collection.mutable.ListBuffer.empty[String]

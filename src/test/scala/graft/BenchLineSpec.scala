@@ -15,7 +15,23 @@ class BenchLineSpec extends AnyFunSuite {
   test("line starts with the documented metric-first header") {
     val line = Bench.jsonLine("/root/testdata/sf0.1", many)
     assert(line.startsWith("""{"metric":"total","value":"""), line.take(60))
-    assert(line.contains(""","unit":"sec","sf":0.1,"queries":{"""))
+    assert(line.contains(""","unit":"sec","sf":0.1,"errors":0,"queries":{"""))
+  }
+
+  test("broken entries surface as errors:N, never as a faster total") {
+    // VERDICT r7 #2: the timed loop used to swallow Throwables, so a
+    // plan that broke recorded its time-to-throw as a serving time.
+    // Bench.main now drops zero-success entries from the total and
+    // reports them here; the driver (and a reader) sees errors>0.
+    val line = Bench.jsonLine("/root/testdata/sf0.1", many, errors = 3)
+    assert(line.contains(""","errors":3,"queries":{"""))
+    // and main exits nonzero + excludes the entry — pinned textually
+    val bench = scala.io.Source.fromFile(
+      "src/main/scala/graft/Bench.scala", "UTF-8").mkString
+    assert(bench.contains("if (errors > 0) sys.exit(1)"),
+      "broken entries must produce a nonzero exit code")
+    assert(bench.contains("if (ok) Some(name -> best) else { errors += 1; None }"),
+      "zero-success entries must be excluded from the total")
   }
 
   test("line stays under budget no matter how many queries ran") {
@@ -41,7 +57,7 @@ class BenchLineSpec extends AnyFunSuite {
 
   test("empty run still emits a parseable zero line") {
     val line = Bench.jsonLine("/root/testdata/sf0.01", Map.empty)
-    assert(line == """{"metric":"total","value":0.000,"unit":"sec","sf":0.01,"queries":{}}""")
+    assert(line == """{"metric":"total","value":0.000,"unit":"sec","sf":0.01,"errors":0,"queries":{}}""")
   }
 
   test("emission path: sbt's success footer is suppressed so the line is last") {
