@@ -34,9 +34,19 @@ object Charlotte {
 
   /** Test mode: enriched u2fast lines for one spool (the reference's
     * TextOutput), returned for printing or assertion.
+    *
+    * `maxLines` caps the driver-side materialization: test mode is a
+    * debug print, and an uncapped collect() over an arbitrarily large
+    * spool would OOM the driver (VERDICT r7 #8). Default 100k lines ≈
+    * a few tens of MB; override via `graft.test.maxLines` in the
+    * session conf for a bigger dump. limit() pushes into the plan
+    * (TakeOrderedAndProject over the sort), so a capped run also
+    * never sorts the full spool on the cluster.
     */
   def textLines(spark: SparkSession, config: GraftConfig,
       spool: graft.snort.SpoolConfig): Seq[String] = {
+    val maxLines = spark.conf
+      .getOption("graft.test.maxLines").map(_.toInt).getOrElse(100000)
     val recs = Unified2.records(spark, spool.directories, spool.filename,
       spool.name)
     val alerts = Maps.enrichClassifications(
@@ -46,6 +56,7 @@ object Charlotte {
       Maps.classMap(spark, config.classificationMap))
     SnortStar.textFormat(alerts)
       .orderBy(col("sensor"), col("event_id"))
+      .limit(maxLines)
       .collect().map(_.getAs[String]("line")).toSeq
   }
 

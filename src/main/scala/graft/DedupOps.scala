@@ -203,6 +203,7 @@ object DedupOps {
         _ => scala.collection.concurrent.TrieMap.empty[String, DataFrame])
     }
     perSession.getOrElseUpdate(s"$dir#store", {
+      OracleDumps.housekeep(s)
       val store = "target/graft_scratch/minhash_store_" +
         (dir + "_" + s.sparkContext.applicationId)
           .replaceAll("[^a-zA-Z0-9]", "_")

@@ -64,14 +64,20 @@ object MakeScale {
     // single plain file (a part-file directory would glob to nothing
     // and silently empty every stream entry at this scale).
     def writeSingleFile(df: DataFrame, n: String): Unit = {
-      import java.nio.file.{Files, Paths, StandardCopyOption}
+      import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+      import scala.util.Using
+      // every directory-stream helper closed via Using — unclosed
+      // Files.list/walk streams leak directory handles (ADVICE r7)
+      def rmTree(p: Path): Unit =
+        Using.resource(Files.walk(p)) { st =>
+          st.sorted(java.util.Comparator.reverseOrder[Path]())
+            .forEach(q => Files.deleteIfExists(q))
+        }
       val tmp = s"$out/_tmp_$n"
       df.coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = Files.list(Paths.get(tmp)).iterator()
-      var src: java.nio.file.Path = null
-      while (part.hasNext) {
-        val p = part.next()
-        if (p.getFileName.toString.endsWith(".parquet")) src = p
+      val src = Using.resource(Files.list(Paths.get(tmp))) { st =>
+        st.filter(_.getFileName.toString.endsWith(".parquet"))
+          .findFirst().orElse(null)
       }
       require(src != null,
         s"no .parquet part file under $tmp — write produced nothing?")
@@ -79,14 +85,11 @@ object MakeScale {
       // an earlier non-single-file write may have left dst as a part-
       // file DIRECTORY: deleteIfExists throws on non-empty dirs, so
       // clear it recursively first
-      if (Files.isDirectory(dst))
-        Files.walk(dst).sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => Files.deleteIfExists(p))
+      if (Files.isDirectory(dst)) rmTree(dst)
       else Files.deleteIfExists(dst)
       Files.move(src, dst, StandardCopyOption.REPLACE_EXISTING)
       // drop the now-empty tmp dir (part file already moved out)
-      Files.walk(Paths.get(tmp)).sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => Files.deleteIfExists(p))
+      rmTree(Paths.get(tmp))
     }
 
     // genuine small dims: single copy

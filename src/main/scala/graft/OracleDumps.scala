@@ -23,8 +23,61 @@ object OracleDumps {
   /** Runtime dump root for entries writing against `dir` from session
     * `s` — unique per (corpus, JVM).
     */
-  def root(s: org.apache.spark.sql.SparkSession, dir: String): String =
+  def root(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    housekeep(s)
     s"$Base/${slug(dir)}__${s.sparkContext.applicationId}"
+  }
+
+  /** Millis stamp embedded in a local-mode applicationId (or in a dir
+    * name derived from one — slugging turns `local-123` into
+    * `local_123`). None for non-local masters.
+    */
+  private[graft] def appTs(name: String): Option[Long] =
+    raw"local[-_](\d{10,})".r.findAllMatchIn(name).toSeq.lastOption
+      .map(_.group(1).toLong)
+
+  /** App-ID scoping means every JVM (each suite, bench, Verify run)
+    * writes a fresh copy of the dumps and stores — without cleanup
+    * they accumulate unboundedly across rounds (ADVICE r7). Once per
+    * JVM, delete any sibling scoped dir stamped >3 h OLDER than this
+    * app's own local-<millis> stamp. Age is measured app-to-app (no
+    * wall clock), the margin keeps every concurrent JVM and any
+    * just-exited Verify run alive — the driver's DuckDB compare reads
+    * the dumps minutes AFTER the Verify JVM exits, which is also why
+    * a session must never delete its OWN dumps on shutdown.
+    */
+  private val housekept = new java.util.concurrent.atomic.AtomicBoolean(false)
+  private[graft] val StaleMs = 3L * 3600 * 1000
+  def housekeep(s: org.apache.spark.sql.SparkSession): Unit =
+    if (housekept.compareAndSet(false, true))
+      appTs(s.sparkContext.applicationId).foreach(pruneStale)
+
+  /** Delete every app-stamped dir under the scratch root (and under
+    * oracle_base) more than [[StaleMs]] older than `myTs`. Split from
+    * [[housekeep]] so the deletion logic is testable without the
+    * once-per-JVM latch.
+    */
+  private[graft] def pruneStale(myTs: Long): Unit = {
+    def prune(parent: java.io.File): Unit = {
+      val kids = parent.listFiles()
+      if (kids != null) kids.foreach { d =>
+        if (d.isDirectory &&
+            appTs(d.getName).exists(ts => myTs - ts > StaleMs))
+          deleteRecursively(d.toPath)
+      }
+    }
+    prune(new java.io.File(Base).getParentFile)
+    prune(new java.io.File(Base))
+  }
+
+  /** Best-effort recursive delete; walk stream closed via Using
+    * (an unclosed Files.walk leaks a directory handle — ADVICE r7).
+    */
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    try scala.util.Using.resource(java.nio.file.Files.walk(p)) { st =>
+      st.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(q => java.nio.file.Files.deleteIfExists(q))
+    } catch { case _: java.io.IOException => () }
   /** Placeholder-form root for the static SQL strings. */
   val SqlRoot = s"$Base/${Placeholder}__$AppIdPlaceholder"
   /** Bind both placeholders for session `s` against `dir` — the one

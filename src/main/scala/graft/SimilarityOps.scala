@@ -318,10 +318,12 @@ object SimilarityOps {
     * other's standing index mid-probe — same scoping rationale as
     * minhashStoreHist and OracleDumps.root.
     */
-  private def ivfStorePath(s: SparkSession, dir: String): String =
+  private def ivfStorePath(s: SparkSession, dir: String): String = {
+    OracleDumps.housekeep(s)
     "target/graft_scratch/ivf_" +
       (dir + "_" + s.sparkContext.applicationId)
         .replaceAll("[^a-zA-Z0-9]", "_")
+  }
 
   /** Probe a persisted IVF index: nearest `nProbe` cells per query,
     * scan only those cells' assignment partitions, exact top-k within.
@@ -508,7 +510,15 @@ object SimilarityOps {
               CAST(x AS DOUBLE) * scale + 0.5) AS INTEGER)) AS q
           FROM sc)
         SELECT vec_id, scale,
-          CAST(list_reduce(q, (a, v) -> a + v) AS BIGINT) AS q_sum,
+          -- len guard: list_reduce errors on an empty list where the
+          -- Spark aggregate(..., 0L, ...) returns its 0 seed; a
+          -- zero-length embedding must compare cleanly, not crash the
+          -- oracle (the other folds agree already: list_min/list_max/
+          -- list_max∘transform give NULL = Spark's array_min/max/
+          -- zip_with on empty)
+          CASE WHEN len(q) = 0 THEN 0
+               ELSE CAST(list_reduce(q, (a, v) -> a + v) AS BIGINT)
+          END AS q_sum,
           list_min(q) AS q_min, list_max(q) AS q_max,
           list_max(list_transform(range(1, len(q) + 1),
             i -> abs(CAST(embedding[i] AS DOUBLE)

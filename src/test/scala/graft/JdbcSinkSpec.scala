@@ -103,10 +103,26 @@ class JdbcSinkSpec extends SparkSuite {
       df.select(poison(col("id")).as("id"), col("v"))
         .write.mode("append").jdbc(url, "sig_test", props)
     }
-    // table may exist (created before the insert) but must be EMPTY
+    // table may exist (created before the insert) but must be EMPTY.
+    // Only table-NOT-FOUND (Derby SQLState 42X05) counts as clean —
+    // a catch-all here would turn any read failure (bad URL, driver
+    // error) into "zero rows" and pass the torn-write check vacuously
+    // (ADVICE r7).
+    def isTableMissing(e: Throwable): Boolean = {
+      var t = e
+      while (t != null) {
+        t match {
+          case s: java.sql.SQLException if s.getSQLState == "42X05" =>
+            return true
+          case _ =>
+        }
+        t = t.getCause
+      }
+      false
+    }
     val afterFail =
       try spark.read.jdbc(url, "sig_test", props).count()
-      catch { case _: Throwable => 0L } // or not created at all — also clean
+      catch { case e: Throwable if isTableMissing(e) => 0L }
     assert(afterFail == 0L, s"torn partial write: $afterFail rows")
     df.write.mode("append").jdbc(url, "sig_test", props)
     assert(spark.read.jdbc(url, "sig_test", props).count() == 10L)
