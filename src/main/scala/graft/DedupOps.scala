@@ -668,7 +668,77 @@ object DedupOps {
         SELECT tr.doc_id, COUNT(DISTINCT tr.gram) AS n_shared,
           COUNT(DISTINCT ev.eval_doc) AS n_eval_docs
         FROM tr JOIN ev ON tr.gram = ev.gram
-        GROUP BY tr.doc_id ORDER BY tr.doc_id"""))
+        GROUP BY tr.doc_id ORDER BY tr.doc_id""")),
+
+    Entry(
+      "dedup_decontam_frac",
+      // Decontamination OVERLAP-FRACTION report (the GPT-3/PaLM-style
+      // metric): dedup_decontaminate answers "does this training doc
+      // share ANY eval n-gram"; this answers "how much of it is
+      // contaminated" — per doc, the fraction of token POSITIONS
+      // covered by at least one matching 13-gram (matches may overlap,
+      // so coverage is a union of [start, start+12] intervals, counted
+      // as distinct positions). Integer counts and a single k/n
+      // division → exactly oracle-able. Plan shape: identical
+      // broadcast topology to dedup_decontaminate (tiny eval gram set
+      // broadcast past the full training scan); the coverage explode
+      // fans out ≤13 rows per MATCH, so its cost is bounded by the
+      // contamination volume, not the corpus — at 100 TB this is the
+      // same one-shuffle (on doc_id) plan.
+      (s, dir) => {
+        val toks = t(s, dir, "documents")
+          .select(col("doc_id"),
+            filter(split(lower(col("text")), " "),
+              x => length(x) > lit(0)).as("tk"))
+        val grams = toks.select(col("doc_id"),
+          size(col("tk")).cast("long").as("n_tokens"),
+          explode(when(size(col("tk")) >= 13,
+            transform(sequence(lit(1), size(col("tk")) - lit(12)),
+              i => struct(i.as("start"),
+                array_join(slice(col("tk"), i, lit(13)), " ").as("gram"))))
+            .otherwise(array().cast(
+              "array<struct<start:int,gram:string>>"))).as("g"))
+          .select(col("doc_id"), col("n_tokens"),
+            col("g.start").as("start"), col("g.gram").as("gram"))
+        val ev = grams.filter(col("doc_id") % 5 === 0)
+          .select(col("gram")).distinct()
+        grams.filter(col("doc_id") % 5 =!= 0)
+          .join(broadcast(ev), "gram")
+          .select(col("doc_id"), col("n_tokens"),
+            explode(sequence(col("start"),
+              col("start") + lit(12))).as("pos"))
+          .groupBy(col("doc_id"), col("n_tokens"))
+          .agg(countDistinct(col("pos")).as("n_contaminated"))
+          .select(col("doc_id"), col("n_tokens"),
+            col("n_contaminated"),
+            (col("n_contaminated").cast("double") /
+              col("n_tokens").cast("double")).as("frac"))
+          .orderBy(col("doc_id"))
+      },
+      // Parallel unnests zip in DuckDB (file-order pairing), giving
+      // (start, gram) per position; range(start, start+13) matches
+      // Spark's inclusive sequence(start, start+12). frac is the one
+      // float: the same single INT/INT division on both engines.
+      Some("""WITH toks AS (SELECT doc_id,
+            list_filter(string_split(lower(text), ' '),
+              x -> len(x) > 0) AS tk FROM documents),
+        grams AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+            unnest(range(1, greatest(len(tk) - 12, 0) + 1)) AS start,
+            unnest([array_to_string(tk[i:i+12], ' ')
+              for i in range(1, greatest(len(tk) - 12, 0) + 1)]) AS gram
+          FROM toks),
+        ev AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 5 = 0),
+        tr AS (SELECT doc_id, n_tokens, start, gram FROM grams
+          WHERE doc_id % 5 <> 0),
+        hit AS (SELECT tr.doc_id, tr.n_tokens, tr.start
+          FROM tr JOIN ev USING (gram)),
+        cov AS (SELECT doc_id, n_tokens,
+            unnest(range(start, start + 13)) AS pos FROM hit)
+        SELECT doc_id, n_tokens,
+          CAST(COUNT(DISTINCT pos) AS BIGINT) AS n_contaminated,
+          CAST(COUNT(DISTINCT pos) AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+            AS frac
+        FROM cov GROUP BY doc_id, n_tokens ORDER BY doc_id"""))
   )
 
   /** Winnowing-fingerprint shared-substring candidate pairs; see the

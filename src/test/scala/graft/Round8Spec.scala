@@ -20,6 +20,23 @@ class Round8Spec extends SparkSuite {
     assert(OracleDumps.appTs("oracle_base").isEmpty)
   }
 
+  test("dedup_decontam_frac measures position coverage of eval 13-grams") {
+    // eval split doc_id % 5 == 0 -> {0, 5}; doc 5 has <13 tokens, so the
+    // eval gram set is exactly doc 0's grams. Doc 1 (exact dup, 28
+    // tokens): every gram matches -> all 28 positions covered, frac 1.
+    // Doc 2 flips "dog" (position 9) to "cat": only the 7 grams starting
+    // at 10..16 survive, covering positions 10..28 = 19. Docs 3/4 share
+    // no gram (and 3 has <13 tokens anyway).
+    val rows = q("dedup_decontam_frac", Fixtures.dir).collect()
+    assert(rows.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L, 2L))
+    val byId = rows.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(byId(1L).getAs[Long]("n_tokens") == 28L)
+    assert(byId(1L).getAs[Long]("n_contaminated") == 28L)
+    assert(byId(1L).getAs[Double]("frac") == 1.0)
+    assert(byId(2L).getAs[Long]("n_contaminated") == 19L)
+    assert(byId(2L).getAs[Double]("frac") == 19.0 / 28.0)
+  }
+
   test("pruneStale deletes only dirs >3h older than the running app") {
     val scratch = Paths.get(OracleDumps.Base).getParent
     Files.createDirectories(Paths.get(OracleDumps.Base))
