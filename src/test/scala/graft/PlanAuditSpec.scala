@@ -123,6 +123,27 @@ class PlanAuditSpec extends SparkSuite {
     assert(!p.contains("Join"), p.take(1000))
   }
 
+  // The per-row projection family: at 100 TB these run as map-only
+  // passes over the corpus, so ANY hash exchange or join in their plan
+  // is a regression (the only exchange allowed is the final
+  // presentation sort's rangepartitioning). One parameterized assert
+  // per entry so a refactor that sneaks in a groupBy/join fails by
+  // name.
+  private val ProjectionEntries = Seq(
+    "text_normalize", "text_tokens", "text_quality", "text_pii_scrub",
+    "text_url_canon", "text_quality_filter", "text_langid",
+    "text_repetition", "text_chunk", "text_fingerprint",
+    "mm_meta", "mm_resize", "mm_framesample",
+    "corpus_csv", "corpus_jsonl", "corpus_orc")
+
+  ProjectionEntries.foreach { name =>
+    test(s"$name: map-only projection — no hash exchange, no join") {
+      val p = plan(name)
+      assert(!p.contains("hashpartitioning"), s"$name: ${p.take(1000)}")
+      assert(!p.contains("Join"), s"$name: ${p.take(1000)}")
+    }
+  }
+
   test("u2_bulk_ingest: assembly is map-only — correlation adds no shuffle") {
     // single-pass per-file assembly: the only exchanges allowed are the
     // cid windows' per-(sensor, file) partitioning and the tiny
