@@ -89,6 +89,50 @@ object Charlotte {
     }
   }
 
+  /** Graceful daemon shutdown, half one: stop every active streaming
+    * query at its micro-batch boundary (the checkpoint commits, spool
+    * bookmarks land in the offset log, no aborted-batch temp files) —
+    * the Spark form of the reference daemon's catch-signal →
+    * drain-queue → quit loop (/root/reference/charlotte/__init__.py:
+    * 445-461). Idempotent and safe to call from a signal thread while
+    * the main thread sits in awaitAnyTermination.
+    */
+  def stopActiveQueries(spark: SparkSession): Unit =
+    spark.streams.active.foreach { q =>
+      try q.stop()
+      catch { case e: Exception =>
+        System.err.println(s"[charlotte] stop ${q.name}: ${e.getMessage}")
+      }
+    }
+
+  /** Install TERM/INT handlers for follow mode. Replacing the default
+    * handler means the JVM does NOT die on the signal; the handler
+    * stops the queries, awaitAnyTermination in main wakes as each one
+    * terminates, and main then falls through to a normal exit-0 —
+    * orchestrator kills (systemd stop, k8s preStop) look identical to
+    * a clean operator shutdown. A SECOND signal escalates to immediate
+    * exit 130, the escape hatch if a batch hangs mid-stop.
+    */
+  private def installShutdownSignals(spark: SparkSession): Unit = {
+    val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val handler = new sun.misc.SignalHandler {
+      def handle(sig: sun.misc.Signal): Unit =
+        if (fired.compareAndSet(false, true)) {
+          System.err.println(s"[charlotte] caught SIG${sig.getName}, " +
+            "stopping tail queries")
+          stopActiveQueries(spark)
+        } else Runtime.getRuntime.halt(130)
+    }
+    Seq("TERM", "INT").foreach { name =>
+      // a non-default disposition (e.g. INT ignored under nohup) must
+      // stay as-is; handle() throws for those — leave them untouched
+      try sun.misc.Signal.handle(new sun.misc.Signal(name), handler)
+      catch { case e: IllegalArgumentException =>
+        System.err.println(s"[charlotte] SIG$name not handled: ${e.getMessage}")
+      }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.isEmpty) {
       System.err.println("usage: Charlotte <config> [test|parquet|follow|compact] [outDir]")
@@ -113,6 +157,17 @@ object Charlotte {
 
     try run(spark, config, mode, outDir)
     finally if (mode != "follow") spark.stop()
-    if (mode == "follow") spark.streams.awaitAnyTermination()
+    if (mode == "follow") {
+      installShutdownSignals(spark)
+      // one spool's query finishing (stop or failure) must not strand
+      // the others: wait until ALL tails are done, propagating the
+      // first query FAILURE as the daemon's death (exit != 0) while a
+      // signal-driven stop of every query falls through to exit 0
+      while (spark.streams.active.nonEmpty) {
+        spark.streams.awaitAnyTermination()
+        spark.streams.resetTerminated()
+      }
+      spark.stop()
+    }
   }
 }

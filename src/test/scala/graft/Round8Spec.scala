@@ -1,6 +1,9 @@
 package graft
 
-import java.nio.file.{Files, Paths}
+import java.nio.file.{Files, Paths, StandardOpenOption}
+
+import graft.sources.Unified2Fixture
+import graft.streaming.SpoolTail
 
 /** Round-8 additions: scratch-dir housekeeping must delete stale
   * app-stamped dump dirs and keep recent/concurrent ones (the
@@ -35,6 +38,45 @@ class Round8Spec extends SparkSuite {
     assert(byId(1L).getAs[Double]("frac") == 1.0)
     assert(byId(2L).getAs[Long]("n_contaminated") == 19L)
     assert(byId(2L).getAs[Double]("frac") == 19.0 / 28.0)
+  }
+
+  test("graceful stop halts tail queries at the batch boundary; restart resumes") {
+    // the follow-mode SIGTERM path minus the signal itself: after
+    // stopActiveQueries, no query is active, everything drained so far
+    // is committed and readable, and a restarted tail continues from
+    // the checkpointed bookmark (no loss, no double-read).
+    def ip4(a: Int, b: Int, c: Int, d: Int) =
+      Array[Byte](a.toByte, b.toByte, c.toByte, d.toByte)
+    def alert(id: Int): Array[Byte] =
+      Unified2Fixture.eventV2(1, id, 1800000000L + id, 1000001, 1, 3, 2, 1,
+        ip4(10, 0, 0, id), ip4(192, 168, 1, id), 1000 + id, 80, 6)
+    val dir = Files.createTempDirectory("graft_sig").toString
+    val file = Paths.get(dir, "snort.log.1800000000")
+    Files.write(file, alert(1) ++ alert(2))
+    val ckpt = Files.createTempDirectory("graft_sig_ckpt").toString
+    val out = Files.createTempDirectory("graft_sig_out").toString
+    def start() = SpoolTail
+      .streamRecords(spark, Seq(dir), "snort.log", "sensorSig")
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).start()
+
+    val q1 = start()
+    q1.processAllAvailable()
+    Charlotte.stopActiveQueries(spark)
+    assert(spark.streams.active.isEmpty, "stop must halt every query")
+    assert(!q1.isActive)
+    assert(spark.read.parquet(out).count() == 2,
+      "drained records must be committed and readable after stop")
+
+    // restart from the same checkpoint: only the new record arrives
+    Files.write(file, alert(3), StandardOpenOption.APPEND)
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      val ids = spark.read.parquet(out).collect()
+        .map(_.getAs[Long]("event_id")).sorted.toSeq
+      assert(ids == Seq(1L, 2L, 3L), s"got $ids")
+    } finally q2.stop()
   }
 
   test("pruneStale deletes only dirs >3h older than the running app") {
