@@ -25,12 +25,16 @@ object SimilarityOps {
   /** Nearest-centroid cell per row as a PURE PROJECTION: the tiny
     * centroid relation folds into ONE broadcast array-of-structs
     * column (sorted by cell id) and each row computes its argmax with
-    * a single `aggregate` fold over it. Replaces the crossJoin-explode
-    * (n×k rows) + Window.partitionBy(vec_id) formulation, which
-    * shuffled and sorted the WHOLE corpus just to rank ~14 candidate
-    * rows per vector — at 100 TB the difference between a map-only
-    * stage and the largest shuffle in the plan. Ties keep the smaller
-    * cell (replacement needs a strictly greater dot), matching the
+    * one codegen'd [[graft.functions.NearestEntry]] kernel call.
+    * Replaces the crossJoin-explode (n×k rows) + Window
+    * .partitionBy(vec_id) formulation, which shuffled and sorted the
+    * WHOLE corpus just to rank ~14 candidate rows per vector — at
+    * 100 TB the difference between a map-only stage and the largest
+    * shuffle in the plan. (An `aggregate`-fold argmax sat here
+    * between: map-only but INTERPRETED — ArrayAggregate has no
+    * codegen — which the sf10 decade measured at >7 min/partition of
+    * single-core struct-alloc churn.) Ties keep the smaller cell
+    * (strict-improvement over the cell-sorted array), matching the
     * window's (csim DESC, cell ASC) order.
     */
   private def withNearestCell(df: DataFrame, vec: Column,
@@ -38,15 +42,7 @@ object SimilarityOps {
     val cenArr = cen.agg(array_sort(collect_list(
       struct(col("cell"), col("cvec")))).as("cen_arr"))
     df.crossJoin(broadcast(cenArr))
-      .withColumn("cell", aggregate(
-        col("cen_arr"),
-        struct(lit(-1L).as("cell"), lit(Double.NegativeInfinity).as("sim")),
-        (acc, c) => {
-          val s = Vectors.dot(vec, c.getField("cvec"))
-          when(s > acc.getField("sim"),
-            struct(c.getField("cell").as("cell"), s.as("sim")))
-            .otherwise(acc)
-        }).getField("cell"))
+      .withColumn("cell", Vectors.nearestDot(vec, col("cen_arr")))
       .drop("cen_arr")
   }
 
@@ -610,11 +606,6 @@ object SimilarityOps {
     perSession.getOrElseUpdate(dir, trainPq(emb))
   }
 
-  /** Squared L2 distance between two equal-length double arrays. */
-  private def l2sq(a: String, b: String) =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), " +
-      "0D, (acc, v) -> acc + v)")
-
   /** Per-(vec, subspace) rows: vec_id, m, sub (8-dim slice). */
   private def subvecs(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"), col("embedding"),
@@ -664,17 +655,12 @@ object SimilarityOps {
     (cen, codes)
   }
 
-  /** Squared L2 between two double-array Columns (lambda-safe form of
-    * [[l2sq]] for use inside higher-order folds).
-    */
-  private def l2sqCols(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, v) => acc + v)
-
   /** Nearest codebook entry per (vec, subspace); ties → smaller code.
     * The codebook folds to ONE array row per subspace, so the 1:1
-    * broadcast join adds no fanout and the argmin is a per-row fold —
-    * no ×PqK row explosion, no (vec_id, m) min-groupBy shuffle. Tie
+    * broadcast join adds no fanout and the argmin is one codegen'd
+    * [[graft.functions.NearestEntry]] kernel call — no ×PqK row
+    * explosion, no (vec_id, m) min-groupBy shuffle, and no interpreted
+    * `aggregate`-fold (the sf10 lesson; see [[withNearestCell]]). Tie
     * semantics match min(struct(d2, code)): the array is code-sorted
     * and replacement needs a strictly smaller distance.
     */
@@ -683,15 +669,7 @@ object SimilarityOps {
       .agg(array_sort(collect_list(struct(col("code"), col("cvec"))))
         .as("cb"))
     sv.join(broadcast(cenArr), "m")
-      .withColumn("code", aggregate(
-        col("cb"),
-        struct(lit(-1).as("code"), lit(Double.MaxValue).as("d2")),
-        (acc, c) => {
-          val d = l2sqCols(col("sub"), c.getField("cvec"))
-          when(d < acc.getField("d2"),
-            struct(c.getField("code").as("code"), d.as("d2")))
-            .otherwise(acc)
-        }).getField("code"))
+      .withColumn("code", Vectors.nearestL2(col("sub"), col("cb")))
       .select(col("vec_id"), col("m"), col("code"), col("sub"))
   }
 

@@ -35,6 +35,62 @@ object ExprKernels {
     java.lang.Double.valueOf(acc)
   }
 
+  /** Sequential-sum squared L2 distance; null on length mismatch or
+    * null element (same propagation as [[dot]]).
+    */
+  def l2sq(l: ArrayData, r: ArrayData, lFloat: Boolean,
+      rFloat: Boolean): java.lang.Double = {
+    val n = l.numElements()
+    if (n != r.numElements()) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (l.isNullAt(i) || r.isNullAt(i)) return null
+      val x = if (lFloat) l.getFloat(i).toDouble else l.getDouble(i)
+      val y = if (rFloat) r.getFloat(i).toDouble else r.getDouble(i)
+      val d = x - y
+      acc += d * d
+      i += 1
+    }
+    java.lang.Double.valueOf(acc)
+  }
+
+  /** Argmax-dot / argmin-L2² over an array of (id, cvec) structs — the
+    * IVF cell-assignment / PQ-encoding inner loop (see
+    * [[NearestEntry]]). Strict-improvement replacement: on ties the
+    * EARLIEST entry wins, so an id-sorted entries array reproduces the
+    * `aggregate`-fold (and min-of-struct) tie rule it replaces.
+    * Entries with a null id/vec or a length-mismatched vec are skipped
+    * (the fold's CaseWhen treated their null score as no-improvement);
+    * null if no entry qualifies.
+    */
+  def nearestEntry(vec: ArrayData, entries: ArrayData, vecFloat: Boolean,
+      entFloat: Boolean, useL2: Boolean, idLong: Boolean): Any = {
+    var best = if (useL2) Double.MaxValue else Double.NegativeInfinity
+    var bestId: Any = null
+    val n = entries.numElements()
+    var i = 0
+    while (i < n) {
+      if (!entries.isNullAt(i)) {
+        val row = entries.getStruct(i, 2)
+        if (!row.isNullAt(0) && !row.isNullAt(1)) {
+          val d = if (useL2) l2sq(vec, row.getArray(1), vecFloat, entFloat)
+            else dot(vec, row.getArray(1), vecFloat, entFloat)
+          if (d != null) {
+            val dd = d.doubleValue()
+            if (if (useL2) dd < best else dd > best) {
+              best = dd
+              bestId = if (idLong) java.lang.Long.valueOf(row.getLong(0))
+                else java.lang.Integer.valueOf(row.getInt(0))
+            }
+          }
+        }
+      }
+      i += 1
+    }
+    bestId
+  }
+
   /** Distinct-element Jaccard; Divide(0,0)-identical ∅/∅ semantics:
     * NULL in default mode, the standard divide-by-zero error under
     * ANSI (see [[JaccardSim]]).

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.DatasetBridge
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType, StructType}
 
 /** Dense-vector math over `array<float|double>` columns. The dot
   * product — the inner loop of every similarity-search operator — is a
@@ -31,6 +31,16 @@ object Vectors {
     val n = norm(a)
     transform(a, x => x.cast("double") / n)
   }
+
+  /** Id of the max-dot entry in an `array<struct<id, cvec>>` column. */
+  def nearestDot(vec: Column, entries: Column): Column =
+    DatasetBridge.column(NearestEntry(DatasetBridge.expression(vec),
+      DatasetBridge.expression(entries), useL2 = false))
+
+  /** Id of the min-L2² entry in an `array<struct<id, cvec>>` column. */
+  def nearestL2(vec: Column, entries: Column): Column =
+    DatasetBridge.column(NearestEntry(DatasetBridge.expression(vec),
+      DatasetBridge.expression(entries), useL2 = true))
 }
 
 /** Sequential-sum dot product of two float/double arrays. NULL if
@@ -68,6 +78,68 @@ case class DotProd(left: Expression, right: Expression)
       java.lang.Double $tmp = graft.functions.ExprKernels.dot($l, $r, $lFloat, $rFloat);
       if ($tmp == null) { ${ev.isNull} = true; }
       else { ${ev.value} = $tmp.doubleValue(); }
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Nearest entry in a broadcast array of (id, cvec) structs: argmax
+  * dot product (IVF cell assignment) or argmin squared-L2 (PQ code
+  * assignment), as ONE codegen'd kernel call per row.
+  *
+  * Replaces the `aggregate(entries, seedStruct, (acc, c) =>
+  * when(score(c) better acc.score, struct(c.id, score)).otherwise(acc))`
+  * fold: `ArrayAggregate` has no doGenCode, so that form evaluates
+  * INTERPRETED — per row × per entry it allocates an acc struct,
+  * dispatches a CaseWhen, and boxes every score. Measured at the
+  * sf1→sf10 decade: corpus cell assignment (1.6 M × ~140 centroids ×
+  * 64 dims) pegged one core for >7 min PER PARTITION, turning the
+  * whole ANN family's index build pathological — this expression is
+  * the same loop as a static kernel inside the WholeStageCodegen span.
+  *
+  * Tie/null parity with the fold it replaces: earliest entry wins ties
+  * (callers pass an id-sorted array; replacement requires STRICT
+  * improvement), entries whose score is null (length mismatch, null
+  * element) are skipped, null if nothing qualifies.
+  */
+case class NearestEntry(left: Expression, right: Expression,
+    useL2: Boolean) extends BinaryExpression {
+
+  override def prettyName: String =
+    if (useL2) "graft_nearest_l2" else "graft_nearest_dot"
+
+  private lazy val entryType = right.dataType.asInstanceOf[ArrayType]
+    .elementType.asInstanceOf[StructType]
+
+  // result = the id field's own type (LongType IVF cells, IntegerType
+  // PQ codes)
+  override def dataType: DataType = entryType.fields(0).dataType
+  override def nullable: Boolean = true
+
+  private lazy val vecFloat =
+    left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  private lazy val entFloat = entryType.fields(1).dataType
+    .asInstanceOf[ArrayType].elementType == FloatType
+  private lazy val idLong = entryType.fields(0).dataType == LongType
+
+  override protected def nullSafeEval(v: Any, e: Any): Any =
+    ExprKernels.nearestEntry(v.asInstanceOf[ArrayData],
+      e.asInstanceOf[ArrayData], vecFloat, entFloat, useL2, idLong)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, e) => {
+      val tmp = ctx.freshName("nearRes")
+      val box = if (idLong) "java.lang.Long" else "java.lang.Integer"
+      val unbox = if (idLong) "longValue" else "intValue"
+      s"""
+      Object $tmp = graft.functions.ExprKernels.nearestEntry($v, $e,
+        $vecFloat, $entFloat, $useL2, $idLong);
+      if ($tmp == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = (($box) $tmp).$unbox(); }
       """
     })
 

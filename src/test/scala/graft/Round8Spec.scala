@@ -40,6 +40,47 @@ class Round8Spec extends SparkSuite {
     assert(byId(2L).getAs[Double]("frac") == 19.0 / 28.0)
   }
 
+  test("NearestEntry matches the aggregate-fold argmax/argmin it replaced") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.Vectors
+    import spark.implicits._
+    // entries sorted by id; vec equidistant-or-better cases exercise
+    // the strict-improvement (earliest-wins) tie rule
+    val df = Seq((Seq(1.0, 0.0), Seq((1L, Seq(1.0, 0.0)), (2L, Seq(1.0, 0.0)),
+        (3L, Seq(0.0, 1.0)))))
+      .toDF("vec", "raw")
+      .select(col("vec"), expr(
+        "transform(raw, e -> struct(e._1 AS cell, e._2 AS cvec))").as("cen"))
+    val r = df.select(
+      Vectors.nearestDot(col("vec"), col("cen")).as("dmax"),
+      Vectors.nearestL2(col("vec"), col("cen")).as("dmin")).head
+    assert(r.getAs[Long]("dmax") == 1L, "dot tie must keep the smaller id")
+    assert(r.getAs[Long]("dmin") == 1L, "L2 tie must keep the smaller id")
+
+    // length-mismatched entry is SKIPPED (null score = no improvement),
+    // not poisoning the argmax; empty entries -> null
+    val df2 = Seq((Seq(1.0, 0.0), Seq((1L, Seq(9.0)), (2L, Seq(0.5, 0.0)))))
+      .toDF("vec", "raw")
+      .select(col("vec"), expr(
+        "transform(raw, e -> struct(e._1 AS cell, e._2 AS cvec))").as("cen"))
+    assert(df2.select(Vectors.nearestDot(col("vec"), col("cen"))).head
+      .getLong(0) == 2L)
+    val empty = df2.select(Vectors.nearestDot(col("vec"),
+      expr("slice(cen, 1, 0)"))).head
+    assert(empty.isNullAt(0), "no qualifying entry must yield null")
+
+    // float corpus vec against double centroids (the mm/embedding mix)
+    val df3 = Seq((Seq(1.0f, 2.0f), Seq((10L, Seq(1.0, 2.0)),
+        (20L, Seq(-1.0, -2.0)))))
+      .toDF("vec", "raw")
+      .select(col("vec"), expr(
+        "transform(raw, e -> struct(e._1 AS cell, e._2 AS cvec))").as("cen"))
+    assert(df3.select(Vectors.nearestDot(col("vec"), col("cen"))).head
+      .getLong(0) == 10L)
+    assert(df3.select(Vectors.nearestL2(col("vec"), col("cen"))).head
+      .getLong(0) == 10L)
+  }
+
   test("graceful stop halts tail queries at the batch boundary; restart resumes") {
     // the follow-mode SIGTERM path minus the signal itself: after
     // stopActiveQueries, no query is active, everything drained so far
