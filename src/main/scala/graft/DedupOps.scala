@@ -629,14 +629,17 @@ object DedupOps {
     Entry(
       "dedup_decontaminate",
       // Train/eval DECONTAMINATION: flag training docs sharing any
-      // verbatim 8-gram with the eval split (doc_id % 50 == 0 stands in
-      // for the benchmark set). Exact 8-gram strings on both engines
-      // (the space tokenizer with proven DuckDB parity), so this one is
-      // fully oracled, unlike the hash-based dedup family. Plan shape:
-      // the eval side is tiny by construction (benchmarks are), so its
-      // distinct grams BROADCAST past the full training scan — one
-      // shuffle total, on the output doc_id. At 100 TB the eval-gram
-      // set is still MBs, exactly this plan.
+      // verbatim 8-gram with the eval split (doc_id % 50 == 0, capped
+      // at doc_id < 25000, stands in for the benchmark set). Exact
+      // 8-gram strings on both engines (the space tokenizer with
+      // proven DuckDB parity), so this one is fully oracled, unlike
+      // the hash-based dedup family. Plan shape: the eval side is tiny
+      // by construction (benchmarks are FIXED-size — the doc_id cap is
+      // what makes that true under corpus growth: an uncapped modulo
+      // split scaled the eval grams WITH the corpus, measured 13×/
+      // decade at sf1→sf10), so its distinct grams BROADCAST past the
+      // full training scan — one shuffle total, on the output doc_id.
+      // At 100 TB the eval-gram set is still MBs, exactly this plan.
       (s, dir) => {
         val toks = t(s, dir, "documents")
           .select(col("doc_id"),
@@ -647,9 +650,10 @@ object DedupOps {
             transform(sequence(lit(1), size(col("tk")) - lit(7)),
               i => array_join(slice(col("tk"), i, lit(8)), " ")))
             .otherwise(array().cast("array<string>"))).as("gram"))
-        val ev = grams.filter(col("doc_id") % 50 === 0)
+        val ev = grams
+          .filter(col("doc_id") % 50 === 0 && col("doc_id") < 25000)
           .select(col("doc_id").as("eval_doc"), col("gram")).distinct()
-        grams.filter(col("doc_id") % 50 =!= 0)
+        grams.filter(col("doc_id") % 50 =!= 0 || col("doc_id") >= 25000)
           .join(broadcast(ev), "gram")
           .groupBy(col("doc_id"))
           .agg(countDistinct(col("gram")).as("n_shared"),
@@ -663,8 +667,9 @@ object DedupOps {
             for i in range(1, greatest(len(tk) - 7, 0) + 1)]) AS gram
           FROM toks),
         ev AS (SELECT DISTINCT doc_id AS eval_doc, gram FROM grams
-          WHERE doc_id % 50 = 0),
-        tr AS (SELECT doc_id, gram FROM grams WHERE doc_id % 50 <> 0)
+          WHERE doc_id % 50 = 0 AND doc_id < 25000),
+        tr AS (SELECT doc_id, gram FROM grams
+          WHERE doc_id % 50 <> 0 OR doc_id >= 25000)
         SELECT tr.doc_id, COUNT(DISTINCT tr.gram) AS n_shared,
           COUNT(DISTINCT ev.eval_doc) AS n_eval_docs
         FROM tr JOIN ev ON tr.gram = ev.gram
@@ -680,11 +685,13 @@ object DedupOps {
       // so coverage is a union of [start, start+12] intervals, counted
       // as distinct positions). Integer counts and a single k/n
       // division → exactly oracle-able. Plan shape: identical
-      // broadcast topology to dedup_decontaminate (tiny eval gram set
-      // broadcast past the full training scan); the coverage explode
-      // fans out ≤13 rows per MATCH, so its cost is bounded by the
-      // contamination volume, not the corpus — at 100 TB this is the
-      // same one-shuffle (on doc_id) plan.
+      // broadcast topology to dedup_decontaminate (FIXED-size eval set
+      // — doc_id % 5 capped at doc_id < 2500 — broadcast past the full
+      // training scan; see that entry for why the cap matters at the
+      // decade scale); the coverage explode fans out ≤13 rows per
+      // MATCH, so its cost is bounded by the contamination volume, not
+      // the corpus — at 100 TB this is the same one-shuffle (on
+      // doc_id) plan.
       (s, dir) => {
         val toks = t(s, dir, "documents")
           .select(col("doc_id"),
@@ -700,9 +707,10 @@ object DedupOps {
               "array<struct<start:int,gram:string>>"))).as("g"))
           .select(col("doc_id"), col("n_tokens"),
             col("g.start").as("start"), col("g.gram").as("gram"))
-        val ev = grams.filter(col("doc_id") % 5 === 0)
+        val ev = grams
+          .filter(col("doc_id") % 5 === 0 && col("doc_id") < 2500)
           .select(col("gram")).distinct()
-        grams.filter(col("doc_id") % 5 =!= 0)
+        grams.filter(col("doc_id") % 5 =!= 0 || col("doc_id") >= 2500)
           .join(broadcast(ev), "gram")
           .select(col("doc_id"), col("n_tokens"),
             explode(sequence(col("start"),
@@ -727,9 +735,10 @@ object DedupOps {
             unnest([array_to_string(tk[i:i+12], ' ')
               for i in range(1, greatest(len(tk) - 12, 0) + 1)]) AS gram
           FROM toks),
-        ev AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 5 = 0),
+        ev AS (SELECT DISTINCT gram FROM grams
+          WHERE doc_id % 5 = 0 AND doc_id < 2500),
         tr AS (SELECT doc_id, n_tokens, start, gram FROM grams
-          WHERE doc_id % 5 <> 0),
+          WHERE doc_id % 5 <> 0 OR doc_id >= 2500),
         hit AS (SELECT tr.doc_id, tr.n_tokens, tr.start
           FROM tr JOIN ev USING (gram)),
         cov AS (SELECT doc_id, n_tokens,

@@ -22,7 +22,21 @@ import org.apache.spark.sql.functions._
   *  - region/nation: genuine dimensions, kept as-is (they would stay
   *    25 rows at 100 TB too).
   *
+  * CHAINED rounds (sf0.1 → sf1 → sf10) need per-round disambiguation,
+  * or round 2's copies collide with round 1's and manufacture
+  * artificial duplicates (measured at the sf10 decade: q71's match
+  * set went 24× superlinear because base+" x111" arises from EITHER
+  * round, and a doc permuted with copy-key k in round 2 equals the
+  * round-1 copy-k permutation exactly):
+  *  - names: per-copy suffix chars come from `alphabet` — pass a
+  *    DISJOINT 9-char alphabet per round (default "123456789"; e.g.
+  *    "abcdefghi" for the second round) so suffixes from different
+  *    rounds stay ≥3 edits apart;
+  *  - documents: the permutation hash is salted with the already
+  *    round-shifted doc_id, so chained permutations never repeat.
+  *
   * Usage: runMain graft.MakeScale /root/testdata/sf0.1 target/sf1 10
+  *        runMain graft.MakeScale target/sf1 target/sf10 10 abcdefghi
   */
 object MakeScale {
 
@@ -30,6 +44,9 @@ object MakeScale {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val out = if (args.length > 1) args(1) else "target/sf1"
     val copies = if (args.length > 2) args(2).toInt else 10
+    val alphabet = if (args.length > 3) args(3) else "123456789"
+    require(alphabet.length >= copies - 1,
+      s"alphabet needs ${copies - 1} chars for ${copies} copies")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -96,16 +113,17 @@ object MakeScale {
     write(tbl("region"), "region")
     write(tbl("nation"), "nation")
 
-    // c_name gets a per-copy suffix (digit repeated 3× so copies are
-    // pairwise edit distance ≥ 3): 10 VERBATIM copies of every name
-    // would be 10 dist-0 fuzzy matches of each other — an upsampling
-    // artifact, not a workload property (real 10× data has 10× the
-    // distinct names)
+    // c_name gets a per-copy suffix (alphabet char repeated 3× so
+    // copies are pairwise edit distance ≥ 3): 10 VERBATIM copies of
+    // every name would be 10 dist-0 fuzzy matches of each other — an
+    // upsampling artifact, not a workload property (real 10× data has
+    // 10× the distinct names)
+    val alphaArr = array(alphabet.map(ch => lit(ch.toString)): _*)
     write(fan(cust)
       .withColumn("c_name",
         when(col("k") === 0, col("c_name"))
           .otherwise(concat(col("c_name"), lit(" x"),
-            repeat(col("k").cast("string"), 3))))
+            repeat(element_at(alphaArr, col("k").cast("int")), 3))))
       .withColumn("c_custkey", col("c_custkey") + col("k") * ck)
       .drop("k"), "customer")
     write(fan(supp)
@@ -129,11 +147,17 @@ object MakeScale {
       .drop("k"), "events")
 
     // documents: copy 0 verbatim; later copies word-permuted by a
-    // per-(copy, position, token) hash sort — near-zero shingle overlap
-    // with the original, so dup RATE stays constant across copies
-    val permuted = expr("""concat_ws(' ', transform(array_sort(
+    // per-(round, copy, position, token) hash sort — near-zero shingle
+    // overlap with the original, so dup RATE stays constant across
+    // copies. The round's alphabet string salts the hash: it is
+    // round-unique (chained rounds must pass disjoint alphabets), so
+    // round 2 never replays round 1's permutation for the same k —
+    // while, unlike a doc_id salt, planted duplicate texts still
+    // permute IDENTICALLY within a copy and the corpus keeps its
+    // constant per-copy dup rate instead of diluting it 10× per round.
+    val permuted = expr(s"""concat_ws(' ', transform(array_sort(
         transform(filter(split(text, ' '), x -> x != ''),
-          (t, i) -> struct(xxhash64(t, i, k) AS h, t AS t))),
+          (t, i) -> struct(xxhash64(t, i, k, '$alphabet') AS h, t AS t))),
         e -> e.t))""")
     writeSingleFile(fan(docs)
       .withColumn("text",
@@ -144,12 +168,14 @@ object MakeScale {
       .drop("k"), "documents")
 
     // embeddings: per-(copy, vec, dim) deterministic jitter keeps the
-    // copies near the original's region without being clones
+    // copies near the original's region without being clones; vec_id
+    // shifts FIRST so the jitter seed is round-unique (same reasoning
+    // as the documents salt)
     writeSingleFile(fan(emb)
+      .withColumn("vec_id", col("vec_id") + col("k") * vk)
       .withColumn("embedding", expr("""transform(embedding,
         (x, i) -> CAST(x + (pmod(xxhash64(vec_id, i, k), 200L) - 100L)
           / 400.0 * CAST(sign(k) AS DOUBLE) AS FLOAT))"""))
-      .withColumn("vec_id", col("vec_id") + col("k") * vk)
       .drop("k"), "embeddings")
 
     println(s"SCALED $src -> $out x$copies")
