@@ -159,32 +159,49 @@ object Analytics4 {
         // the sf1 decade). A 64-bit hash collision could smuggle a
         // cross-block candidate in, so the verify re-checks the block
         // columns before the distance.
-        // window 12 (last 12 chars): variant count per row is a
-        // CONSTANT 79 instead of O(len²) — the sf1 decade's 15.8×
+        // window 16 (last 16 chars): variant count per row is a
+        // CONSTANT 137 instead of O(len²) — the sf1 decade's 15.8×
         // outlier was exactly the variant count growing with name
         // length. Suffix window because c_name's entropy is its
         // trailing digits; recall-1 for dist ≤ 2 is preserved (proof
         // at ExprKernels.delVariants, property-tested in Round6Spec).
+        // 16 not 12: the window must reach PAST shared trailing
+        // decorations into distinguishing content, or variant buckets
+        // merge across near-but-not-matching tails — measured at the
+        // sf10 decade (names carrying stacked per-round suffixes):
+        // w=12 emitted 279 M candidate pairs, w=16 emits 23 M for
+        // only 1.74× more keyed rows.
         val keyed = c
           .withColumn("v", explode(DatasetBridge.column(
             graft.functions.DeletionVariants(
-              DatasetBridge.expression(col("c_name")), 2, 12))))
+              DatasetBridge.expression(col("c_name")), 2, 16))))
           .select(col("c_custkey").as("key"),
             xxhash64(col("c_nationkey"), col("c_mktsegment"), col("v"))
               .as("bk"))
-        val cand = keyed.toDF("a_key", "bk")
+        // merge hint: the planner sizes this self-join from the
+        // customer FILE bytes, not the ~137× variant explode, so it
+        // "broadcasts" a 100 M-row side and dies on
+        // driver.maxResultSize once the corpus outgrows the estimate
+        // (measured at sf10). A sort-merge join on bk is the plan that
+        // holds at any scale: both sides shuffle-sorted on the slim
+        // (hash, key) pairs.
+        val cand = keyed.toDF("a_key", "bk").hint("merge")
           .join(keyed.toDF("b_key", "bk"), "bk")
           .filter(col("a_key") < col("b_key"))
           .select(col("a_key"), col("b_key")).distinct()
-        // name lookups broadcast here (a dim-sized side); at cluster
-        // scale these become shuffle joins on the key — still linear
+        // name lookups: NO forced broadcast — the lookup side is the
+        // whole customer relation, which stops fitting the driver as
+        // the corpus grows (a forced broadcast() died on
+        // spark.driver.maxResultSize at the sf10 decade). AQE
+        // broadcasts it while it is genuinely small and shuffle-joins
+        // on the key — still linear — once it is not.
         val an = c.select(col("c_custkey").as("a_key"),
           col("c_name").as("a_name"), col("c_nationkey").as("a_nat"),
           col("c_mktsegment").as("a_seg"))
         val bn = c.select(col("c_custkey").as("b_key"),
           col("c_name").as("b_name"), col("c_nationkey").as("b_nat"),
           col("c_mktsegment").as("b_seg"))
-        cand.join(broadcast(an), "a_key").join(broadcast(bn), "b_key")
+        cand.join(an, "a_key").join(bn, "b_key")
           .filter(col("a_nat") === col("b_nat") &&
             col("a_seg") === col("b_seg"))
           .withColumn("dist", DatasetBridge.column(

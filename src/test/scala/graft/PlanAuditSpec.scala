@@ -64,7 +64,11 @@ class PlanAuditSpec extends SparkSuite {
     val p = plan("q71_fuzzy_match")
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), p.take(800))
-    assert("HashJoin \\[bk".r.findAllIn(p).nonEmpty, p.take(1200))
+    // merge-hinted since the sf10 decade (planner under-sizes the
+    // variant explode and broadcasts a 100 M-row side otherwise) —
+    // accept either equi-join form, never a nested loop
+    assert("(SortMergeJoin|HashJoin) \\[bk".r.findAllIn(p).nonEmpty,
+      p.take(1200))
   }
 
   test("probeIndex: assignments scan prunes to the probed cells' partitions") {
