@@ -402,6 +402,47 @@ object SimilarityOps {
         WHERE rank <= 5 ORDER BY qid, rank""")),
 
     Entry(
+      "knn_range",
+      // Radius (range) search — the OTHER similarity-serving API: all
+      // corpus vectors with cosine ≥ τ per query, not a fixed top-k.
+      // The retrieval shape for "everything semantically close enough"
+      // (near-dup candidate pull, RAG recall floors) where result
+      // cardinality must follow the data, not a k. Same broadcast-
+      // queries/no-corpus-shuffle plan as knn_brute: the τ filter
+      // evaluates inside the scan projection, so the only shuffled
+      // rows are the matches themselves (linear scan per query at any
+      // corpus size; the IVF variants bound it further when τ is
+      // high). τ=0.25 genuinely splits these uniform-random vectors
+      // (~1-3% pass per query; clustered real embeddings pass more).
+      (s, dir) => {
+        val emb = embeddings(s, dir)
+        val q = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        emb.crossJoin(broadcast(q))
+          .filter(col("vec_id") =!= col("qid"))
+          .withColumn("sim", Vectors.dot(col("embedding"), col("qvec")))
+          .filter(col("sim") >= 0.25)
+          .select(col("qid"), col("vec_id"), col("sim"))
+          .orderBy(col("qid"), col("vec_id"))
+      },
+      // Bit-exact like knn_brute: identical normalize + in-order dot
+      // folds, and the τ compare sees identical doubles on both sides.
+      Some("""WITH norm AS (
+          SELECT vec_id,
+            list_transform(embedding, x -> CAST(x AS DOUBLE) / sqrt(
+              list_reduce(list_transform(embedding,
+                y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)),
+                (a,b) -> a+b))) AS e
+          FROM embeddings),
+        q AS (SELECT vec_id AS qid, e AS qe FROM norm WHERE vec_id < 5),
+        s AS (SELECT q.qid, n.vec_id,
+            list_reduce(list_transform(range(1, len(n.e)+1),
+              i -> n.e[i]*q.qe[i]), (a,b) -> a+b) AS sim
+          FROM norm n, q WHERE n.vec_id <> q.qid)
+        SELECT qid, vec_id, sim FROM s
+        WHERE sim >= 0.25 ORDER BY qid, vec_id""")),
+
+    Entry(
       "knn_ivf",
       // IVF-style ANN: assign corpus vectors to nearest centroid cell
       // (broadcast centroids); each query probes its 4 nearest cells
