@@ -61,16 +61,16 @@ object StreamOps {
     try f finally s.conf.set(key, prev)
   }
 
-  /** events table as a stream (same nanos→µs convention as Tables.t). */
+  /** events table as a stream (same ts-normalization as Tables.t — all
+    * physical encodings land on TimestampType, so watermarks analyze).
+    */
   private def eventStream(s: SparkSession, dir: String): DataFrame = {
     // file stream sources take a directory; select the events table
     // out of the sf dir with a glob filter
     val schema = s.read.parquet(s"$dir/events.parquet").schema
     val raw = s.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
-    if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-    else raw
+    Tables.normalizeEventTs(raw)
   }
 
   // ---- stateful sessionization (flatMapGroupsWithState) ----

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types.{DecimalType, LongType, TimestampNTZType}
 
 /** Table loading + numeric-determinism helpers shared by every query.
   *
@@ -16,20 +16,34 @@ import org.apache.spark.sql.types.DecimalType
 object Tables {
   /** Parquet table under the driver-provided scale-factor dir.
     *
-    * `events.ts` is nanosecond-precision parquet, which Spark 4 only
-    * reads as a raw long (`spark.sql.legacy.parquet.nanosAsLong`, set in
-    * Verify/Bench). Convert to a microsecond timestamp with integer DIV
-    * (floor) — exactly how DuckDB 1.x narrows TIMESTAMP_NS on read, so
-    * both engines see identical µs instants.
+    * `events.ts` has drifted across driver testdata regenerations:
+    * nanosecond parquet (Spark 4 reads a raw long under
+    * `spark.sql.legacy.parquet.nanosAsLong`, set in Verify/Bench),
+    * then `TIMESTAMP(MICROS, isAdjustedToUTC=false)` (Spark reads
+    * `TIMESTAMP_NTZ`). Normalize every physical encoding to a session-TZ
+    * `TimestampType` at µs precision so downstream `unix_micros`/
+    * `window`/`withWatermark` always sees the same logical column.
+    * Session TZ is pinned to UTC in every entrypoint, so the NTZ cast
+    * preserves the stored micros exactly — identical to DuckDB's
+    * `epoch_us(ts)` view of the same file, and the nanos branch floors
+    * with integer DIV exactly how DuckDB 1.x narrows TIMESTAMP_NS.
     */
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events" &&
-      df.schema.fields.exists(f => f.name == "ts" &&
-        f.dataType == org.apache.spark.sql.types.LongType))
-      df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-    else df
+    if (name == "events") normalizeEventTs(df) else df
   }
+
+  /** Normalize an events-shaped frame's `ts` to session-TZ TimestampType
+    * (see [[t]]); works on batch and streaming frames alike.
+    */
+  def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(LongType) => // nanos-as-long
+        df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case Some(TimestampNTZType) => // micros, isAdjustedToUTC=false
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df // already TimestampType (micros-UTC) or absent
+    }
 
   /** Exact decimal view of a 2-decimal monetary double column.
     * DECIMAL(12,2) so that a triple product still fits precision 38
