@@ -110,6 +110,28 @@ object SimilarityOps {
         .persist())
   }
 
+  /** Per-cell angular radius — the third index artifact, alongside the
+    * centroids and assignments: `min_cdot` = the smallest dot between a
+    * cell member and its centroid, i.e. cos(max angle within the
+    * cell). Lets radius search prune cells LOSSLESSLY: for x in cell
+    * c, ang(q,x) ≥ ang(q,c) − maxang_c (spherical triangle
+    * inequality), so a cell with ang(q,c) > acos(τ) + maxang_c cannot
+    * contain a τ-match. One map-side-combined groupBy(cell) over the
+    * cached assignments, computed once per (session, corpus).
+    */
+  private def cellRadii(s: SparkSession, dir: String): DataFrame = {
+    val perSession = centroidCache.synchronized {
+      centroidCache.computeIfAbsent(s,
+        _ => scala.collection.concurrent.TrieMap.empty[String, DataFrame])
+    }
+    perSession.getOrElseUpdate(s"$dir#radii",
+      assignedCached(s, dir)
+        .join(broadcast(centroids(s, dir)), "cell")
+        .withColumn("d", Vectors.dot(col("embedding"), col("cvec")))
+        .groupBy(col("cell")).agg(min(col("d")).as("min_cdot"))
+        .persist())
+  }
+
   /** Pre-train the session index caches (IVF centroids + PQ codebooks
     * and codes). Index BUILD is deployment setup shared by every query
     * against the corpus — exactly the cache contract above — so Bench
@@ -427,6 +449,57 @@ object SimilarityOps {
       },
       // Bit-exact like knn_brute: identical normalize + in-order dot
       // folds, and the τ compare sees identical doubles on both sides.
+      Some("""WITH norm AS (
+          SELECT vec_id,
+            list_transform(embedding, x -> CAST(x AS DOUBLE) / sqrt(
+              list_reduce(list_transform(embedding,
+                y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)),
+                (a,b) -> a+b))) AS e
+          FROM embeddings),
+        q AS (SELECT vec_id AS qid, e AS qe FROM norm WHERE vec_id < 5),
+        s AS (SELECT q.qid, n.vec_id,
+            list_reduce(list_transform(range(1, len(n.e)+1),
+              i -> n.e[i]*q.qe[i]), (a,b) -> a+b) AS sim
+          FROM norm n, q WHERE n.vec_id <> q.qid)
+        SELECT qid, vec_id, sim FROM s
+        WHERE sim >= 0.25 ORDER BY qid, vec_id""")),
+
+    Entry(
+      "knn_ivf_range",
+      // Index-accelerated radius search — knn_range with LOSSLESS IVF
+      // cell pruning (VERDICT r9 follow-up): probe only cells whose
+      // centroid angle clears acos(τ) + the cell's max member angle
+      // (see cellRadii — triangle-inequality-safe, so the result set
+      // is EXACTLY knn_range's and the same bit-exact oracle applies).
+      // Exact re-scoring inside probed cells keeps the τ filter in the
+      // scan projection. On these uniform-random test vectors cells
+      // are wide (maxang ≈ 90°) and the bound keeps most cells — ANN's
+      // documented worst case; on clustered real embeddings at high τ
+      // the probe set collapses to the few cells near each query, and
+      // with the cell-PARTITIONED on-disk index the pruned cells are
+      // never read at all (same topology probeIndex plan-proves).
+      // +1e-9 slack absorbs acos rounding at the bound — extra kept
+      // cells only cost scan; the exact τ re-filter discards them.
+      (s, dir) => {
+        val tau = 0.25
+        val q = embeddings(s, dir).filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val clamp1 = (c: Column) => greatest(lit(-1.0), least(lit(1.0), c))
+        val probes = q.crossJoin(broadcast(
+            centroids(s, dir).join(cellRadii(s, dir), "cell")))
+          .withColumn("cdot", Vectors.dot(col("qvec"), col("cvec")))
+          .filter(acos(clamp1(col("cdot"))) <=
+            lit(math.acos(tau)) + acos(clamp1(col("min_cdot"))) + lit(1e-9))
+          .select(col("qid"), col("qvec"), col("cell"))
+        assignedCached(s, dir).join(broadcast(probes), "cell")
+          .filter(col("vec_id") =!= col("qid"))
+          .withColumn("sim", Vectors.dot(col("embedding"), col("qvec")))
+          .filter(col("sim") >= tau)
+          .select(col("qid"), col("vec_id"), col("sim"))
+          .orderBy(col("qid"), col("vec_id"))
+      },
+      // Pruning is lossless, so the oracle is knn_range's verbatim:
+      // same queries, same τ, same in-order normalize/dot folds.
       Some("""WITH norm AS (
           SELECT vec_id,
             list_transform(embedding, x -> CAST(x AS DOUBLE) / sqrt(

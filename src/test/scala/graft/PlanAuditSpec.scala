@@ -57,6 +57,28 @@ class PlanAuditSpec extends SparkSuite {
     assert("hashpartitioning\\(qid".r.findAllIn(p).size <= 1, p.take(800))
   }
 
+  test("knn_range: τ filter in the scan projection — no corpus shuffle") {
+    // ADVICE r9: pin the comment's claim. The only exchange allowed is
+    // the final orderBy's range partitioning of the MATCHES; the
+    // corpus side must reach the sim filter unshuffled (broadcast
+    // queries, no Window, no hash exchange).
+    val p = plan("knn_range")
+    assert(!p.contains("Window"), p.take(800))
+    assert(!"hashpartitioning".r.findAllIn(p).hasNext, p.take(800))
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), p.take(800))
+  }
+
+  test("knn_ivf_range: probes broadcast; corpus side stays unshuffled to the τ filter") {
+    // same contract as knn_range plus the cell-prune join: assignments
+    // join the tiny probe set via BROADCAST hash join on cell — the
+    // corpus must never hash-exchange (rangepartitioning for the final
+    // sort of matches only).
+    val p = plan("knn_ivf_range")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!"hashpartitioning\\(vec_id".r.findAllIn(p).hasNext, p.take(800))
+  }
+
   test("q71: variant blocking is an equi-join; name lookups broadcast") {
     // the FastSS candidate join must plan as a HASH EQUI-join on the
     // slim bk key — never a cartesian/nested-loop (at the toy test SF

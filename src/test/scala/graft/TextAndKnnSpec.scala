@@ -119,6 +119,18 @@ class KnnSpec extends SparkSuite {
       "index write→read→probe must not change results")
   }
 
+  test("knn_ivf_range equals knn_range exactly — cell pruning is lossless") {
+    // the triangle-inequality bound may only SKIP cells that cannot
+    // hold a τ-match, so the indexed radius search must return the
+    // identical (qid, vec_id, sim) set as the brute scan, bit-for-bit
+    for (dir <- Seq(sfDir, "/root/testdata/sf0.01")) {
+      val brute = q("knn_range", dir).collect().map(_.toString).toSeq
+      val ivf = q("knn_ivf_range", dir).collect().map(_.toString).toSeq
+      assert(ivf == brute, s"$dir: indexed radius search diverged")
+      assert(brute.nonEmpty, s"$dir: τ filter matched nothing — dead test")
+    }
+  }
+
   test("knn results are deterministic") {
     val a = q("knn_brute", sfDir).collect().map(_.toString)
     val b = q("knn_brute", sfDir).collect().map(_.toString)
