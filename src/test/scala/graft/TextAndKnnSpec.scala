@@ -42,6 +42,26 @@ class TextSpec extends SparkSuite {
     assert(byId(0L).getAs[Long]("fp_min") != byId(5L).getAs[Long]("fp_min"))
   }
 
+  test("text_lm_score: exact-dup docs score identically; repetition scores lower") {
+    val rows = q("text_lm_score", Fixtures.dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Double]("nll"))).toMap
+    assert(rows.size == 6, "every non-empty doc scored")
+    // docs 0 and 1 are byte-identical → identical token stream →
+    // identical mean NLL, bit-for-bit
+    assert(rows(0L) == rows(1L))
+    // a doc whose bigrams repeat across the corpus (0/1/2 share almost
+    // all text) is more probable under the corpus LM than the singleton
+    // German doc — the exact ranking a perplexity filter exists for
+    assert(rows(0L)._2 < rows(4L)._2,
+      s"duplicated text should outscore the one-off doc: $rows")
+    assert(rows.values.forall { case (n, nll) => n > 0 && nll > 0 })
+    val again = q("text_lm_score", Fixtures.dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(again.sameElements(q("text_lm_score", Fixtures.dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))))
+  }
+
   test("mm_meta decodes payload batches deterministically") {
     val rows = q("mm_meta", Fixtures.dir).collect()
     assert(rows.length == 6)
