@@ -20,7 +20,8 @@ object Explain {
         "q77_nearest_event", "text_vocab", "emb_centroid",
         "q82_bom_closure", "q84_bfs_hops", "q86_scd2_join",
         "dedup_decontaminate", "knn_ivf", "u2_bulk_ingest",
-        "dedup_incremental", "text_pii_scrub", "text_quality_filter")
+        "dedup_incremental", "text_pii_scrub", "text_quality_filter",
+        "knn_range", "knn_ivf_range", "text_lm_score")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
