@@ -416,6 +416,31 @@ object StreamOps {
         ORDER BY p.event_id, s.event_id""")),
 
     Entry(
+      "stream_lm_score",
+      // Streaming corpus quality filter: documents arrive as a file
+      // stream and are scored against the BATCH-trained bigram LM via
+      // a STREAM-STATIC join — the deployment shape of a perplexity
+      // filter in an ingest pipeline (model trained offline on the
+      // reference corpus, applied to every incoming shard; at 100 TB
+      // the static side is a parquet model store partitioned on the
+      // bigram key, and the stateless join scales with the stream).
+      // Complete-mode doc_id aggregation + AvailableNow drain ==> the
+      // drained result equals batch text_lm_score exactly, so the SAME
+      // dumped-model oracle applies (position-ordered fold and all).
+      (s, dir) => {
+        val model = TextOps.lmModel(s, dir)
+        val schema = s.read.parquet(s"$dir/documents.parquet").schema
+        val docs = s.readStream.schema(schema)
+          .option("pathGlobFilter", "documents.parquet").parquet(dir)
+          .select(col("doc_id"), col("text"))
+        val scored = TextOps.lmScore(TextOps.lmBigrams(docs), model)
+        withShufflePartitions(s, 8)(
+          runOnce(s, scored, OutputMode.Complete()))
+          .orderBy(col("doc_id"))
+      },
+      Some(TextOps.lmOracleSql)),
+
+    Entry(
       "u2_stream",
       // Unified2 spool follow as a stream: AvailableNow drain of the
       // fixture spool through the streaming parser. SpoolStreamSpec

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import Tables._
@@ -57,6 +57,88 @@ object TextOps {
       path,
       when(q2 === "", lit("")).otherwise(concat(lit("?"), q2)))
   }
+
+  // ---- bigram language model (shared by text_lm_score and the
+  // streaming stream_lm_score — the same model and scoring expressions
+  // run over a batch frame or a stream-static join) ----
+
+  /** (doc_id, pos, w1, w2) bigrams with a BOS context for the first
+    * word — built inside the row (transform + posexplode) so the
+    * exploded rows never carry the whole token array. Stateless:
+    * works on batch and streaming frames alike.
+    */
+  private[graft] def lmBigrams(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), words(lower(col("text"))).as("w"))
+      .filter(size(col("w")) > 0)
+      .withColumn("bi", expr(
+        """transform(w, (x, i) -> struct(
+          CASE WHEN i = 0 THEN '<s>' ELSE element_at(w, i) END AS w1,
+          x AS w2))"""))
+      .select(col("doc_id"), posexplode(col("bi")).as(Seq("pos", "b")))
+      .select(col("doc_id"), col("pos"),
+        col("b.w1").as("w1"), col("b.w2").as("w2"))
+
+  /** Add-0.5-smoothed bigram model (w1, w2, lnp) trained on the batch
+    * documents table, dumped for the oracle (ln is the one
+    * cross-engine ulp hazard — everything else re-derives in SQL).
+    */
+  private[graft] def lmModel(s: SparkSession, dir: String): DataFrame = {
+    val bi = lmBigrams(
+      t(s, dir, "documents").select(col("doc_id"), col("text")))
+    val c2 = bi.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c2"))
+    val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+    val vocab = bi.select(countDistinct(col("w2"))).head().getLong(0)
+    val model = c2.join(c1, "w1")
+      .withColumn("lnp",
+        log((col("c2") + 0.5) / (col("c1") + lit(0.5) * vocab)))
+      .select(col("w1"), col("w2"), col("lnp"))
+    model.coalesce(1).write.mode("overwrite")
+      .parquet(s"${OracleDumps.root(s, dir)}/text/lm_bigrams")
+    model
+  }
+
+  /** Mean negative log-likelihood per doc: equi-join on the (w1,w2)
+    * key (model never broadcast — at 100 TB it outgrows the driver;
+    * AQE may still broadcast while genuinely small), then ONE doc_id
+    * re-agg with the lnp fold in position order (reproducible floats;
+    * -(Σ lnp)/n with negation exact in IEEE).
+    */
+  private[graft] def lmScore(bi: DataFrame, model: DataFrame): DataFrame =
+    bi.join(model, Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(
+          struct(col("pos"), col("lnp")))).as("pl"),
+        count(lit(1)).as("n_bigrams"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (-expr("aggregate(pl, 0D, (acc, e) -> acc + e.lnp)") /
+          col("n_bigrams")).as("nll"))
+
+  /** The DuckDB twin over the dumped model — shared verbatim by the
+    * batch and streaming entries (stream result == batch result after
+    * the bounded drain).
+    */
+  private[graft] val lmOracleSql: String = s"""WITH dd AS (SELECT doc_id,
+        list_filter(string_split(lower(text), ' '),
+          x -> len(x) > 0) AS w
+      FROM documents
+      WHERE len(list_filter(string_split(lower(text), ' '),
+        x -> len(x) > 0)) > 0),
+    bi AS (SELECT doc_id, i - 1 AS pos,
+        CASE WHEN i = 1 THEN '<s>' ELSE w[i - 1] END AS w1,
+        w[i] AS w2
+      FROM (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS i
+        FROM dd)),
+    m AS (SELECT w1, w2, lnp FROM read_parquet(
+      '${OracleDumps.SqlRoot}/text/lm_bigrams/*.parquet')),
+    j AS (SELECT bi.doc_id, bi.pos, m.lnp
+      FROM bi JOIN m USING (w1, w2)),
+    sc AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+        -(list_reduce(list(lnp ORDER BY pos), (a, b) -> a + b))
+          / COUNT(*) AS nll
+      FROM j GROUP BY doc_id)
+    SELECT doc_id, n_bigrams, nll FROM sc ORDER BY doc_id"""
 
   val entries: Seq[Entry] = Seq(
     Entry(
@@ -510,60 +592,11 @@ object TextOps {
       // the join, and the per-doc fold IN POSITION ORDER (reproducible
       // floats; -(Σ lnp)/n with negation exact in IEEE).
       (s, dir) => {
-        val docs = t(s, dir, "documents")
-          .select(col("doc_id"), words(lower(col("text"))).as("w"))
-          .filter(size(col("w")) > 0)
-        // bigram (w1, w2) at each position, BOS context for the first
-        // word — built inside the row (transform + posexplode) so the
-        // exploded rows never carry the whole token array
-        val bi = docs
-          .withColumn("bi", expr(
-            """transform(w, (x, i) -> struct(
-              CASE WHEN i = 0 THEN '<s>' ELSE element_at(w, i) END AS w1,
-              x AS w2))"""))
-          .select(col("doc_id"), posexplode(col("bi")).as(Seq("pos", "b")))
-          .select(col("doc_id"), col("pos"),
-            col("b.w1").as("w1"), col("b.w2").as("w2"))
-        val c2 = bi.groupBy(col("w1"), col("w2"))
-          .agg(count(lit(1)).as("c2"))
-        val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
-        val vocab = bi.select(countDistinct(col("w2"))).head().getLong(0)
-        val model = c2.join(c1, "w1")
-          .withColumn("lnp",
-            log((col("c2") + 0.5) / (col("c1") + lit(0.5) * vocab)))
-          .select(col("w1"), col("w2"), col("lnp"))
-        model.coalesce(1).write.mode("overwrite")
-          .parquet(s"${OracleDumps.root(s, dir)}/text/lm_bigrams")
-        bi.join(model, Seq("w1", "w2"))
-          .groupBy(col("doc_id"))
-          .agg(array_sort(collect_list(
-              struct(col("pos"), col("lnp")))).as("pl"),
-            count(lit(1)).as("n_bigrams"))
-          .select(col("doc_id"), col("n_bigrams"),
-            (-expr("aggregate(pl, 0D, (acc, e) -> acc + e.lnp)") /
-              col("n_bigrams")).as("nll"))
-          .orderBy(col("doc_id"))
+        val bi = lmBigrams(
+          t(s, dir, "documents").select(col("doc_id"), col("text")))
+        lmScore(bi, lmModel(s, dir)).orderBy(col("doc_id"))
       },
-      Some(s"""WITH dd AS (SELECT doc_id,
-            list_filter(string_split(lower(text), ' '),
-              x -> len(x) > 0) AS w
-          FROM documents
-          WHERE len(list_filter(string_split(lower(text), ' '),
-            x -> len(x) > 0)) > 0),
-        bi AS (SELECT doc_id, i - 1 AS pos,
-            CASE WHEN i = 1 THEN '<s>' ELSE w[i - 1] END AS w1,
-            w[i] AS w2
-          FROM (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS i
-            FROM dd)),
-        m AS (SELECT w1, w2, lnp FROM read_parquet(
-          '${OracleDumps.SqlRoot}/text/lm_bigrams/*.parquet')),
-        j AS (SELECT bi.doc_id, bi.pos, m.lnp
-          FROM bi JOIN m USING (w1, w2)),
-        sc AS (SELECT doc_id, COUNT(*) AS n_bigrams,
-            -(list_reduce(list(lnp ORDER BY pos), (a, b) -> a + b))
-              / COUNT(*) AS nll
-          FROM j GROUP BY doc_id)
-        SELECT doc_id, n_bigrams, nll FROM sc ORDER BY doc_id""")),
+      Some(lmOracleSql)),
 
     Entry(
       "text_chunk",

@@ -31,6 +31,15 @@ class StreamSpec extends SparkSuite {
     assert(stream.toSeq == batch.toSeq)
   }
 
+  test("stream_lm_score equals batch text_lm_score bit-for-bit") {
+    val stream = q("stream_lm_score", sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val batch = q("text_lm_score", sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(stream.nonEmpty && stream.sameElements(batch),
+      "stream-static LM scoring must reproduce the batch result")
+  }
+
   test("stream_session reproduces the batch sessionization (q27)") {
     val stream = q("stream_session", sfDir).collect()
     val batch = q("q27_sessionize", sfDir).collect()
