@@ -44,6 +44,7 @@ object Bench {
     // runs first paying the training
     warm("knn-index")(SimilarityOps.warmCaches(spark, sfDir))
     warm("dedup-index")(DedupOps.warmCaches(spark, sfDir))
+    warm("lm-model")(TextOps.lmModel(spark, sfDir).count())
     // optional args = query-name subset (local iteration; the driver
     // invokes with no args and gets the full suite)
     val all = SparkEntry.queries

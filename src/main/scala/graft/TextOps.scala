@@ -62,10 +62,10 @@ object TextOps {
   // streaming stream_lm_score — the same model and scoring expressions
   // run over a batch frame or a stream-static join) ----
 
-  /** (doc_id, pos, w1, w2) bigrams with a BOS context for the first
-    * word — built inside the row (transform + posexplode) so the
-    * exploded rows never carry the whole token array. Stateless:
-    * works on batch and streaming frames alike.
+  /** (doc_id, w1, w2) bigrams with a BOS context for the first word —
+    * built inside the row (transform + posexplode) so the exploded
+    * rows never carry the whole token array. Stateless: works on
+    * batch and streaming frames alike.
     */
   private[graft] def lmBigrams(docs: DataFrame): DataFrame =
     docs
@@ -76,44 +76,63 @@ object TextOps {
           CASE WHEN i = 0 THEN '<s>' ELSE element_at(w, i) END AS w1,
           x AS w2))"""))
       .select(col("doc_id"), posexplode(col("bi")).as(Seq("pos", "b")))
-      .select(col("doc_id"), col("pos"),
-        col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
 
-  /** Add-0.5-smoothed bigram model (w1, w2, lnp) trained on the batch
-    * documents table, dumped for the oracle (ln is the one
-    * cross-engine ulp hazard — everything else re-derives in SQL).
+  // one training run per (session, corpus), like the IVF/PQ index
+  // caches: the LM is an offline-trained artifact every scoring call
+  // (batch entry, stream entry, bench reps) shares. WEAK session keys
+  // so a discarded session doesn't stay pinned by the cache.
+  private val lmCache =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, DataFrame]]()
+
+  /** Add-0.5-smoothed bigram model trained on the batch documents
+    * table. `lnp_q` = round(ln p · 1e12) as a LONG: scoring then sums
+    * exact integers — order-independent with ordinary map-side-combined
+    * hash aggregation (no per-doc ordered float fold), and the ln ulp
+    * hazard disappears entirely because BOTH engines read the same
+    * dumped integers (the dump is the oracle's model too, like bm25's
+    * idf). Persisted + dumped once per (session, corpus).
     */
   private[graft] def lmModel(s: SparkSession, dir: String): DataFrame = {
-    val bi = lmBigrams(
-      t(s, dir, "documents").select(col("doc_id"), col("text")))
-    val c2 = bi.groupBy(col("w1"), col("w2"))
-      .agg(count(lit(1)).as("c2"))
-    val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
-    val vocab = bi.select(countDistinct(col("w2"))).head().getLong(0)
-    val model = c2.join(c1, "w1")
-      .withColumn("lnp",
-        log((col("c2") + 0.5) / (col("c1") + lit(0.5) * vocab)))
-      .select(col("w1"), col("w2"), col("lnp"))
-    model.coalesce(1).write.mode("overwrite")
-      .parquet(s"${OracleDumps.root(s, dir)}/text/lm_bigrams")
-    model
+    val perSession = lmCache.synchronized {
+      lmCache.computeIfAbsent(s,
+        _ => scala.collection.concurrent.TrieMap.empty[String, DataFrame])
+    }
+    perSession.getOrElseUpdate(dir, {
+      val bi = lmBigrams(
+        t(s, dir, "documents").select(col("doc_id"), col("text")))
+      val c2 = bi.groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("c2"))
+      val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+      val vocab = bi.select(countDistinct(col("w2"))).head().getLong(0)
+      val model = c2.join(c1, "w1")
+        .withColumn("lnp_q",
+          round(log((col("c2") + 0.5) / (col("c1") + lit(0.5) * vocab))
+            * lit(1e12)).cast("long"))
+        .select(col("w1"), col("w2"), col("lnp_q"))
+        .persist()
+      model.coalesce(1).write.mode("overwrite")
+        .parquet(s"${OracleDumps.root(s, dir)}/text/lm_bigrams")
+      model
+    })
   }
 
-  /** Mean negative log-likelihood per doc: equi-join on the (w1,w2)
-    * key (model never broadcast — at 100 TB it outgrows the driver;
-    * AQE may still broadcast while genuinely small), then ONE doc_id
-    * re-agg with the lnp fold in position order (reproducible floats;
-    * -(Σ lnp)/n with negation exact in IEEE).
+  /** Mean negative log-likelihood per doc (quantized at 1e-12
+    * nats/bigram by the model — see lmModel): equi-join on the (w1,w2)
+    * key (model never force-broadcast — at 100 TB it outgrows the
+    * driver; AQE may still broadcast while genuinely small), then ONE
+    * map-side-combined doc_id agg over exact integer lnp_q. The
+    * long→double conversion and divisions are IEEE-identical in both
+    * engines.
     */
   private[graft] def lmScore(bi: DataFrame, model: DataFrame): DataFrame =
     bi.join(model, Seq("w1", "w2"))
       .groupBy(col("doc_id"))
-      .agg(array_sort(collect_list(
-          struct(col("pos"), col("lnp")))).as("pl"),
-        count(lit(1)).as("n_bigrams"))
+      .agg(sum(col("lnp_q")).as("s"), count(lit(1)).as("n_bigrams"))
       .select(col("doc_id"), col("n_bigrams"),
-        (-expr("aggregate(pl, 0D, (acc, e) -> acc + e.lnp)") /
-          col("n_bigrams")).as("nll"))
+        (-(col("s").cast("double") / lit(1e12)) / col("n_bigrams"))
+          .as("nll"))
 
   /** The DuckDB twin over the dumped model — shared verbatim by the
     * batch and streaming entries (stream result == batch result after
@@ -125,17 +144,17 @@ object TextOps {
       FROM documents
       WHERE len(list_filter(string_split(lower(text), ' '),
         x -> len(x) > 0)) > 0),
-    bi AS (SELECT doc_id, i - 1 AS pos,
+    bi AS (SELECT doc_id,
         CASE WHEN i = 1 THEN '<s>' ELSE w[i - 1] END AS w1,
         w[i] AS w2
       FROM (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS i
         FROM dd)),
-    m AS (SELECT w1, w2, lnp FROM read_parquet(
+    m AS (SELECT w1, w2, lnp_q FROM read_parquet(
       '${OracleDumps.SqlRoot}/text/lm_bigrams/*.parquet')),
-    j AS (SELECT bi.doc_id, bi.pos, m.lnp
+    j AS (SELECT bi.doc_id, m.lnp_q
       FROM bi JOIN m USING (w1, w2)),
     sc AS (SELECT doc_id, COUNT(*) AS n_bigrams,
-        -(list_reduce(list(lnp ORDER BY pos), (a, b) -> a + b))
+        -(CAST(CAST(SUM(lnp_q) AS BIGINT) AS DOUBLE) / 1e12)
           / COUNT(*) AS nll
       FROM j GROUP BY doc_id)
     SELECT doc_id, n_bigrams, nll FROM sc ORDER BY doc_id"""
