@@ -79,6 +79,19 @@ class PlanAuditSpec extends SparkSuite {
     assert(!"hashpartitioning\\(vec_id".r.findAllIn(p).hasNext, p.take(800))
   }
 
+  test("text_lm_score: integer-sum agg, no per-doc array fold, no cartesian") {
+    // scoring must stay the quantized-integer hash aggregation: one
+    // doc_id exchange, equi-join on the bigram key, and NO collect_list
+    // / sort-based fold (the interpreted-ArrayAggregate trap) anywhere
+    val p = plan("text_lm_score")
+    assert(!p.contains("collect_list") && !p.contains("aggregate("),
+      p.take(800))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(800))
+    assert("hashpartitioning\\(doc_id".r.findAllIn(p).size == 1,
+      p.take(1200))
+  }
+
   test("q71: variant blocking is an equi-join; name lookups broadcast") {
     // the FastSS candidate join must plan as a HASH EQUI-join on the
     // slim bk key — never a cartesian/nested-loop (at the toy test SF
