@@ -547,6 +547,95 @@ object SimilarityOps {
       Some(ivfProbeSql("vec_id < 10"))),
 
     Entry(
+      "knn_recall_report",
+      // Index-quality monitoring — the report every ANN deployment
+      // runs before trusting its index: recall@5 of the IVF probe
+      // against the exact brute-force top-5, per query. Both sides
+      // reuse the entries' own plans (broadcast queries / no corpus
+      // shuffle; cached cell assignments), the comparison is a 50-row
+      // join, and hits/recall are small-integer arithmetic — so the
+      // whole report is hash-exact against the oracle, which recomputes
+      // BOTH retrievals in SQL (the bit-identical dot folds knn_brute
+      // and knn_ivf already prove) and diffs them the same way. At
+      // 100 TB this runs on a sampled query set at index-build time —
+      // the brute side is the expensive half, which is exactly why a
+      // recall report samples queries instead of scoring all of them.
+      (s, dir) => {
+        dumpOracleBase(s, dir)
+        val emb = embeddings(s, dir)
+        val q = emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val brute = topkPerQuery(
+          emb.crossJoin(broadcast(q))
+            .filter(col("vec_id") =!= col("qid"))
+            .withColumn("sim", Vectors.dot(col("embedding"), col("qvec")))
+            .select(col("qid"), col("vec_id"), col("sim")), "sim", 5)
+          .select(col("qid"), col("vec_id"))
+        val wProbe = Window.partitionBy(col("qid"))
+          .orderBy(col("csim").desc, col("cell"))
+        val probes = q.crossJoin(broadcast(centroids(s, dir)))
+          .withColumn("csim", Vectors.dot(col("qvec"), col("cvec")))
+          .withColumn("crank", row_number().over(wProbe))
+          .filter(col("crank") <= 4)
+          .select(col("qid"), col("qvec"), col("cell"))
+        val ivf = topkPerQuery(
+          assignedCached(s, dir).join(broadcast(probes), "cell")
+            .filter(col("vec_id") =!= col("qid"))
+            .withColumn("sim", Vectors.dot(col("embedding"), col("qvec")))
+            .select(col("qid"), col("vec_id"), col("sim")), "sim", 5)
+          .select(col("qid"), col("vec_id"))
+        val hits = brute.join(ivf, Seq("qid", "vec_id"))
+          .groupBy(col("qid")).agg(count(lit(1)).as("hits"))
+        // every query reports, 0-hit ones included
+        q.select(col("qid")).join(hits, Seq("qid"), "left")
+          .select(col("qid"),
+            coalesce(col("hits"), lit(0L)).as("hits"),
+            (coalesce(col("hits"), lit(0L)).cast("double") / 5.0)
+              .as("recall"))
+          .orderBy(col("qid"))
+      },
+      Some(s"""WITH norm AS (SELECT vec_id,
+            list_transform(embedding, x -> CAST(x AS DOUBLE) / sqrt(
+              list_reduce(list_transform(embedding,
+                y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)),
+                (a,b) -> a+b))) AS e
+          FROM embeddings),
+        q AS (SELECT vec_id AS qid, e AS qe FROM norm WHERE vec_id < 10),
+        bs AS (SELECT q.qid, n.vec_id,
+            list_reduce(list_transform(range(1, len(n.e)+1),
+              i -> n.e[i]*q.qe[i]), (a,b) -> a+b) AS sim
+          FROM norm n, q WHERE n.vec_id <> q.qid),
+        br AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
+            row_number() OVER (PARTITION BY qid
+              ORDER BY sim DESC, vec_id) AS rnk FROM bs)
+          WHERE rnk <= 5),
+        cen AS (SELECT cell, cvec
+          FROM read_parquet('$dumpSql/centroids/*.parquet')),
+        asg AS (SELECT cell, vec_id, embedding
+          FROM read_parquet('$dumpSql/assignments/*.parquet')),
+        cs AS (SELECT q.qid, q.qe, c.cell,
+            list_reduce(list_transform(range(1, len(c.cvec)+1),
+              i -> q.qe[i]*c.cvec[i]), (a,b) -> a+b) AS csim
+          FROM q CROSS JOIN cen c),
+        pr AS (SELECT qid, qe, cell FROM (SELECT *, row_number() OVER (
+            PARTITION BY qid ORDER BY csim DESC, cell) AS crank FROM cs)
+          WHERE crank <= 4),
+        sc AS (SELECT pr.qid, a.vec_id,
+            list_reduce(list_transform(range(1, len(a.embedding)+1),
+              i -> a.embedding[i]*pr.qe[i]), (x,y) -> x+y) AS sim
+          FROM asg a JOIN pr ON a.cell = pr.cell
+          WHERE a.vec_id <> pr.qid),
+        ir AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
+            row_number() OVER (PARTITION BY qid
+              ORDER BY sim DESC, vec_id) AS rnk FROM sc)
+          WHERE rnk <= 5),
+        h AS (SELECT qid, COUNT(*) AS hits
+          FROM br JOIN ir USING (qid, vec_id) GROUP BY qid)
+        SELECT q.qid, CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+          CAST(COALESCE(h.hits, 0) AS DOUBLE) / 5.0 AS recall
+        FROM q LEFT JOIN h USING (qid) ORDER BY qid""")),
+
+    Entry(
       "emb_centroid",
       // Per-label embedding centroids with EXACTLY-reproducible float
       // reduction: a double Σ is order-dependent, so each (label, dim)

@@ -139,6 +139,22 @@ class KnnSpec extends SparkSuite {
       "index write→read→probe must not change results")
   }
 
+  test("knn_recall_report matches the recall computed from the entries themselves") {
+    val brute = q("knn_brute", sfDir).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"))).toSet
+    val ivf = q("knn_ivf", sfDir).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"))).toSet
+    val report = q("knn_recall_report", sfDir).collect()
+      .map(r => r.getAs[Long]("qid") ->
+        (r.getAs[Long]("hits"), r.getAs[Double]("recall"))).toMap
+    assert(report.size == 10)
+    report.foreach { case (qid, (hits, recall)) =>
+      val expect = (brute & ivf).count(_._1 == qid)
+      assert(hits == expect, s"qid=$qid hits=$hits expected=$expect")
+      assert(recall == expect / 5.0)
+    }
+  }
+
   test("knn_ivf_range equals knn_range exactly — cell pruning is lossless") {
     // the triangle-inequality bound may only SKIP cells that cannot
     // hold a τ-match, so the indexed radius search must return the
