@@ -23,8 +23,11 @@ object Bench {
     // e.g. a schema-drifted table count into every knn/dedup entry
     // silently paying its index training timed — the exact ambiguity
     // the r9 knn_pq x7 outlier forced us to rule out by hand).
+    // NonFatal only: an OutOfMemoryError (etc.) during warmup means a
+    // corrupted JVM/session — recording timings from it would be worse
+    // than losing the run, so fatal errors propagate (ADVICE r10).
     def warm(step: String)(f: => Unit): Unit =
-      try f catch { case e: Throwable =>
+      try f catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"BENCHWARN warmup '$step' failed: ${e.getMessage}")
       }
     warm("jit")(spark.range(1000000).selectExpr("sum(id)").count())
@@ -75,7 +78,7 @@ object Bench {
         val t0 = System.nanoTime()
         val threw =
           try { fn(spark, sfDir).count(); false }
-          catch { case e: Throwable =>
+          catch { case scala.util.control.NonFatal(e) =>
             System.err.println(s"BENCHERR $name rep=$r ${e.getClass.getName}: ${e.getMessage}")
             true
           }
@@ -96,7 +99,8 @@ object Bench {
     // try/catch: a shutdown-hook or FS error in stop() must not eat
     // the metric line — that would null the round's bench (ADVICE r6).
     try spark.stop() catch { case _: Throwable => () }
-    println(jsonLine(sfDir, results.toMap, errors = errors))
+    println(jsonLine(sfDir, results.toMap, errors = errors,
+      pins = loadPins(sfDir)))
     System.out.flush()
     // nonzero rc on any broken entry — a fast failure must not read
     // as a green (let alone faster) bench run
@@ -113,18 +117,51 @@ object Bench {
     * BenchLineSpec pins this contract.)
     */
   def jsonLine(sfDir: String, results: Map[String, Double],
-      budget: Int = 1400, errors: Int = 0): String = {
+      budget: Int = 1400, errors: Int = 0,
+      pins: Map[String, Double] = Map.empty): String = {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val sfNum = raw"sf([0-9.]+)".r.findFirstMatchIn(sfDir)
       .map(_.group(1)).getOrElse("0.1")
     val header = f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":$sfNum,"errors":$errors,"queries":"""
+    // Per-entry regression detection (VERDICT r10 #3): entries >2x
+    // their pinned min-of-2 serving time surface mechanically in the
+    // line instead of someone hand-diffing BENCH_r{N} files. This is
+    // a re-measure QUEUE, not a verdict — r6/r7/r9/r10 each showed a
+    // flagged entry can be pure host load (q61 read x10.5 under load
+    // in r10 against an isolated 0.223 s). Worst 6 by ratio, appended
+    // AFTER queries so the documented metric-first prefix the driver
+    // parses is unchanged; omitted entirely when nothing trips.
+    val regStr = {
+      val regs = results.toSeq
+        .flatMap { case (k, v) =>
+          pins.get(k).filter(_ > 0).map(p => k -> v / p) }
+        .filter(_._2 > 2.0).sortBy { case (k, r) => (-r, k) }.take(6)
+      if (regs.isEmpty) ""
+      else regs.map { case (k, r) => f""""$k":$r%.1f""" }
+        .mkString(""","regressions":{""", ",", "}")
+    }
     val entries = results.toSeq.sortBy { case (k, v) => (-v, k) }
       .map { case (k, v) => f""""$k":$v%.3f""" }
     val kept = scala.collection.mutable.ListBuffer.empty[String]
-    var used = header.length + 2
+    var used = header.length + 2 + regStr.length
     entries.foreach { e =>
       if (used + e.length + 1 <= budget) { kept += e; used += e.length + 1 }
     }
-    header + kept.mkString("{", ",", "}") + "}"
+    header + kept.mkString("{", ",", "}") + regStr + "}"
+  }
+
+  /** Pinned per-entry minimums for `sfDir`'s scale, from the committed
+    * resource (absent scale → no pins → no regressions field).
+    */
+  def loadPins(sfDir: String): Map[String, Double] = {
+    val sfNum = raw"sf([0-9.]+)".r.findFirstMatchIn(sfDir)
+      .map(_.group(1)).getOrElse("")
+    val in = getClass.getResourceAsStream(s"/graft/bench_pins_sf$sfNum.tsv")
+    if (in == null) Map.empty
+    else try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .filterNot(l => l.startsWith("#") || l.isEmpty)
+      .map { l => val Array(k, v) = l.split('\t'); k -> v.toDouble }
+      .toMap
+    finally in.close()
   }
 }

@@ -478,8 +478,13 @@ object SimilarityOps {
       // the probe set collapses to the few cells near each query, and
       // with the cell-PARTITIONED on-disk index the pruned cells are
       // never read at all (same topology probeIndex plan-proves).
-      // +1e-9 slack absorbs acos rounding at the bound — extra kept
-      // cells only cost scan; the exact τ re-filter discards them.
+      // +1e-6 slack absorbs acos rounding at the bound. acos error
+      // amplifies near |dot|≈1 (derivative → ∞): a tight/singleton
+      // cell whose min_cdot rounds to 1.0 can have its max angle
+      // underestimated by ~1e-7, which a 1e-9 slack would not cover —
+      // and a pruned τ-boundary cell would break the bit-exact-equals-
+      // knn_range contract (ADVICE r10). Extra kept cells only cost
+      // scan; the exact τ re-filter discards them.
       (s, dir) => {
         val tau = 0.25
         val q = embeddings(s, dir).filter(col("vec_id") < 5)
@@ -489,7 +494,7 @@ object SimilarityOps {
             centroids(s, dir).join(cellRadii(s, dir), "cell")))
           .withColumn("cdot", Vectors.dot(col("qvec"), col("cvec")))
           .filter(acos(clamp1(col("cdot"))) <=
-            lit(math.acos(tau)) + acos(clamp1(col("min_cdot"))) + lit(1e-9))
+            lit(math.acos(tau)) + acos(clamp1(col("min_cdot"))) + lit(1e-6))
           .select(col("qid"), col("qvec"), col("cell"))
         assignedCached(s, dir).join(broadcast(probes), "cell")
           .filter(col("vec_id") =!= col("qid"))

@@ -55,6 +55,41 @@ class BenchLineSpec extends AnyFunSuite {
     assert(math.abs(v.toDouble - expected) < 0.01, s"$v vs $expected")
   }
 
+  test("a deliberately slowed entry shows up in regressions, capped and budgeted") {
+    // VERDICT r10 #3: >2x-of-pin entries surface in the line itself so
+    // no round spends a cycle hand-diffing BENCH files for outliers.
+    val pins = many.map { case (k, _) => k -> 0.001 } // everything x10+
+    val line = Bench.jsonLine("/root/testdata/sf0.1", many, pins = pins)
+    assert(line.contains(""","regressions":{"""), line.takeRight(200))
+    assert(line.contains("\"query_300\":3000.0"), "worst ratio must be kept")
+    // capped at 6 so the field can't evict the queries map
+    val regBody = line.split(""""regressions":\{""")(1)
+    assert(regBody.count(_ == ':') <= 6, regBody)
+    assert(line.length <= 1400 + 2, s"len=${line.length}")
+    assert(line.count(_ == '{') == line.count(_ == '}'))
+    // metric-first prefix the driver parses is untouched by the field
+    assert(line.contains(""","unit":"sec","sf":0.1,"errors":0,"queries":{"""))
+  }
+
+  test("within-2x entries and unpinned entries produce no regressions field") {
+    val pins = many.map { case (k, v) => k -> v / 1.9 } // all under 2x
+    val line = Bench.jsonLine("/root/testdata/sf0.1", many, pins = pins)
+    assert(!line.contains("regressions"), line.takeRight(120))
+    val line2 = Bench.jsonLine("/root/testdata/sf0.1", many) // no pins at all
+    assert(!line2.contains("regressions"))
+  }
+
+  test("the committed sf0.1 pins resource loads and covers the suite") {
+    val pins = Bench.loadPins("/root/testdata/sf0.1")
+    assert(pins.size >= 170, s"only ${pins.size} pins")
+    assert(pins.values.forall(v => v > 0 && v < 60), "pin sanity")
+    // every queries entry has a pin — a new operator must re-pin
+    val missing = SparkEntry.queries.keySet -- pins.keySet
+    assert(missing.isEmpty, s"unpinned entries: $missing")
+    // and an unknown scale yields no pins (no spurious regressions)
+    assert(Bench.loadPins("/root/testdata/sf77").isEmpty)
+  }
+
   test("empty run still emits a parseable zero line") {
     val line = Bench.jsonLine("/root/testdata/sf0.01", Map.empty)
     assert(line == """{"metric":"total","value":0.000,"unit":"sec","sf":0.01,"errors":0,"queries":{}}""")
