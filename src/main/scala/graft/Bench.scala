@@ -48,6 +48,7 @@ object Bench {
     warm("knn-index")(SimilarityOps.warmCaches(spark, sfDir))
     warm("dedup-index")(DedupOps.warmCaches(spark, sfDir))
     warm("lm-model")(TextOps.lmModel(spark, sfDir).count())
+    warm("classify-model")(TextOps.classifyWeights(spark, sfDir))
     // optional args = query-name subset (local iteration; the driver
     // invokes with no args and gets the full suite)
     val all = SparkEntry.queries

@@ -220,6 +220,34 @@ object PipelineOps {
         FROM documents GROUP BY lang ORDER BY lang""")),
 
     Entry(
+      "corpus_shuffle",
+      // Deterministic global training-order shuffle (VERDICT r10 #4) —
+      // the dataloader-order randomizer every pipeline runs after
+      // packing. The shuffled order is a pure hash of (doc_id, seed):
+      // k = (doc_id·2654435761 + seed·998244353) mod p, and the shard
+      // is a RANGE of k (shard = k div ceil(p/n_shards)), so the
+      // global order (shard_id, position) is decided per-row with no
+      // data-dependent boundaries — seed-deterministic and partition-
+      // count-independent by construction (Round11Spec proves both).
+      // Scale: ONE hash shuffle on shard_id + an in-shard sort on k —
+      // exactly Spark's orderBy topology (repartitionByRange + local
+      // sort) but with arithmetic ranges, so no sampling pass and no
+      // skew: k is uniform mod p, shards stay balanced at any corpus
+      // size. position is a per-shard window (bounded ~|corpus|/n).
+      (s, dir) => corpusShuffle(
+        t(s, dir, "documents").select(col("doc_id")), seed = 42L)
+        .orderBy(col("shard_id"), col("position")),
+      Some("""WITH k AS (SELECT doc_id,
+          (doc_id * 2654435761 + CAST(42 AS BIGINT) * 998244353)
+            % 1000000007 AS k
+          FROM documents)
+        SELECT CAST(k // 62500001 AS BIGINT) AS shard_id,
+          CAST(row_number() OVER (PARTITION BY k // 62500001
+            ORDER BY k, doc_id) AS BIGINT) AS position,
+          doc_id
+        FROM k ORDER BY shard_id, position""")),
+
+    Entry(
       "sample_temperature",
       // Temperature-sampling weights (α = 0.5) — the multilingual
       // rebalancing rule for LLM data mixes: lang weight ∝ √(n/n_max),
@@ -387,4 +415,34 @@ object PipelineOps {
         SELECT source, doc_id, CAST(epoch AS BIGINT) AS epoch
         FROM o ORDER BY source, doc_id, epoch"""))
   )
+
+  /** Deterministic training-order shuffle: assigns every row a
+    * pseudo-random total order keyed only by (`idCol`, `seed`) and
+    * emits `(shard_id, position, idCol)` — shard n_shards ways, read
+    * back in (shard_id, position) order to replay the shuffled epoch.
+    * The order key is k = (id·2654435761 + seed·998244353) mod p
+    * (p = 1e9+7; products stay far under 2^63 for any realistic id),
+    * the shard is k div ceil(p/n_shards): arithmetic on the row alone,
+    * so the result is independent of input partitioning and identical
+    * across reruns/engines for the same seed. One shuffle (hash on
+    * shard_id), one bounded per-shard sort — no global window, no
+    * range-boundary sampling pass.
+    */
+  def corpusShuffle(df: org.apache.spark.sql.DataFrame, seed: Long,
+      nShards: Long = 16, idCol: String = "doc_id")
+      : org.apache.spark.sql.DataFrame = {
+    val prime = 1000000007L
+    val shardW = (prime + nShards - 1) / nShards
+    val w = Window.partitionBy(col("shard_id"))
+      .orderBy(col("k"), col(idCol))
+    // double-mod keeps k in [0,p) even for negative ids/seeds (Java %
+    // keeps the dividend's sign); for the non-negative entry inputs it
+    // is value-identical to the oracle's single %
+    df.withColumn("k",
+        (((col(idCol) * lit(2654435761L) + lit(seed * 998244353L))
+          % lit(prime)) + lit(prime)) % lit(prime))
+      .withColumn("shard_id", expr(s"CAST(k DIV $shardW AS BIGINT)"))
+      .withColumn("position", row_number().over(w).cast("long"))
+      .select(col("shard_id"), col("position"), col(idCol))
+  }
 }
