@@ -413,7 +413,123 @@ object PipelineOps {
             unnest(range(1, tot.epochs + 1)) AS epoch
           FROM documents d JOIN tot USING (source))
         SELECT source, doc_id, CAST(epoch AS BIGINT) AS epoch
-        FROM o ORDER BY source, doc_id, epoch"""))
+        FROM o ORDER BY source, doc_id, epoch""")),
+
+    Entry(
+      "mix_source_cap",
+      // Over-represented-domain capping (the C4/CCNet per-domain cap):
+      // keep at most `cap` docs per source, chosen by a deterministic
+      // per-doc hash so the survivors are an unbiased pseudo-random
+      // sample yet identical across reruns/engines. The per-source
+      // top-cap runs through the k-bounded TopKAgg buffer — map-side
+      // partials shuffle ≤ tasks·sources·cap rows, never the corpus,
+      // and there is no per-source global sort (the window-rank
+      // formulation sorts every source's docs in |sources| tasks — a
+      // skew magnet when one domain dominates a 100 TB crawl). The
+      // hash is corpus_shuffle's integer scheme (k < 1e9+7 < 2^53, so
+      // the DoubleType ord in TopKAgg round-trips exactly).
+      (s, dir) => {
+        import org.apache.spark.sql.graft.DatasetBridge
+        val cap = 10
+        val prime = 1000000007L
+        val k = (((col("doc_id") * lit(2654435761L) + lit(7L * 998244353L))
+          % lit(prime)) + lit(prime)) % lit(prime)
+        val topk = DatasetBridge.column(
+          graft.functions.TopKAgg(
+            DatasetBridge.expression((-k).cast("double")),
+            DatasetBridge.expression(col("doc_id")), cap)
+            .toAggregateExpression())
+        t(s, dir, "documents")
+          .select(col("source"), col("doc_id"))
+          .groupBy(col("source")).agg(topk.as("top"))
+          .select(col("source"), posexplode(col("top")).as(Seq("pos", "e")))
+          .select(col("source"),
+            (col("pos") + 1).cast("bigint").as("rnk"),
+            col("e.key").as("doc_id"),
+            (-col("e.ord")).cast("long").as("k"))
+          .orderBy(col("source"), col("rnk"))
+      },
+      Some("""WITH k AS (SELECT source, doc_id,
+            (doc_id * 2654435761 + CAST(7 AS BIGINT) * 998244353)
+              % 1000000007 AS k
+          FROM documents)
+        SELECT source, rnk, doc_id, k FROM (
+          SELECT source, doc_id, k,
+            CAST(row_number() OVER (PARTITION BY source
+              ORDER BY k, doc_id) AS BIGINT) AS rnk
+          FROM k)
+        WHERE rnk <= 10 ORDER BY source, rnk""")),
+
+    Entry(
+      "dq_drift",
+      // Corpus drift monitoring — the between-snapshot check a
+      // continuously-ingesting pipeline runs before accepting a new
+      // crawl: total-variation distance between snapshot A and B
+      // (here the doc_id-parity halves) over three per-row dimensions
+      // (lang, source, a 100-char length bucket). TVD is computed in
+      // CROSS-MULTIPLIED integer form — Σ|c_a·n_b − c_b·n_a| over
+      // 2·n_a·n_b — so the per-bin terms are exact BIGINTs and the
+      // single final IEEE division is bit-identical cross-engine (no
+      // per-bin ln, unlike KL/PSI, hence no dumped table needed).
+      // Scale: one map-side-combined groupBy per dimension over a
+      // handful of bins; the three reports union into a 3-row frame.
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .withColumn("snap", (col("doc_id") % 2).cast("int"))
+        def tvd(dim: String, bucket: org.apache.spark.sql.Column) = {
+          val bins = docs.groupBy(bucket.as("bin"))
+            .agg(sum(when(col("snap") === 0, 1L).otherwise(0L)).as("ca"),
+              sum(when(col("snap") === 1, 1L).otherwise(0L)).as("cb"))
+          bins.crossJoin(broadcast(
+              docs.agg(sum(when(col("snap") === 0, 1L).otherwise(0L)).as("na"),
+                sum(when(col("snap") === 1, 1L).otherwise(0L)).as("nb"))))
+            .agg(sum(abs(col("ca") * col("nb") - col("cb") * col("na")))
+                .as("num"),
+              first(col("na")).as("na"), first(col("nb")).as("nb"))
+            .select(lit(dim).as("dim"), col("na"), col("nb"), col("num"),
+              (col("num").cast("double") /
+                (lit(2.0) * col("na") * col("nb"))).as("tvd"))
+        }
+        tvd("lang", col("lang"))
+          .unionAll(tvd("source", col("source")))
+          .unionAll(tvd("len_bucket", (col("n_chars") - (col("n_chars")
+            % 100)).cast("long")))
+          .orderBy(col("dim"))
+      },
+      Some("""WITH d AS (SELECT lang, source,
+            n_chars - (n_chars % 100) AS len_bucket,
+            CAST(doc_id % 2 AS INT) AS snap
+          FROM documents),
+        tot AS (SELECT
+            COUNT(*) FILTER (WHERE snap = 0) AS na,
+            COUNT(*) FILTER (WHERE snap = 1) AS nb FROM d),
+        lang_b AS (SELECT
+            COUNT(*) FILTER (WHERE snap = 0) AS ca,
+            COUNT(*) FILTER (WHERE snap = 1) AS cb
+          FROM d GROUP BY lang),
+        src_b AS (SELECT
+            COUNT(*) FILTER (WHERE snap = 0) AS ca,
+            COUNT(*) FILTER (WHERE snap = 1) AS cb
+          FROM d GROUP BY source),
+        len_b AS (SELECT
+            COUNT(*) FILTER (WHERE snap = 0) AS ca,
+            COUNT(*) FILTER (WHERE snap = 1) AS cb
+          FROM d GROUP BY len_bucket),
+        r AS (
+          SELECT 'lang' AS dim, t.na, t.nb,
+            CAST(SUM(ABS(b.ca * t.nb - b.cb * t.na)) AS BIGINT) AS num
+          FROM lang_b b, tot t GROUP BY t.na, t.nb
+          UNION ALL
+          SELECT 'source', t.na, t.nb,
+            CAST(SUM(ABS(b.ca * t.nb - b.cb * t.na)) AS BIGINT)
+          FROM src_b b, tot t GROUP BY t.na, t.nb
+          UNION ALL
+          SELECT 'len_bucket', t.na, t.nb,
+            CAST(SUM(ABS(b.ca * t.nb - b.cb * t.na)) AS BIGINT)
+          FROM len_b b, tot t GROUP BY t.na, t.nb)
+        SELECT dim, na, nb, num,
+          CAST(num AS DOUBLE) / (2.0 * na * nb) AS tvd
+        FROM r ORDER BY dim"""))
   )
 
   /** Deterministic training-order shuffle: assigns every row a

@@ -132,6 +132,61 @@ object SimilarityOps {
         .persist())
   }
 
+  /** Standing BASE index for the incremental-refresh lifecycle
+    * (knn_ivf_refresh): centroids trained on the base corpus only
+    * (vec_id % 7 != 3 — the remaining vectors arrive later as the
+    * refresh batch), plus the base assignments and radii. Cached per
+    * (session, corpus) like the full-corpus index: in a deployment
+    * this is the standing serving index the refresh operates against,
+    * so Bench warms it untimed and the entry times refresh + probe.
+    */
+  private[graft] def refreshBase(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val perSession = centroidCache.synchronized {
+      centroidCache.computeIfAbsent(s,
+        _ => scala.collection.concurrent.TrieMap.empty[String, DataFrame])
+    }
+    val base = embeddings(s, dir).filter(col("vec_id") % 7 =!= 3)
+    val cen = perSession.getOrElseUpdate(s"$dir#refresh_cen",
+      trainCentroidsOn(base))
+    val asg = perSession.getOrElseUpdate(s"$dir#refresh_asg",
+      withNearestCell(base, col("embedding"), cen)
+        .select(col("cell"), col("vec_id"), col("embedding"))
+        .persist())
+    val radii = perSession.getOrElseUpdate(s"$dir#refresh_radii",
+      asg.join(broadcast(cen), "cell")
+        .withColumn("d", Vectors.dot(col("embedding"), col("cvec")))
+        .groupBy(col("cell")).agg(min(col("d")).as("min_cdot"))
+        .persist())
+    (cen, asg, radii)
+  }
+
+  /** Incremental IVF refresh: assign a NEW vector batch to the
+    * EXISTING cells (no centroid retrain — one broadcast projection
+    * over the batch only, O(batch) work) and update the per-cell
+    * radii MONOTONICALLY (min only ever shrinks min_cdot, i.e. grows
+    * the cell's angular radius), so the triangle-inequality pruning
+    * bound stays safe after any number of refreshes. Because cell
+    * assignment is per-row against fixed centroids, the refreshed
+    * index is IDENTICAL to a full re-assignment of base ∪ batch at
+    * the same centroids — Round11Spec asserts the equivalence and the
+    * post-refresh radii lower bound; the entry's oracle proves the
+    * serving consequence (probe ≡ brute over the full corpus).
+    */
+  def refreshIndex(cen: DataFrame, asg: DataFrame, radii: DataFrame,
+      batch: DataFrame): (DataFrame, DataFrame) = {
+    val batchAsg = withNearestCell(batch, col("embedding"), cen)
+      .select(col("cell"), col("vec_id"), col("embedding"))
+    val batchRadii = batchAsg.join(broadcast(cen), "cell")
+      .withColumn("d", Vectors.dot(col("embedding"), col("cvec")))
+      .groupBy(col("cell")).agg(min(col("d")).as("bmin"))
+    val radii2 = radii.join(batchRadii, Seq("cell"), "full_outer")
+      .select(col("cell"),
+        least(coalesce(col("min_cdot"), lit(1.0)),
+          coalesce(col("bmin"), lit(1.0))).as("min_cdot"))
+    (asg.union(batchAsg), radii2)
+  }
+
   /** Pre-train the session index caches (IVF centroids + PQ codebooks
     * and codes). Index BUILD is deployment setup shared by every query
     * against the corpus — exactly the cache contract above — so Bench
@@ -142,6 +197,8 @@ object SimilarityOps {
     val emb = embeddings(s, dir)
     centroids(s, dir).count()
     assignedCached(s, dir).count()
+    val (rCen, rAsg, rRad) = refreshBase(s, dir)
+    rCen.count(); rAsg.count(); rRad.count()
     val (cen, codes) = pqIndex(s, dir, emb)
     cen.count(); codes.count()
     dumpOracleBase(s, dir)
@@ -267,8 +324,10 @@ object SimilarityOps {
       SELECT qid, rank, vec_id, sim FROM r WHERE rank <= 5
       ORDER BY qid, rank"""
 
-  private def trainCentroids(s: SparkSession, dir: String): DataFrame = {
-    val emb = embeddings(s, dir)
+  private def trainCentroids(s: SparkSession, dir: String): DataFrame =
+    trainCentroidsOn(embeddings(s, dir))
+
+  private def trainCentroidsOn(emb: DataFrame): DataFrame = {
     var cen = emb.filter(col("vec_id") % 37 === 0)
       .select(col("vec_id").as("cell"), col("embedding").as("cvec"))
     for (_ <- 1 to 2) {
@@ -513,6 +572,61 @@ object SimilarityOps {
                 (a,b) -> a+b))) AS e
           FROM embeddings),
         q AS (SELECT vec_id AS qid, e AS qe FROM norm WHERE vec_id < 5),
+        s AS (SELECT q.qid, n.vec_id,
+            list_reduce(list_transform(range(1, len(n.e)+1),
+              i -> n.e[i]*q.qe[i]), (a,b) -> a+b) AS sim
+          FROM norm n, q WHERE n.vec_id <> q.qid)
+        SELECT qid, vec_id, sim FROM s
+        WHERE sim >= 0.25 ORDER BY qid, vec_id""")),
+
+    Entry(
+      "knn_ivf_refresh",
+      // Incremental index maintenance — the dedup_incremental analog
+      // for serving indexes (VERDICT r10 #6): the standing index was
+      // built on the BASE corpus only (vec_id % 7 != 3); the remaining
+      // vectors arrive as a new batch and are assigned to the EXISTING
+      // cells without retraining centroids (O(batch) broadcast
+      // projection — at 100 TB the refresh cost follows the batch, not
+      // the corpus), with cell radii updated monotonically so the
+      // lossless radius bound still holds. The refreshed index then
+      // serves a radius probe over base ∪ batch that is bit-exact
+      // equal to brute knn_range over the FULL corpus (same
+      // triangle-inequality pruning as knn_ivf_range) — exactly what
+      // the oracle checks. Round11Spec additionally pins refresh ≡
+      // full rebuild at the same centroids and the radii safety bound.
+      (s, dir) => {
+        val tau = 0.25
+        val (cen, asg, radii) = refreshBase(s, dir)
+        val batch = embeddings(s, dir).filter(col("vec_id") % 7 === 3)
+        val (asg2, radii2) = refreshIndex(cen, asg, radii, batch)
+        val q = embeddings(s, dir)
+          .filter(col("vec_id") >= 5 && col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val clamp1 = (c: Column) => greatest(lit(-1.0), least(lit(1.0), c))
+        val probes = q.crossJoin(broadcast(cen.join(radii2, "cell")))
+          .withColumn("cdot", Vectors.dot(col("qvec"), col("cvec")))
+          .filter(acos(clamp1(col("cdot"))) <=
+            lit(math.acos(tau)) + acos(clamp1(col("min_cdot"))) + lit(1e-6))
+          .select(col("qid"), col("qvec"), col("cell"))
+        asg2.join(broadcast(probes), "cell")
+          .filter(col("vec_id") =!= col("qid"))
+          .withColumn("sim", Vectors.dot(col("embedding"), col("qvec")))
+          .filter(col("sim") >= tau)
+          .select(col("qid"), col("vec_id"), col("sim"))
+          .orderBy(col("qid"), col("vec_id"))
+      },
+      // Refresh + pruning are lossless, so the oracle is brute radius
+      // search over the full corpus: same normalize/dot folds as
+      // knn_range, query set [5,10).
+      Some("""WITH norm AS (
+          SELECT vec_id,
+            list_transform(embedding, x -> CAST(x AS DOUBLE) / sqrt(
+              list_reduce(list_transform(embedding,
+                y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)),
+                (a,b) -> a+b))) AS e
+          FROM embeddings),
+        q AS (SELECT vec_id AS qid, e AS qe FROM norm
+          WHERE vec_id >= 5 AND vec_id < 10),
         s AS (SELECT q.qid, n.vec_id,
             list_reduce(list_transform(range(1, len(n.e)+1),
               i -> n.e[i]*q.qe[i]), (a,b) -> a+b) AS sim

