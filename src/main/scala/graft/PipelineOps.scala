@@ -529,7 +529,177 @@ object PipelineOps {
           FROM len_b b, tot t GROUP BY t.na, t.nb)
         SELECT dim, na, nb, num,
           CAST(num AS DOUBLE) / (2.0 * na * nb) AS tvd
-        FROM r ORDER BY dim"""))
+        FROM r ORDER BY dim""")),
+
+    Entry(
+      "pipeline_funnel",
+      // The curation-funnel report every corpus release publishes:
+      // docs/tokens surviving each stage raw → rule gate → exact
+      // dedup → LM gate (the conventional order: cheap rules first,
+      // dedup before the model pass so duplicates aren't scored
+      // twice). Stages compose as per-doc FLAGS in one frame
+      // (conditional aggregation — the corpus is scanned once, not
+      // once per stage): the rule gate is a length/punctuation rule
+      // (n_words ≥ 40, punct ratio < 0.3); dedup keeps min doc_id per
+      // sha256 among rule survivors; the LM gate compares mean NLL ≤
+      // 3.39 in EXACT integer space (−s·100 ≤ 339e12·n over the
+      // quantized lnp_q sums — no float threshold to disagree on).
+      // Shuffles: the LM equi-join + per-doc agg, and one hash
+      // groupBy for dedup — both map-side combined; the report is 4
+      // rows. (On the driver's corpora the dedup stage passes
+      // everything through — the documents table has zero exact
+      // lower/trim duplicates, verified by groupBy — but the oracle
+      // still proves the stage's arithmetic; the near-dup entries
+      // live in DedupOps where the planted fixtures are.)
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        val model = TextOps.lmModel(s, dir)
+        val lmAgg = TextOps.lmBigrams(docs)
+          .join(model, Seq("w1", "w2"))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("lnp_q")).as("lms"), count(lit(1)).as("lmn"))
+        val flagged = docs
+          .withColumn("n_words",
+            size(words(lower(col("text")))).cast("long"))
+          .withColumn("n_punct",
+            regexp_count(col("text"), lit("[.,!?;:]")).cast("long"))
+          .withColumn("q_ok", col("n_words") >= 40 &&
+            col("n_punct") * 10 < col("n_words") * 3)
+        val keep = flagged.filter(col("q_ok"))
+          .groupBy(sha2(lower(trim(col("text"))), 256).as("h"))
+          .agg(min(col("doc_id")).as("doc_id"))
+          .select(col("doc_id"), lit(1).as("dk"))
+        val d = flagged
+          .join(keep, Seq("doc_id"), "left")
+          .join(lmAgg, Seq("doc_id"), "left")
+          .withColumn("d_ok", col("q_ok") && col("dk") === 1)
+          .withColumn("lm_ok", col("q_ok") && col("dk") === 1 &&
+            col("lms").isNotNull &&
+            col("lms") * lit(-100L) <= col("lmn") * lit(339000000000000L))
+        val a = d.agg(
+          count(lit(1)).as("c0"), sum(col("n_words")).as("t0"),
+          count_if(col("q_ok")).as("c1"),
+          sum(when(col("q_ok"), col("n_words")).otherwise(0L)).as("t1"),
+          count_if(col("d_ok")).as("c2"),
+          sum(when(col("d_ok"), col("n_words")).otherwise(0L)).as("t2"),
+          count_if(col("lm_ok")).as("c3"),
+          sum(when(col("lm_ok"), col("n_words")).otherwise(0L)).as("t3"))
+        a.select(explode(array(
+            struct(lit("0_raw").as("stage"), col("c0").as("n_docs"),
+              col("t0").as("n_tokens")),
+            struct(lit("1_quality").as("stage"), col("c1").as("n_docs"),
+              col("t1").as("n_tokens")),
+            struct(lit("2_dedup").as("stage"), col("c2").as("n_docs"),
+              col("t2").as("n_tokens")),
+            struct(lit("3_lm").as("stage"), col("c3").as("n_docs"),
+              col("t3").as("n_tokens")))).as("r"))
+          .select(col("r.stage").as("stage"), col("r.n_docs").as("n_docs"),
+            col("r.n_tokens").as("n_tokens"))
+          .orderBy(col("stage"))
+      },
+      Some(s"""WITH m AS (SELECT w1, w2, lnp_q FROM read_parquet(
+            '${OracleDumps.SqlRoot}/text/lm_bigrams/*.parquet')),
+        dd AS (SELECT doc_id, text,
+            list_filter(string_split(lower(text), ' '),
+              x -> len(x) > 0) AS w,
+            CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT)
+              AS n_punct
+          FROM documents),
+        bi AS (SELECT doc_id,
+            CASE WHEN i = 1 THEN '<s>' ELSE w[i - 1] END AS w1,
+            w[i] AS w2
+          FROM (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS i
+            FROM dd WHERE len(w) > 0)),
+        lm AS (SELECT doc_id, CAST(SUM(lnp_q) AS BIGINT) AS lms,
+            COUNT(*) AS lmn
+          FROM bi JOIN m USING (w1, w2) GROUP BY doc_id),
+        q AS (SELECT doc_id, text,
+            CAST(len(w) AS BIGINT) AS n_words,
+            (CAST(len(w) AS BIGINT) >= 40 AND
+             n_punct * 10 < CAST(len(w) AS BIGINT) * 3) AS q_ok
+          FROM dd),
+        keep AS (SELECT MIN(doc_id) AS doc_id FROM q WHERE q_ok
+          GROUP BY sha256(lower(trim(text)))),
+        d AS (SELECT q.doc_id, q.n_words, q.q_ok,
+            (q.q_ok AND k.doc_id IS NOT NULL) AS d_ok,
+            (q.q_ok AND k.doc_id IS NOT NULL AND
+             lm.lms IS NOT NULL AND
+             lm.lms * -100 <= lm.lmn * 339000000000000) AS lm_ok
+          FROM q
+          LEFT JOIN keep k ON q.doc_id = k.doc_id
+          LEFT JOIN lm ON q.doc_id = lm.doc_id),
+        r AS (
+          SELECT '0_raw' AS stage, COUNT(*) AS n_docs,
+            CAST(SUM(n_words) AS BIGINT) AS n_tokens FROM d
+          UNION ALL
+          SELECT '1_quality', COUNT(*),
+            CAST(COALESCE(SUM(n_words), 0) AS BIGINT)
+          FROM d WHERE q_ok
+          UNION ALL
+          SELECT '2_dedup', COUNT(*),
+            CAST(COALESCE(SUM(n_words), 0) AS BIGINT)
+          FROM d WHERE d_ok
+          UNION ALL
+          SELECT '3_lm', COUNT(*),
+            CAST(COALESCE(SUM(n_words), 0) AS BIGINT)
+          FROM d WHERE lm_ok)
+        SELECT stage, n_docs, n_tokens FROM r ORDER BY stage""")),
+
+    Entry(
+      "corpus_diff",
+      // Snapshot diff — the data-versioning primitive (what changed
+      // between corpus v1 and v2): full-outer join on doc_id with
+      // CONTENT-HASH compare (sha256, not the text itself — at 100 TB
+      // the diff join moves 32-byte digests, and a real store keeps
+      // them precomputed per shard). Snapshot B is derived
+      // deterministically from A in-entry: doc_id % 11 = 0 deleted,
+      // % 13 = 0 revised, % 17 = 0 re-added under a shifted id. One
+      // hash-partitioned join, row-level (doc_id, status) output;
+      // unchanged rows are filtered before the tiny ordered emit.
+      (s, dir) => {
+        val a = t(s, dir, "documents").select(col("doc_id"),
+          sha2(col("text"), 256).as("ha"))
+        val docs = t(s, dir, "documents")
+        val bKept = docs.filter(col("doc_id") % 11 =!= 0)
+          .select(col("doc_id"),
+            when(col("doc_id") % 13 === 0,
+              concat(col("text"), lit(" [rev2]")))
+              .otherwise(col("text")).as("text"))
+        val bNew = docs.filter(col("doc_id") % 17 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            concat(lit("new "), col("text")).as("text"))
+        val b = bKept.unionAll(bNew)
+          .select(col("doc_id"), sha2(col("text"), 256).as("hb"))
+        a.join(b, Seq("doc_id"), "full_outer")
+          .withColumn("status",
+            when(col("ha").isNull, lit("added"))
+              .when(col("hb").isNull, lit("removed"))
+              .when(col("ha") =!= col("hb"), lit("changed"))
+              .otherwise(lit("unchanged")))
+          .filter(col("status") =!= "unchanged")
+          .select(col("doc_id"), col("status"))
+          .orderBy(col("doc_id"))
+      },
+      // The oracle compares text directly (same verdicts as comparing
+      // sha256 digests of identical inputs) — the hash is the Spark
+      // side's scale choice, not part of the contract.
+      Some("""WITH a AS (SELECT doc_id, text FROM documents),
+        b AS (
+          SELECT doc_id,
+            CASE WHEN doc_id % 13 = 0 THEN text || ' [rev2]'
+              ELSE text END AS text
+          FROM documents WHERE doc_id % 11 <> 0
+          UNION ALL
+          SELECT doc_id + 1000000, 'new ' || text
+          FROM documents WHERE doc_id % 17 = 0),
+        j AS (SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+            CASE WHEN a.doc_id IS NULL THEN 'added'
+              WHEN b.doc_id IS NULL THEN 'removed'
+              WHEN a.text <> b.text THEN 'changed'
+              ELSE 'unchanged' END AS status
+          FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+        SELECT doc_id, status FROM j
+        WHERE status <> 'unchanged' ORDER BY doc_id"""))
   )
 
   /** Deterministic training-order shuffle: assigns every row a

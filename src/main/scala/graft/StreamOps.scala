@@ -329,6 +329,55 @@ object StreamOps {
         FROM events GROUP BY 1, 2 ORDER BY hour, event_type""")),
 
     Entry(
+      "stream_drift",
+      // Streaming drift monitor — dq_drift's ingest-side twin: the
+      // incoming stream's event_type distribution (odd event_ids, the
+      // "new drop") against the accepted static baseline (even ids),
+      // as total-variation distance in the same cross-multiplied
+      // integer form (per-bin BIGINTs, one final IEEE division — no
+      // ln, no dumped table). The stream side is one Complete-mode
+      // count per type (bins are the handful of event types, so
+      // Complete state is bounded by the DIMENSION, not the stream);
+      // the TVD assembly is batch post-processing on the drained
+      // counts — the alert a pipeline raises before accepting a shard.
+      (s, dir) => {
+        val cnt = eventStream(s, dir)
+          .filter(col("event_id") % 2 === 1)
+          .groupBy(col("event_type")).agg(count(lit(1)).as("cb"))
+        val drained = withShufflePartitions(s, 8)(
+          runOnce(s, cnt, OutputMode.Complete()))
+        val base = t(s, dir, "events")
+          .filter(col("event_id") % 2 === 0)
+          .groupBy(col("event_type")).agg(count(lit(1)).as("ca"))
+        val bins = base.join(drained, Seq("event_type"), "full_outer")
+          .select(coalesce(col("ca"), lit(0L)).as("ca"),
+            coalesce(col("cb"), lit(0L)).as("cb"))
+        bins.crossJoin(broadcast(
+            bins.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))))
+          .agg(sum(abs(col("ca") * col("nb") - col("cb") * col("na")))
+              .as("num"),
+            first(col("na")).as("na"), first(col("nb")).as("nb"))
+          .select(lit("event_type").as("dim"), col("na"), col("nb"),
+            col("num"),
+            (col("num").cast("double") /
+              (lit(2.0) * col("na") * col("nb"))).as("tvd"))
+      },
+      Some("""WITH e AS (SELECT event_type, event_id % 2 AS p
+          FROM events),
+        b AS (SELECT event_type,
+            COUNT(*) FILTER (WHERE p = 0) AS ca,
+            COUNT(*) FILTER (WHERE p = 1) AS cb
+          FROM e GROUP BY event_type),
+        t AS (SELECT CAST(SUM(ca) AS BIGINT) AS na,
+            CAST(SUM(cb) AS BIGINT) AS nb FROM b),
+        r AS (SELECT t.na, t.nb,
+            CAST(SUM(ABS(b.ca * t.nb - b.cb * t.na)) AS BIGINT) AS num
+          FROM b, t GROUP BY t.na, t.nb)
+        SELECT 'event_type' AS dim, na, nb, num,
+          CAST(num AS DOUBLE) / (2.0 * na * nb) AS tvd
+        FROM r ORDER BY dim""")),
+
+    Entry(
       "stream_dedup",
       // Keyed streaming dedup: first occurrence per (user_id,
       // event_type) — batch-equivalent DISTINCT on the key set.
