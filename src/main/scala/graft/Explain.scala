@@ -21,7 +21,8 @@ object Explain {
         "q82_bom_closure", "q84_bfs_hops", "q86_scd2_join",
         "dedup_decontaminate", "knn_ivf", "u2_bulk_ingest",
         "dedup_incremental", "text_pii_scrub", "text_quality_filter",
-        "knn_range", "knn_ivf_range", "knn_ivf_refresh", "text_lm_score",
+        "knn_range", "knn_ivf_range", "knn_ivf_refresh", "knn_pq_refresh",
+        "index_stats", "text_lm_score",
         // stream_* entries are deliberately absent: calling one RUNS
         // the streaming query (AvailableNow drain) and returns the
         // post-materialization batch read, whose plan says nothing

@@ -201,6 +201,8 @@ object SimilarityOps {
     rCen.count(); rAsg.count(); rRad.count()
     val (cen, codes) = pqIndex(s, dir, emb)
     cen.count(); codes.count()
+    val (prCen, prCodes) = pqRefreshBase(s, dir)
+    prCen.count(); prCodes.count()
     dumpOracleBase(s, dir)
   }
 
@@ -242,7 +244,8 @@ object SimilarityOps {
     * `ivfPruned` restricts the scored corpus to each query's 4 probed
     * cells (knn_ivf_pq); false = exhaustive ADC scan (knn_pq).
     */
-  def pqProbeSql(qidPred: String, ivfPruned: Boolean): String = {
+  def pqProbeSql(qidPred: String, ivfPruned: Boolean,
+      cbDir: String = "pq_codebooks", cdDir: String = "pq_codes"): String = {
     val cand =
       if (!ivfPruned) "SELECT q.qid, ce.vec_id, ce.m, ce.code FROM q CROSS JOIN ce WHERE ce.vec_id <> q.qid"
       else s"""SELECT pr.qid, ce.vec_id, ce.m, ce.code
@@ -267,9 +270,9 @@ object SimilarityOps {
       asg AS (SELECT cell, vec_id
         FROM read_parquet('$dumpSql/assignments/*.parquet')),
       cb AS (SELECT m, code, cvec
-        FROM read_parquet('$dumpSql/pq_codebooks/*.parquet')),
+        FROM read_parquet('$dumpSql/$cbDir/*.parquet')),
       ce AS (SELECT vec_id, mi - 1 AS m, codes[mi] AS code
-        FROM read_parquet('$dumpSql/pq_codes/*.parquet')
+        FROM read_parquet('$dumpSql/$cdDir/*.parquet')
         CROSS JOIN (SELECT unnest(range(1, 9)) AS mi) u),
       tab AS (SELECT q2.qid, cb.m, cb.code,
           list_reduce(list_transform(range(1, 9),
@@ -904,7 +907,64 @@ object SimilarityOps {
           .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
         pqSearch(cen, codes, q, 5)
       },
-      Some(pqProbeSql("vec_id < 10", ivfPruned = false)))
+      Some(pqProbeSql("vec_id < 10", ivfPruned = false))),
+
+    Entry(
+      "knn_pq_refresh",
+      // Incremental PQ maintenance — the compressed-index half of the
+      // refresh lifecycle (knn_ivf_refresh is the pruning half): a new
+      // vector batch is ENCODED with the existing codebooks (one
+      // ~128-row codebook broadcast past the batch, O(batch) — no
+      // Lloyd retrain, which at 100 TB is the difference between a
+      // per-shard append and a full index rebuild), the code table
+      // grows by union, and ADC serving runs against the refreshed
+      // codes. Because assignment is per-row, the refreshed table is
+      // bit-identical to a full re-encode at the same codebooks
+      // (Round11Spec); the oracle replays the ADC path over the
+      // dumped refreshed index.
+      (s, dir) => {
+        val (rcen, rcodes) = pqRefreshBase(s, dir)
+        val batch = embeddings(s, dir).filter(col("vec_id") % 7 === 3)
+        val codes2 = rcodes.unionAll(encodeWithCodebooks(rcen, batch))
+        dumpPqRefresh(s, dir, rcen, codes2)
+        val q = embeddings(s, dir)
+          .filter(col("vec_id") >= 10 && col("vec_id") < 15)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        pqSearch(rcen, codes2, q, 5)
+      },
+      Some(pqProbeSql("vec_id >= 10 AND vec_id < 15", ivfPruned = false,
+        cbDir = "pq_r_codebooks", cdDir = "pq_r_codes"))),
+
+    Entry(
+      "index_stats",
+      // ANN index health report — the monitoring every serving index
+      // ships with (cell occupancy and angular radius drive probe
+      // cost and recall; a skewed cell or a radius creeping toward
+      // 90° is the signal to re-train): per-cell member count +
+      // min-dot-to-centroid from the session index artifacts. One
+      // map-side-combined groupBy over the cached assignments; the
+      // centroid join broadcasts ~14 rows. The oracle recomputes both
+      // from the dumped index with the same in-order dot fold, so the
+      // report is hash-exact.
+      (s, dir) => {
+        dumpOracleBase(s, dir)
+        assignedCached(s, dir)
+          .join(broadcast(centroids(s, dir)), "cell")
+          .withColumn("d", Vectors.dot(col("embedding"), col("cvec")))
+          .groupBy(col("cell"))
+          .agg(count(lit(1)).as("n_vecs"), min(col("d")).as("min_cdot"))
+          .orderBy(col("cell"))
+      },
+      Some(s"""WITH cen AS (SELECT cell, cvec
+          FROM read_parquet('$dumpSql/centroids/*.parquet')),
+        asg AS (SELECT cell, vec_id, embedding
+          FROM read_parquet('$dumpSql/assignments/*.parquet')),
+        d AS (SELECT a.cell,
+            list_reduce(list_transform(range(1, len(a.embedding)+1),
+              i -> a.embedding[i]*c.cvec[i]), (x,y) -> x+y) AS d
+          FROM asg a JOIN cen c ON a.cell = c.cell)
+        SELECT cell, COUNT(*) AS n_vecs, MIN(d) AS min_cdot
+        FROM d GROUP BY cell ORDER BY cell"""))
   )
 
   /** Number of PQ subspaces (64 dims / 8 = 8-dim sub-vectors). */
@@ -927,6 +987,54 @@ object SimilarityOps {
     }
     perSession.getOrElseUpdate(dir, trainPq(emb))
   }
+
+  /** Standing BASE PQ index for the incremental-refresh lifecycle
+    * (knn_pq_refresh): codebooks + codes trained on the base corpus
+    * only (vec_id % 7 != 3 — the same base/batch split as the IVF
+    * refresh), cached per (session, corpus) like pqIndex.
+    */
+  private[graft] def pqRefreshBase(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val perSession = pqIndexCache.synchronized {
+      pqIndexCache.computeIfAbsent(s,
+        _ => scala.collection.concurrent.TrieMap.empty[String, (DataFrame, DataFrame)])
+    }
+    perSession.getOrElseUpdate(s"$dir#refresh",
+      trainPq(embeddings(s, dir).filter(col("vec_id") % 7 =!= 3)))
+  }
+
+  /** Encode a NEW vector batch with the EXISTING codebooks — no
+    * codebook retrain, O(batch) work (one broadcast of the ~128-row
+    * codebook past the batch). Because nearest-codebook assignment is
+    * per-row, union(baseCodes, encode(batch)) is IDENTICAL to a full
+    * re-encode of base ∪ batch at the same codebooks — the property
+    * Round11Spec asserts and the entry's dumped-index oracle consumes.
+    */
+  def encodeWithCodebooks(cen: DataFrame, batch: DataFrame): DataFrame =
+    assign(subvecs(batch), cen)
+      .groupBy(col("vec_id"))
+      .agg(array_sort(collect_list(struct(col("m"), col("code"))))
+        .as("mc"))
+      .select(col("vec_id"), expr("transform(mc, e -> e.code)").as("codes"))
+
+  private val pqRefreshDumpDone =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), java.lang.Boolean]()
+
+  /** Dump the refreshed PQ index (base-trained codebooks + the
+    * refreshed code table) once per (session, corpus) so the oracle
+    * replays the ADC serving path over exactly what the entry serves.
+    */
+  private def dumpPqRefresh(s: SparkSession, dir: String,
+      cen: DataFrame, codes: DataFrame): Unit =
+    pqRefreshDumpDone.computeIfAbsent(
+      (System.identityHashCode(s), dir), _ => {
+        val base = s"${OracleDumps.root(s, dir)}/knn"
+        cen.coalesce(1).write.mode("overwrite")
+          .parquet(s"$base/pq_r_codebooks")
+        codes.coalesce(1).write.mode("overwrite")
+          .parquet(s"$base/pq_r_codes")
+        java.lang.Boolean.TRUE
+      })
 
   /** Per-(vec, subspace) rows: vec_id, m, sub (8-dim slice). */
   private def subvecs(emb: DataFrame): DataFrame =

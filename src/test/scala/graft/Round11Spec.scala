@@ -120,6 +120,20 @@ class Round11Spec extends SparkSuite {
     assert(violations == 0, s"$violations members outside their cell radius")
   }
 
+  test("knn_pq_refresh: incremental encode ≡ full re-encode at the same codebooks") {
+    val (rcen, rcodes) = SimilarityOps.pqRefreshBase(spark, sfDir)
+    val emb = Tables.t(spark, sfDir, "embeddings")
+      .select(col("vec_id"),
+        graft.functions.Vectors.normalized(col("embedding")).as("embedding"))
+    val batch = emb.filter(col("vec_id") % 7 === 3)
+    val incr = rcodes
+      .unionAll(SimilarityOps.encodeWithCodebooks(rcen, batch))
+      .collect().map(_.toString).sorted.toSeq
+    val full = SimilarityOps.encodeWithCodebooks(rcen, emb)
+      .collect().map(_.toString).sorted.toSeq
+    assert(incr == full, "incremental PQ encode diverged from full re-encode")
+  }
+
   test("text_classify separates rule-gated positives on the planted fixture") {
     // Fixture doc 0 (28 words incl. repeated stopwords) trains as a
     // positive; doc 3 (9 words) as a negative. A naive-Bayes log-odds
