@@ -22,7 +22,8 @@ object Explain {
         "dedup_decontaminate", "knn_ivf", "u2_bulk_ingest",
         "dedup_incremental", "text_pii_scrub", "text_quality_filter",
         "knn_range", "knn_ivf_range", "knn_ivf_refresh", "knn_pq_refresh",
-        "index_stats", "text_lm_score",
+        "index_stats", "text_lm_score", "knn_hybrid",
+        "text_boiler_ngrams", "dq_length_hist", "text_classify",
         // stream_* entries are deliberately absent: calling one RUNS
         // the streaming query (AvailableNow drain) and returns the
         // post-materialization batch read, whose plan says nothing

@@ -532,6 +532,44 @@ object PipelineOps {
         FROM r ORDER BY dim""")),
 
     Entry(
+      "dq_length_hist",
+      // Token-length distribution report by source — the
+      // sequence-length histogram a packing/curriculum stage reads
+      // before choosing context length and truncation policy.
+      // Buckets are powers of two via BIT LENGTH (length of the
+      // binary string representation), not floor(log2(·)) — float
+      // log at an exact power of 2 can land a ulp under the integer
+      // and misplace the bucket, while the bin-string length is
+      // integer-exact on both engines. One map-side-combined groupBy
+      // over (source × ~10 buckets) — a bounded result at any corpus
+      // size, the same one-shuffle shape as dq_drift's bins.
+      (s, dir) => {
+        t(s, dir, "documents")
+          .select(col("source"),
+            size(TextOps.words(col("text"))).cast("long").as("n_tok"))
+          .filter(col("n_tok") >= 1)
+          .withColumn("bucket", (length(bin(col("n_tok"))) - 1)
+            .cast("long"))
+          .groupBy(col("source"), col("bucket"))
+          .agg(count(lit(1)).as("n_docs"),
+            min(col("n_tok")).as("min_tok"),
+            max(col("n_tok")).as("max_tok"),
+            sum(col("n_tok")).as("sum_tok"))
+          .orderBy(col("source"), col("bucket"))
+      },
+      Some("""WITH d AS (SELECT source,
+            CAST(len(list_filter(string_split(text, ' '),
+              x -> len(x) > 0)) AS BIGINT) AS n_tok
+          FROM documents),
+        b AS (SELECT source, n_tok,
+            CAST(len(bin(n_tok)) - 1 AS BIGINT) AS bucket
+          FROM d WHERE n_tok >= 1)
+        SELECT source, bucket, COUNT(*) AS n_docs,
+          MIN(n_tok) AS min_tok, MAX(n_tok) AS max_tok,
+          CAST(SUM(n_tok) AS BIGINT) AS sum_tok
+        FROM b GROUP BY source, bucket ORDER BY source, bucket""")),
+
+    Entry(
       "pipeline_funnel",
       // The curation-funnel report every corpus release publishes:
       // docs/tokens surviving each stage raw → rule gate → exact

@@ -758,6 +758,124 @@ object SimilarityOps {
         FROM q LEFT JOIN h USING (qid) ORDER BY qid""")),
 
     Entry(
+      "knn_hybrid",
+      // Hybrid retrieval — the RAG/retrieval fusion every modern
+      // pipeline serves: a SPARSE lexical ranking (idf-weighted token
+      // overlap — the BM25 family's scoring skeleton over the query
+      // doc's term set) and a DENSE cosine ranking over embeddings,
+      // fused per query by reciprocal-rank fusion
+      // (rrf = Σ 1/(60+rank), Cormack et al., SIGIR'09). Queries are
+      // the 5 docs with doc_id < 5 (vec_id aligns 1:1 with doc_id in
+      // the corpus). Scale shape: the lexical side is an inverted-
+      // index probe — corpus (doc, term) postings equi-joined against
+      // the BROADCAST query-term set, so only the query terms'
+      // posting lists are ever touched and the corpus never shuffles
+      // for scoring (production adds a df-band cut for stop-frequency
+      // terms, as dedup_ngram_jaccard does); the dense side is
+      // knn_brute's broadcast-queries scan. Both sides rank through
+      // the k-bounded TopKAgg (shuffles ≤ tasks·queries·k partials),
+      // and fusion is a ≤100-rows-per-query outer join. Ranks are
+      // integers and rrf is two IEEE divisions added in fixed order,
+      // so the fused list hash-matches; ln lives only in idf, which
+      // is dumped (bm25's contract).
+      (s, dir) => {
+        import TextOps.words
+        val docs = t(s, dir, "documents")
+        val nD = docs.count().toDouble // bounded scalar (bm25's N pull)
+        val tok = docs.select(col("doc_id"),
+          explode(array_distinct(words(lower(col("text"))))).as("term"))
+        val dfT = tok.groupBy(col("term"))
+          .agg(countDistinct(col("doc_id")).as("df"))
+        val idfTbl = dfT.withColumn("idf_q",
+            round(log((lit(nD) - col("df") + 0.5) / (col("df") + 0.5)
+              + 1.0) * 1e9).cast("long"))
+          .select(col("term"), col("idf_q"))
+        idfTbl.coalesce(1).write.mode("overwrite")
+          .parquet(s"${OracleDumps.root(s, dir)}/knn/hybrid_idf")
+        val qtok = tok.filter(col("doc_id") < 5)
+          .select(col("doc_id").as("qid"), col("term"))
+        val lex = tok.join(broadcast(qtok), Seq("term"))
+          .filter(col("doc_id") =!= col("qid"))
+          .join(broadcast(idfTbl), Seq("term"))
+          .groupBy(col("qid"), col("doc_id"))
+          .agg(sum(col("idf_q")).as("lexs"))
+        // idf_q sums stay < 2^53 (≤ vocab · ln(N)·1e9) — exact as the
+        // double TopKAgg orders by, cast back losslessly after ranking
+        val lexTop = topkPerQuery(
+            lex.select(col("qid"), col("doc_id").as("vec_id"),
+              col("lexs").cast("double").as("lexs")), "lexs", 50)
+          .select(col("qid"), col("vec_id"),
+            col("rank").as("lex_rank"))
+        val emb = embeddings(s, dir)
+        val qv = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val vecTop = topkPerQuery(
+            emb.crossJoin(broadcast(qv))
+              .filter(col("vec_id") =!= col("qid"))
+              .withColumn("sim", Vectors.dot(col("embedding"), col("qvec")))
+              .select(col("qid"), col("vec_id"), col("sim")), "sim", 50)
+          .select(col("qid"), col("vec_id"), col("rank").as("vec_rank"))
+        val fused = lexTop
+          .join(vecTop, Seq("qid", "vec_id"), "full_outer")
+          .withColumn("rrf",
+            coalesce(lit(1.0) / (lit(60) + col("lex_rank")), lit(0.0)) +
+              coalesce(lit(1.0) / (lit(60) + col("vec_rank")), lit(0.0)))
+        val wF = Window.partitionBy(col("qid"))
+          .orderBy(col("rrf").desc, col("vec_id"))
+        fused.withColumn("rank", row_number().over(wF))
+          .filter(col("rank") <= 10)
+          .select(col("qid"), col("rank").cast("long").as("rank"),
+            col("vec_id"), col("lex_rank").cast("long").as("lex_rank"),
+            col("vec_rank").cast("long").as("vec_rank"), col("rrf"))
+          .orderBy(col("qid"), col("rank"))
+      },
+      Some(s"""WITH w AS (SELECT doc_id,
+            list_distinct(list_filter(string_split(lower(text), ' '),
+              x -> len(x) > 0)) AS w
+          FROM documents),
+        tok AS (SELECT doc_id, unnest(w) AS term FROM w),
+        idf AS (SELECT term, idf_q
+          FROM read_parquet('$dumpSql/hybrid_idf/*.parquet')),
+        qt AS (SELECT doc_id AS qid, term FROM tok WHERE doc_id < 5),
+        lex AS (SELECT qt.qid, t.doc_id AS vec_id,
+            CAST(SUM(i.idf_q) AS BIGINT) AS lex_q
+          FROM qt JOIN tok t USING (term) JOIN idf i USING (term)
+          WHERE t.doc_id <> qt.qid GROUP BY qt.qid, t.doc_id),
+        lex50 AS (SELECT qid, vec_id, lex_rank FROM (SELECT qid, vec_id,
+            row_number() OVER (PARTITION BY qid
+              ORDER BY lex_q DESC, vec_id) AS lex_rank FROM lex)
+          WHERE lex_rank <= 50),
+        norm AS (SELECT vec_id,
+            list_transform(embedding, x -> CAST(x AS DOUBLE) / sqrt(
+              list_reduce(list_transform(embedding,
+                y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)),
+                (a,b) -> a+b))) AS e
+          FROM embeddings),
+        qv AS (SELECT vec_id AS qid, e AS qe FROM norm WHERE vec_id < 5),
+        vs AS (SELECT qv.qid, n.vec_id,
+            list_reduce(list_transform(range(1, len(n.e)+1),
+              i -> n.e[i]*qv.qe[i]), (a,b) -> a+b) AS sim
+          FROM norm n, qv WHERE n.vec_id <> qv.qid),
+        v50 AS (SELECT qid, vec_id, vec_rank FROM (SELECT qid, vec_id,
+            row_number() OVER (PARTITION BY qid
+              ORDER BY sim DESC, vec_id) AS vec_rank FROM vs)
+          WHERE vec_rank <= 50),
+        fused AS (SELECT COALESCE(l.qid, v.qid) AS qid,
+            COALESCE(l.vec_id, v.vec_id) AS vec_id,
+            l.lex_rank, v.vec_rank,
+            COALESCE(1.0 / (60 + l.lex_rank), 0.0) +
+              COALESCE(1.0 / (60 + v.vec_rank), 0.0) AS rrf
+          FROM lex50 l FULL OUTER JOIN v50 v
+            ON l.qid = v.qid AND l.vec_id = v.vec_id),
+        r AS (SELECT qid, vec_id, lex_rank, vec_rank, rrf,
+            CAST(row_number() OVER (PARTITION BY qid
+              ORDER BY rrf DESC, vec_id) AS BIGINT) AS rank
+          FROM fused)
+        SELECT qid, rank, vec_id, CAST(lex_rank AS BIGINT) AS lex_rank,
+          CAST(vec_rank AS BIGINT) AS vec_rank, rrf
+        FROM r WHERE rank <= 10 ORDER BY qid, rank""")),
+
+    Entry(
       "emb_centroid",
       // Per-label embedding centroids with EXACTLY-reproducible float
       // reduction: a double Σ is order-dependent, so each (label, dim)

@@ -490,6 +490,31 @@ object StreamOps {
       Some(TextOps.lmOracleSql)),
 
     Entry(
+      "stream_classify",
+      // Streaming deployment of the learned quality classifier — the
+      // ingest-side twin of text_classify, the way stream_lm_score
+      // twins text_lm_score: weights train offline (session-cached,
+      // batch side), and the scorer rides the stream as a PURE
+      // STATELESS PROJECTION (the weight vector is a plan literal, so
+      // each micro-batch scores locally — no stream-static join, no
+      // state store, no watermark; the cheapest possible streaming
+      // operator shape, and the reason a fasttext-style filter is the
+      // first gate a 100 TB ingest pipeline runs). Append-mode drain
+      // of the file stream == the batch projection row-for-row, so
+      // the SAME dumped-vocab oracle gates both.
+      (s, dir) => {
+        val w = TextOps.classifyWeights(s, dir)
+        val schema = s.read.parquet(s"$dir/documents.parquet").schema
+        val docs = s.readStream.schema(schema)
+          .option("pathGlobFilter", "documents.parquet").parquet(dir)
+          .select(col("doc_id"), col("text"))
+        runOnce(s, TextOps.classifyProjection(docs, w),
+            OutputMode.Append())
+          .orderBy(col("doc_id"))
+      },
+      Some(TextOps.classifyOracleSql)),
+
+    Entry(
       "u2_stream",
       // Unified2 spool follow as a stream: AvailableNow drain of the
       // fixture spool through the streaming parser. SpoolStreamSpec

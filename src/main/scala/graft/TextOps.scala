@@ -17,7 +17,7 @@ object TextOps {
   private val StopWords = Seq("the", "a", "of", "and", "to", "in", "is")
 
   /** Non-empty whitespace tokens. */
-  private def words(c: Column): Column =
+  private[graft] def words(c: Column): Column =
     filter(split(c, " "), x => length(x) > lit(0))
 
   /** Lowercased host of a URL, `www.` and any port stripped. */
@@ -252,9 +252,37 @@ object TextOps {
     * doc score is an in-row integer fold. No join, no shuffle, no
     * state — Round11Spec pins zero Exchanges in this plan.
     */
-  private[graft] def textClassify(s: SparkSession, dir: String): DataFrame = {
-    val w = classifyWeights(s, dir)
-    t(s, dir, "documents")
+  private[graft] def textClassify(s: SparkSession, dir: String): DataFrame =
+    classifyProjection(t(s, dir, "documents"), classifyWeights(s, dir))
+
+  /** Classifier oracle over the dumped per-token weights — shared by
+    * text_classify and stream_classify (drained stream == batch for a
+    * stateless projection, so the SAME SQL gates both).
+    */
+  private[graft] val classifyOracleSql: String =
+    s"""WITH v AS (SELECT token, wq FROM read_parquet(
+            '${OracleDumps.SqlRoot}/text/classify_vocab/*.parquet')),
+          dd AS (SELECT doc_id, list_filter(string_split(lower(text), ' '),
+              x -> len(x) > 0) AS w
+            FROM documents),
+          tok AS (SELECT doc_id, unnest(w) AS token
+            FROM dd WHERE len(w) >= 1),
+          sc AS (SELECT doc_id, COUNT(*) AS n_tok,
+              CAST(SUM(v.wq) AS BIGINT) AS score_q
+            FROM tok JOIN v USING (token) GROUP BY doc_id)
+        SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok, score_q,
+          CAST(score_q AS DOUBLE) / 1e9 / n_tok AS score,
+          score_q > 0 AS pred_hq
+        FROM sc ORDER BY doc_id"""
+
+  /** The classifier projection over an arbitrary (doc_id, text) frame
+    * — shared by the batch entry and stream_classify (the same plan
+    * applied to a stream is what makes batch ≡ stream trivially true
+    * for a stateless scorer).
+    */
+  private[graft] def classifyProjection(docs: DataFrame, w: Array[Long])
+      : DataFrame = {
+    docs
       .select(col("doc_id"), words(lower(col("text"))).as("w"))
       .filter(size(col("w")) >= 1)
       .withColumn("n_tok", size(col("w")).cast("long"))
@@ -281,20 +309,7 @@ object TextOps {
       // integer sum, so the oracle (over the dumped per-token weights)
       // hash-matches including the IEEE-ordered double division.
       (s, dir) => textClassify(s, dir).orderBy(col("doc_id")),
-      Some(s"""WITH v AS (SELECT token, wq FROM read_parquet(
-            '${OracleDumps.SqlRoot}/text/classify_vocab/*.parquet')),
-          dd AS (SELECT doc_id, list_filter(string_split(lower(text), ' '),
-              x -> len(x) > 0) AS w
-            FROM documents),
-          tok AS (SELECT doc_id, unnest(w) AS token
-            FROM dd WHERE len(w) >= 1),
-          sc AS (SELECT doc_id, COUNT(*) AS n_tok,
-              CAST(SUM(v.wq) AS BIGINT) AS score_q
-            FROM tok JOIN v USING (token) GROUP BY doc_id)
-        SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok, score_q,
-          CAST(score_q AS DOUBLE) / 1e9 / n_tok AS score,
-          score_q > 0 AS pred_hq
-        FROM sc ORDER BY doc_id""")),
+      Some(classifyOracleSql)),
 
     Entry(
       "text_normalize",
@@ -897,6 +912,63 @@ object TextOps {
               CAST(len(bi) AS DOUBLE)
           ELSE 0.0 END AS dup_frac
         FROM b ORDER BY doc_id""")),
+
+    Entry(
+      "text_boiler_ngrams",
+      // Corpus-frequent n-gram boilerplate report — the cross-document
+      // complement to text_repetition's intra-doc filter (the
+      // CCNet/RefinedWeb boilerplate stage: navigation chrome, cookie
+      // banners, license footers recur VERBATIM across documents, and
+      // the signal is document frequency of short word n-grams, not
+      // within-doc repetition). Per doc: total 3-gram occurrences,
+      // occurrences of "boilerplate" grams (df ≥ 3 docs), their
+      // fraction, and the keep verdict at the 50% gate. Scale shape:
+      // gram df is one map-side-combined count shuffle over gram
+      // TYPES (sub-linear, the lm/bpe topology — at 100 TB a df-band
+      // or CMS heavy-hitters pass bounds the type table like
+      // dedup_ngram_jaccard's banding); the per-doc recount is one
+      // equi-join on the gram key (both sides partition — the hot
+      // path never broadcasts the gram table) + one doc_id re-agg.
+      // Integer counts and one correctly-rounded division — fully
+      // SQL-oracled, no dump needed.
+      (s, dir) => {
+        val grams = t(s, dir, "documents")
+          .select(col("doc_id"), words(lower(col("text"))).as("w"))
+          .filter(size(col("w")) >= 3)
+          .select(col("doc_id"),
+            explode(transform(sequence(lit(1), size(col("w")) - 2),
+              i => concat_ws(" ", slice(col("w"), i, lit(3))))).as("gram"))
+        val df = grams.select(col("doc_id"), col("gram")).distinct()
+          .groupBy(col("gram"))
+          .agg(countDistinct(col("doc_id")).as("df"))
+        grams.join(df, Seq("gram"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_grams"),
+            sum(when(col("df") >= 3, 1L).otherwise(0L)).as("n_boiler"))
+          .withColumn("boiler_frac",
+            col("n_boiler").cast("double") / col("n_grams").cast("double"))
+          .withColumn("keep", col("boiler_frac") <= 0.5)
+          .select(col("doc_id"), col("n_grams"), col("n_boiler"),
+            col("boiler_frac"), col("keep"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH w AS (SELECT doc_id,
+            list_filter(string_split(lower(text), ' '),
+              x -> len(x) > 0) AS w
+          FROM documents),
+        g AS (SELECT doc_id,
+            unnest(list_transform(range(1, len(w) - 1),
+              i -> array_to_string(list_slice(w, i, i + 2), ' '))) AS gram
+          FROM w WHERE len(w) >= 3),
+        df AS (SELECT gram, COUNT(DISTINCT doc_id) AS df
+          FROM g GROUP BY gram),
+        sc AS (SELECT doc_id, COUNT(*) AS n_grams,
+            SUM(CASE WHEN df.df >= 3 THEN 1 ELSE 0 END) AS n_boiler
+          FROM g JOIN df USING (gram) GROUP BY doc_id)
+        SELECT doc_id, n_grams, CAST(n_boiler AS BIGINT) AS n_boiler,
+          CAST(n_boiler AS DOUBLE) / CAST(n_grams AS DOUBLE) AS boiler_frac,
+          CAST(n_boiler AS DOUBLE) / CAST(n_grams AS DOUBLE) <= 0.5 AS keep
+        FROM sc ORDER BY doc_id""")),
 
     Entry(
       "bpe_train",

@@ -134,6 +134,77 @@ class Round11Spec extends SparkSuite {
     assert(incr == full, "incremental PQ encode diverged from full re-encode")
   }
 
+  test("knn_hybrid: rrf is exactly the two-rank fusion and ranks are dense") {
+    val rows = q("knn_hybrid", sfDir).collect()
+    assert(rows.nonEmpty)
+    val byQ = rows.groupBy(_.getAs[Long]("qid"))
+    assert(byQ.keySet == (0L until 5L).toSet)
+    byQ.values.foreach { rs =>
+      assert(rs.map(_.getAs[Long]("rank")).sorted.toSeq == (1L to 10L),
+        "fused ranks must be dense 1..10 per query")
+    }
+    rows.foreach { r =>
+      def term(c: String): Double =
+        if (r.isNullAt(r.fieldIndex(c))) 0.0
+        else 1.0 / (60 + r.getAs[Long](c))
+      assert(r.getAs[Double]("rrf") == term("lex_rank") + term("vec_rank"),
+        s"rrf must equal the fixed-order two-term fusion: $r")
+      assert(!(r.isNullAt(r.fieldIndex("lex_rank")) &&
+        r.isNullAt(r.fieldIndex("vec_rank"))),
+        "a fused candidate must come from at least one list")
+    }
+  }
+
+  test("knn_hybrid: a doc in both lists outranks same-position single-list docs") {
+    // RRF's defining property: rank-r in BOTH lists fuses to
+    // 2/(60+r), strictly above 1/(60+r) from either alone.
+    val rows = q("knn_hybrid", sfDir).collect()
+    val both = rows.filter(r => !r.isNullAt(r.fieldIndex("lex_rank")) &&
+      !r.isNullAt(r.fieldIndex("vec_rank")))
+    assert(both.nonEmpty, "test corpus should fuse at least one doc " +
+      "appearing in both the lexical and vector top-50")
+  }
+
+  test("text_boiler_ngrams: fractions bound, keep gate, and planted df signal") {
+    val rows = q("text_boiler_ngrams", sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, b) = (r.getAs[Long]("n_grams"), r.getAs[Long]("n_boiler"))
+      assert(b >= 0 && b <= n)
+      val frac = r.getAs[Double]("boiler_frac")
+      assert(frac == b.toDouble / n.toDouble)
+      assert(r.getAs[Boolean]("keep") == (frac <= 0.5))
+    }
+    // the synthetic corpus genuinely repeats 3-grams across docs —
+    // the df>=3 signal must fire somewhere or the gate is vacuous
+    assert(rows.map(_.getAs[Long]("n_boiler")).sum > 0)
+  }
+
+  test("stream_classify drained == batch text_classify row-for-row") {
+    val dir = sfDir
+    val batch = q("text_classify", dir).collect().map(_.toString).toSeq
+    val stream = q("stream_classify", dir).collect().map(_.toString).toSeq
+    assert(stream == batch)
+  }
+
+  test("dq_length_hist: buckets are exact powers of two and counts total") {
+    val dir = sfDir
+    val rows = q("dq_length_hist", dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val bkt = r.getAs[Long]("bucket")
+      val lo = 1L << bkt
+      val hi = (1L << (bkt + 1)) - 1
+      assert(r.getAs[Long]("min_tok") >= lo && r.getAs[Long]("max_tok") <= hi,
+        s"bucket $bkt must span [$lo,$hi]: $r")
+    }
+    val total = rows.map(_.getAs[Long]("n_docs")).sum
+    val expect = Tables.t(spark, dir, "documents")
+      .filter(size(filter(split(col("text"), " "),
+        x => length(x) > 0)) >= 1).count()
+    assert(total == expect)
+  }
+
   test("text_classify separates rule-gated positives on the planted fixture") {
     // Fixture doc 0 (28 words incl. repeated stopwords) trains as a
     // positive; doc 3 (9 words) as a negative. A naive-Bayes log-odds
