@@ -390,6 +390,63 @@ object DedupOps {
         FROM lab GROUP BY cluster ORDER BY cluster""")),
 
     Entry(
+      "dedup_containment",
+      // Asymmetric CONTAINMENT dedup — the doc-inside-doc case Jaccard
+      // misses (a quote page wrapping an article, a page embedding a
+      // license text: |A∩B|/|A| is high while Jaccard is diluted by
+      // the container's extra content). Candidates come from the same
+      // shared LSH banding as dedup_minhash (one bucket shuffle, no
+      // n²; a production containment index additionally bands on the
+      // SMALLER side's signature to recover high-containment/
+      // low-Jaccard pairs the symmetric bands lose — the documented
+      // recall trade), then each candidate pair is verified with exact
+      // shingle containment in BOTH directions at τ=0.6. Integer set
+      // sizes + one division per direction — fully re-derived by the
+      // oracle from the dumped banded signatures + SQL shingle twin.
+      (s, dir) => {
+        withJaccardRewrite(s)
+        dumpOracleBase(s, dir)
+        val cand = pairsFromBuckets(bandedSigs(s, dir), Seq("band", "bkey"))
+        val sh = shingledCached(s, dir)
+        val joined = cand.join(sh.toDF("a", "sh_a"), "a")
+          .join(sh.toDF("b", "sh_b"), "b")
+          .withColumn("n_common",
+            size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+          .withColumn("n_a", size(col("sh_a")).cast("long"))
+          .withColumn("n_b", size(col("sh_b")).cast("long"))
+        val ab = joined.select(col("a").as("contained"),
+          col("b").as("container"), col("n_common"),
+          (col("n_common").cast("double") / col("n_a").cast("double"))
+            .as("containment"))
+        val ba = joined.select(col("b").as("contained"),
+          col("a").as("container"), col("n_common"),
+          (col("n_common").cast("double") / col("n_b").cast("double"))
+            .as("containment"))
+        ab.unionAll(ba).filter(col("containment") >= 0.6)
+          .orderBy(col("contained"), col("container"))
+      },
+      Some(s"""WITH $shinglesSql,
+        bd AS (SELECT band, bkey, doc_id
+          FROM read_parquet('$dumpSql/banded/*.parquet')),
+        cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+          FROM bd l JOIN bd r ON l.band = r.band AND l.bkey = r.bkey
+            AND l.doc_id < r.doc_id),
+        v AS (SELECT a, b,
+            CAST(len(list_intersect(x.shingles, y.shingles)) AS BIGINT)
+              AS n_common,
+            CAST(len(x.shingles) AS BIGINT) AS n_a,
+            CAST(len(y.shingles) AS BIGINT) AS n_b
+          FROM cand JOIN sh x ON cand.a = x.doc_id
+            JOIN sh y ON cand.b = y.doc_id),
+        u AS (SELECT a AS contained, b AS container, n_common,
+            CAST(n_common AS DOUBLE) / CAST(n_a AS DOUBLE) AS containment
+          FROM v
+          UNION ALL SELECT b, a, n_common,
+            CAST(n_common AS DOUBLE) / CAST(n_b AS DOUBLE) FROM v)
+        SELECT contained, container, n_common, containment FROM u
+        WHERE containment >= 0.6 ORDER BY contained, container""")),
+
+    Entry(
       "dedup_incremental",
       // The CONTINUOUS-INGESTION form of MinHash dedup: history's
       // banded signatures live in a PERSISTED store (parquet

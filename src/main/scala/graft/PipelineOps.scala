@@ -248,6 +248,72 @@ object PipelineOps {
         FROM k ORDER BY shard_id, position""")),
 
     Entry(
+      "mix_curriculum",
+      // Curriculum-ordered training mix — corpus_shuffle's staged
+      // sibling (curriculum learning: schedule high-quality text
+      // first, noisier bands later). Stage = learned-classifier
+      // quality band at FIXED cuts (mean per-token log-odds ≥
+      // 0.13 / 0.09 / 0.05 / below), compared in EXACT integer space
+      // (100·score_q vs cut·1e9·n_tok — no float compare, the
+      // pipeline_funnel trick), so stage assignment is a pure
+      // projection: no global sort, no data-dependent quantile pass.
+      // Within a stage the order is corpus_shuffle's hash scheme
+      // (seed-deterministic, arithmetic shard ranges, per-(stage,
+      // shard) bounded window) — the dataloader reads stages in
+      // order, shards within a stage in parallel. Same dumped-vocab
+      // oracle as text_classify.
+      (s, dir) => {
+        val scored = TextOps.classifyProjection(
+          t(s, dir, "documents").select(col("doc_id"), col("text")),
+          TextOps.classifyWeights(s, dir))
+        val prime = 1000000007L
+        val shardW = (prime + 3) / 4
+        val staged = scored
+          .withColumn("stage",
+            when(col("score_q") * 100 >= lit(13000000000L) * col("n_tok"),
+              0L)
+              .when(col("score_q") * 100 >= lit(9000000000L) * col("n_tok"),
+                1L)
+              .when(col("score_q") * 100 >= lit(5000000000L) * col("n_tok"),
+                2L)
+              .otherwise(3L))
+          .withColumn("k",
+            (((col("doc_id") * lit(2654435761L) + lit(42L * 998244353L))
+              % lit(prime)) + lit(prime)) % lit(prime))
+          .withColumn("shard_id", expr(s"CAST(k DIV $shardW AS BIGINT)"))
+        val w = Window.partitionBy(col("stage"), col("shard_id"))
+          .orderBy(col("k"), col("doc_id"))
+        staged.withColumn("position", row_number().over(w).cast("long"))
+          .select(col("stage"), col("shard_id"), col("position"),
+            col("doc_id"), col("score_q"))
+          .orderBy(col("stage"), col("shard_id"), col("position"))
+      },
+      Some(s"""WITH v AS (SELECT token, wq FROM read_parquet(
+            '${OracleDumps.SqlRoot}/text/classify_vocab/*.parquet')),
+        dd AS (SELECT doc_id, list_filter(string_split(lower(text), ' '),
+            x -> len(x) > 0) AS w
+          FROM documents),
+        tok AS (SELECT doc_id, unnest(w) AS token
+          FROM dd WHERE len(w) >= 1),
+        sc AS (SELECT doc_id, COUNT(*) AS n_tok,
+            CAST(SUM(v.wq) AS BIGINT) AS score_q
+          FROM tok JOIN v USING (token) GROUP BY doc_id),
+        st AS (SELECT doc_id, score_q,
+            CASE WHEN score_q * 100 >= 13000000000 * n_tok THEN 0
+                 WHEN score_q * 100 >= 9000000000 * n_tok THEN 1
+                 WHEN score_q * 100 >= 5000000000 * n_tok THEN 2
+                 ELSE 3 END AS stage,
+            (doc_id * 2654435761 + CAST(42 AS BIGINT) * 998244353)
+              % 1000000007 AS k
+          FROM sc)
+        SELECT CAST(stage AS BIGINT) AS stage,
+          CAST(k // 250000002 AS BIGINT) AS shard_id,
+          CAST(row_number() OVER (PARTITION BY stage, k // 250000002
+            ORDER BY k, doc_id) AS BIGINT) AS position,
+          doc_id, score_q
+        FROM st ORDER BY stage, shard_id, position""")),
+
+    Entry(
       "sample_temperature",
       // Temperature-sampling weights (α = 0.5) — the multilingual
       // rebalancing rule for LLM data mixes: lang weight ∝ √(n/n_max),

@@ -914,6 +914,65 @@ object TextOps {
         FROM b ORDER BY doc_id""")),
 
     Entry(
+      "text_entropy",
+      // Token-distribution Shannon entropy per document — the
+      // lexical-diversity quality signal (type-token ratio's
+      // information-theoretic form: templated/spammy text has low
+      // entropy, natural prose high). H = ln n − (1/n)·Σ c_i·ln c_i
+      // is computed ENTIRELY in integers: a tiny lnq table
+      // (k → round(1e12·ln k), k ≤ max doc length — a bounded
+      // broadcast artifact, dumped for the oracle like bm25's idf)
+      // turns the per-doc sum into n·lnq(n) − Σ c_i·lnq(c_i), an
+      // order-free exact BIGINT with ONE final IEEE division. Scale:
+      // one (doc, token) count shuffle + one doc_id re-agg; the lnq
+      // joins are broadcast-tiny.
+      (s, dir) => {
+        val toks = t(s, dir, "documents")
+          .select(col("doc_id"), explode(words(lower(col("text"))))
+            .as("token"))
+        val counts = toks.groupBy(col("doc_id"), col("token"))
+          .agg(count(lit(1)).as("c"))
+        val maxN = math.max(1, t(s, dir, "documents")
+          .agg(max(size(words(lower(col("text")))))).head().getInt(0))
+        val lnq = s.range(1, maxN + 1L).toDF("k")
+          .withColumn("lnq",
+            round(log(col("k").cast("double")) * 1e12).cast("long"))
+        lnq.coalesce(1).write.mode("overwrite")
+          .parquet(s"${OracleDumps.root(s, dir)}/text/lnq")
+        val perDoc = counts.join(broadcast(lnq), col("c") === col("k"))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("c")).as("n_tok"), count(lit(1)).as("n_types"),
+            sum(col("c") * col("lnq")).as("sum_clnq"))
+        perDoc.join(broadcast(lnq), col("n_tok") === col("k"))
+          .withColumn("entropy_q",
+            col("n_tok") * col("lnq") - col("sum_clnq"))
+          .withColumn("entropy", col("entropy_q").cast("double") /
+            (col("n_tok").cast("double") * lit(1e12)))
+          .select(col("doc_id"), col("n_tok"), col("n_types"),
+            col("entropy_q"), col("entropy"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH lnq AS (SELECT k, lnq
+          FROM read_parquet('${OracleDumps.SqlRoot}/text/lnq/*.parquet')),
+        dd AS (SELECT doc_id, list_filter(string_split(lower(text), ' '),
+            x -> len(x) > 0) AS w
+          FROM documents),
+        tok AS (SELECT doc_id, unnest(w) AS token
+          FROM dd WHERE len(w) >= 1),
+        cnt AS (SELECT doc_id, token, COUNT(*) AS c
+          FROM tok GROUP BY doc_id, token),
+        pd AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tok,
+            COUNT(*) AS n_types,
+            CAST(SUM(c * l.lnq) AS BIGINT) AS sum_clnq
+          FROM cnt JOIN lnq l ON cnt.c = l.k GROUP BY doc_id)
+        SELECT pd.doc_id, pd.n_tok, pd.n_types,
+          pd.n_tok * l2.lnq - pd.sum_clnq AS entropy_q,
+          CAST(pd.n_tok * l2.lnq - pd.sum_clnq AS DOUBLE) /
+            (CAST(pd.n_tok AS DOUBLE) * 1e12) AS entropy
+        FROM pd JOIN lnq l2 ON pd.n_tok = l2.k
+        ORDER BY doc_id""")),
+
+    Entry(
       "text_boiler_ngrams",
       // Corpus-frequent n-gram boilerplate report — the cross-document
       // complement to text_repetition's intra-doc filter (the

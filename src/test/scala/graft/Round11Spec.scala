@@ -205,6 +205,60 @@ class Round11Spec extends SparkSuite {
     assert(total == expect)
   }
 
+  test("mix_curriculum: integer stage cuts, dense in-shard positions, full cover") {
+    val dir = sfDir
+    val rows = q("mix_curriculum", dir).collect()
+    assert(rows.nonEmpty)
+    // every scored doc appears exactly once — a curriculum is a
+    // partition of the corpus, not a sample
+    val ids = rows.map(_.getAs[Long]("doc_id"))
+    assert(ids.distinct.length == ids.length)
+    assert(ids.length == q("text_classify", dir).count())
+    rows.groupBy(r => (r.getAs[Long]("stage"), r.getAs[Long]("shard_id")))
+      .values.foreach { rs =>
+        assert(rs.map(_.getAs[Long]("position")).sorted.toSeq ==
+          (1L to rs.length), "positions must be dense per (stage, shard)")
+      }
+    assert(rows.map(_.getAs[Long]("stage")).distinct.sorted.length > 1,
+      "fixed cuts should split this corpus into multiple stages")
+  }
+
+  test("text_entropy: bounds, single-type zero, and hand-recomputed doc") {
+    val dir = sfDir
+    val rows = q("text_entropy", dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, types) = (r.getAs[Long]("n_tok"), r.getAs[Long]("n_types"))
+      val h = r.getAs[Double]("entropy")
+      assert(h >= -1e-12 && h <= math.log(n.toDouble) + 1e-9,
+        s"entropy outside [0, ln n]: $r")
+      if (types == 1) assert(r.getAs[Long]("entropy_q") == 0L)
+    }
+    // recompute one doc with the same quantized-ln scheme
+    val doc = Tables.t(spark, dir, "documents")
+      .filter(col("doc_id") === 0).select(col("text"))
+      .head().getString(0)
+    val toks = doc.toLowerCase.split(" ").filter(_.nonEmpty)
+    def lnq(k: Long) = math.round(math.log(k.toDouble) * 1e12)
+    val counts = toks.groupBy(identity).map(_._2.length.toLong)
+    val expectQ = toks.length * lnq(toks.length) -
+      counts.map(c => c * lnq(c)).sum
+    val got = rows.find(_.getAs[Long]("doc_id") == 0L).get
+    assert(got.getAs[Long]("entropy_q") == expectQ)
+  }
+
+  test("dedup_containment: planted exact/near dups contain each other") {
+    val pairs = q("dedup_containment", Fixtures.dir).collect()
+      .map(r => (r.getAs[Long]("contained"), r.getAs[Long]("container"),
+        r.getAs[Double]("containment")))
+    // exact dup pair (0,1): containment 1.0 in both directions
+    assert(pairs.exists(p => p._1 == 0L && p._2 == 1L && p._3 == 1.0))
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 0L && p._3 == 1.0))
+    pairs.foreach { case (a, b, c) =>
+      assert(a != b); assert(c >= 0.6 && c <= 1.0)
+    }
+  }
+
   test("text_classify separates rule-gated positives on the planted fixture") {
     // Fixture doc 0 (28 words incl. repeated stopwords) trains as a
     // positive; doc 3 (9 words) as a negative. A naive-Bayes log-odds
