@@ -24,7 +24,7 @@ object Explain {
         "knn_range", "knn_ivf_range", "knn_ivf_refresh", "knn_pq_refresh",
         "index_stats", "text_lm_score", "knn_hybrid",
         "text_boiler_ngrams", "dq_length_hist", "text_classify",
-        "mix_curriculum", "text_entropy", "dedup_containment",
+        "mix_curriculum", "text_entropy", "dedup_containment", "knn_mmr",
         // stream_* entries are deliberately absent: calling one RUNS
         // the streaming query (AvailableNow drain) and returns the
         // post-materialization batch read, whose plan says nothing

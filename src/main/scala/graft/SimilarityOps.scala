@@ -876,6 +876,168 @@ object SimilarityOps {
         FROM r WHERE rank <= 10 ORDER BY qid, rank""")),
 
     Entry(
+      "knn_mmr",
+      // MMR diversified re-ranking (Carbonell & Goldstein, SIGIR'98)
+      // — the de-dup layer retrieval serves AFTER top-k: greedily
+      // pick k=5 of the top-20 candidates maximizing
+      // λ·sim(q,d) − (1−λ)·max_{s∈S} sim(d,s), λ=0.5, so near-
+      // identical hits don't crowd the result page / RAG context.
+      // Scale shape: candidate generation is knn_brute's broadcast
+      // scan + TopKAgg (the only corpus-sized stage); everything
+      // after is per-query BOUNDED — 20·19 pairwise dots per query,
+      // five greedy rounds as dataframe joins over those pairs (the
+      // unrolled-round topology q87_pagerank uses). Selection
+      // compares doubles built from the same in-order folds both
+      // engines share, penalties are order-free MAXes, ties break on
+      // vec_id — so the 5-step greedy replays EXACTLY in the
+      // oracle's unrolled SQL.
+      (s, dir) => {
+        val emb = embeddings(s, dir)
+        val qv = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        // localCheckpoint truncates lineage (the connectedComponents
+        // pattern): cand (queries·20 rows) and pair (queries·380)
+        // otherwise re-derive the corpus scan in EVERY greedy round's
+        // join — ~15 rescans at step 5. The rerank working set is
+        // per-query bounded, so materializing it is O(queries), not
+        // O(corpus); superseded blocks are ContextCleaner-collected.
+        val cand = topkPerQuery(
+          emb.crossJoin(broadcast(qv))
+            .filter(col("vec_id") =!= col("qid"))
+            .withColumn("sim", Vectors.dot(col("embedding"), col("qvec")))
+            .select(col("qid"), col("vec_id"), col("sim")), "sim", 20)
+          .select(col("qid"), col("vec_id"), col("sim"))
+          // single partition: the greedy's ~20 micro-stages otherwise
+          // each shuffle ≤100 rows into spark.sql.shuffle.partitions
+          // tasks — pure scheduling overhead at any cluster size
+          .coalesce(1)
+          .localCheckpoint(true)
+        val cv = cand.join(emb, "vec_id")
+          .select(col("qid"), col("vec_id"), col("sim"), col("embedding"))
+        val pair = cv.select(col("qid"), col("vec_id").as("a"),
+            col("embedding").as("ea"))
+          .join(cv.select(col("qid"), col("vec_id").as("b"),
+            col("embedding").as("eb")), "qid")
+          .filter(col("a") =!= col("b"))
+          .select(col("qid"), col("a"), col("b"),
+            Vectors.dot(col("ea"), col("eb")).as("d"))
+          .coalesce(1)
+          .localCheckpoint(true)
+        val wSel = Window.partitionBy(col("qid"))
+          .orderBy(col("score").desc, col("vec_id"))
+        val pick1 = cand
+          .withColumn("score", lit(0.5) * col("sim"))
+          .withColumn("rn", row_number().over(wSel))
+          .filter(col("rn") === 1)
+          .select(col("qid"), col("vec_id"), col("score"))
+        var sel = pick1.withColumn("step", lit(1L))
+        for (step <- 2 to 5) {
+          val pen = pair
+            .join(sel.select(col("qid"), col("vec_id").as("a")),
+              Seq("qid", "a"))
+            .groupBy(col("qid"), col("b").as("vec_id"))
+            .agg(max(col("d")).as("pen"))
+          val pick = cand.join(pen, Seq("qid", "vec_id"))
+            .join(sel.select(col("qid"), col("vec_id")),
+              Seq("qid", "vec_id"), "left_anti")
+            .withColumn("score",
+              lit(0.5) * col("sim") - lit(0.5) * col("pen"))
+            .withColumn("rn", row_number().over(wSel))
+            .filter(col("rn") === 1)
+            .select(col("qid"), col("vec_id"), col("score"))
+            // sel feeds BOTH the penalty join and the anti-join next
+            // round — without truncation each round duplicates the
+            // previous round's subtree twice (2^k micro-stages by
+            // step k); a one-row-per-query checkpoint keeps it linear
+            .localCheckpoint(true)
+          sel = sel.unionByName(pick.withColumn("step", lit(step.toLong)))
+        }
+        sel.select(col("qid"), col("step"), col("vec_id"),
+            col("score").as("mmr"))
+          .orderBy(col("qid"), col("step"))
+      },
+      Some("""WITH norm AS (SELECT vec_id,
+            list_transform(embedding, x -> CAST(x AS DOUBLE) / sqrt(
+              list_reduce(list_transform(embedding,
+                y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)),
+                (a,b) -> a+b))) AS e
+          FROM embeddings),
+        qv AS (SELECT vec_id AS qid, e AS qe FROM norm WHERE vec_id < 5),
+        sims AS (SELECT qv.qid, n.vec_id, n.e,
+            list_reduce(list_transform(range(1, len(n.e)+1),
+              i -> n.e[i]*qv.qe[i]), (a,b) -> a+b) AS sim
+          FROM norm n, qv WHERE n.vec_id <> qv.qid),
+        c AS (SELECT qid, vec_id, e, sim FROM (SELECT *,
+            row_number() OVER (PARTITION BY qid
+              ORDER BY sim DESC, vec_id) AS rnk FROM sims)
+          WHERE rnk <= 20),
+        p AS (SELECT x.qid, x.vec_id AS a, y.vec_id AS b,
+            list_reduce(list_transform(range(1, len(x.e)+1),
+              i -> x.e[i]*y.e[i]), (u,v) -> u+v) AS d
+          FROM c x JOIN c y ON x.qid = y.qid AND x.vec_id <> y.vec_id),
+        pick1 AS (SELECT qid, vec_id, score FROM (SELECT qid, vec_id,
+            0.5*sim AS score, row_number() OVER (PARTITION BY qid
+              ORDER BY 0.5*sim DESC, vec_id) AS rn FROM c) WHERE rn = 1),
+        sel1 AS (SELECT qid, vec_id FROM pick1),
+        pen2 AS (SELECT p.qid, p.b AS vec_id, MAX(p.d) AS pen
+          FROM p JOIN sel1 s ON p.qid = s.qid AND p.a = s.vec_id
+          GROUP BY p.qid, p.b),
+        pick2 AS (SELECT qid, vec_id, score FROM (SELECT c.qid, c.vec_id,
+            0.5*c.sim - 0.5*pen2.pen AS score,
+            row_number() OVER (PARTITION BY c.qid
+              ORDER BY 0.5*c.sim - 0.5*pen2.pen DESC, c.vec_id) AS rn
+          FROM c JOIN pen2 ON c.qid = pen2.qid AND c.vec_id = pen2.vec_id
+          WHERE NOT EXISTS (SELECT 1 FROM sel1
+            WHERE sel1.qid = c.qid AND sel1.vec_id = c.vec_id))
+          WHERE rn = 1),
+        sel2 AS (SELECT * FROM sel1
+          UNION ALL SELECT qid, vec_id FROM pick2),
+        pen3 AS (SELECT p.qid, p.b AS vec_id, MAX(p.d) AS pen
+          FROM p JOIN sel2 s ON p.qid = s.qid AND p.a = s.vec_id
+          GROUP BY p.qid, p.b),
+        pick3 AS (SELECT qid, vec_id, score FROM (SELECT c.qid, c.vec_id,
+            0.5*c.sim - 0.5*pen3.pen AS score,
+            row_number() OVER (PARTITION BY c.qid
+              ORDER BY 0.5*c.sim - 0.5*pen3.pen DESC, c.vec_id) AS rn
+          FROM c JOIN pen3 ON c.qid = pen3.qid AND c.vec_id = pen3.vec_id
+          WHERE NOT EXISTS (SELECT 1 FROM sel2
+            WHERE sel2.qid = c.qid AND sel2.vec_id = c.vec_id))
+          WHERE rn = 1),
+        sel3 AS (SELECT * FROM sel2
+          UNION ALL SELECT qid, vec_id FROM pick3),
+        pen4 AS (SELECT p.qid, p.b AS vec_id, MAX(p.d) AS pen
+          FROM p JOIN sel3 s ON p.qid = s.qid AND p.a = s.vec_id
+          GROUP BY p.qid, p.b),
+        pick4 AS (SELECT qid, vec_id, score FROM (SELECT c.qid, c.vec_id,
+            0.5*c.sim - 0.5*pen4.pen AS score,
+            row_number() OVER (PARTITION BY c.qid
+              ORDER BY 0.5*c.sim - 0.5*pen4.pen DESC, c.vec_id) AS rn
+          FROM c JOIN pen4 ON c.qid = pen4.qid AND c.vec_id = pen4.vec_id
+          WHERE NOT EXISTS (SELECT 1 FROM sel3
+            WHERE sel3.qid = c.qid AND sel3.vec_id = c.vec_id))
+          WHERE rn = 1),
+        sel4 AS (SELECT * FROM sel3
+          UNION ALL SELECT qid, vec_id FROM pick4),
+        pen5 AS (SELECT p.qid, p.b AS vec_id, MAX(p.d) AS pen
+          FROM p JOIN sel4 s ON p.qid = s.qid AND p.a = s.vec_id
+          GROUP BY p.qid, p.b),
+        pick5 AS (SELECT qid, vec_id, score FROM (SELECT c.qid, c.vec_id,
+            0.5*c.sim - 0.5*pen5.pen AS score,
+            row_number() OVER (PARTITION BY c.qid
+              ORDER BY 0.5*c.sim - 0.5*pen5.pen DESC, c.vec_id) AS rn
+          FROM c JOIN pen5 ON c.qid = pen5.qid AND c.vec_id = pen5.vec_id
+          WHERE NOT EXISTS (SELECT 1 FROM sel4
+            WHERE sel4.qid = c.qid AND sel4.vec_id = c.vec_id))
+          WHERE rn = 1)
+        SELECT qid, CAST(step AS BIGINT) AS step, vec_id, mmr FROM (
+          SELECT qid, 1 AS step, vec_id, score AS mmr FROM pick1
+          UNION ALL SELECT qid, 2, vec_id, score FROM pick2
+          UNION ALL SELECT qid, 3, vec_id, score FROM pick3
+          UNION ALL SELECT qid, 4, vec_id, score FROM pick4
+          UNION ALL SELECT qid, 5, vec_id, score FROM pick5)
+        ORDER BY qid, step""")),
+
+    Entry(
       "emb_centroid",
       // Per-label embedding centroids with EXACTLY-reproducible float
       // reduction: a double Σ is order-dependent, so each (label, dim)

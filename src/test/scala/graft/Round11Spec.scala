@@ -259,6 +259,64 @@ class Round11Spec extends SparkSuite {
     }
   }
 
+  test("knn_mmr: entry replays an independent Scala greedy bit-for-bit") {
+    val dir = sfDir
+    // independent reimplementation: same normalize + in-order dot
+    // folds, same (score DESC, vec_id ASC) tie-break, λ=0.5, k=5
+    val emb = Tables.t(spark, dir, "embeddings").collect()
+      .map { r =>
+        val v = r.getAs[Seq[Float]]("embedding").map(_.toDouble).toArray
+        val n = math.sqrt(v.foldLeft(0.0)((a, x) => a + x * x))
+        r.getAs[Long]("vec_id") -> v.map(_ / n)
+      }.toMap
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    val expect = (0L until 5L).flatMap { qid =>
+      val cand = emb.keys.filter(_ != qid).toSeq
+        .map(v => v -> dot(emb(qid), emb(v)))
+        .sortBy { case (v, s) => (-s, v) }.take(20)
+      val sims = cand.toMap
+      var sel = Vector.empty[(Long, Long, Double)] // (step, vec, score)
+      for (step <- 1 to 5) {
+        val pool = cand.filterNot { case (v, _) =>
+          sel.exists(_._2 == v) }
+        val scored = pool.map { case (v, s) =>
+          val pen = if (sel.isEmpty) 0.0
+            else sel.map(x => dot(emb(x._2), emb(v))).max
+          (v, if (sel.isEmpty) 0.5 * s else 0.5 * s - 0.5 * pen)
+        }
+        val (bv, bs) = scored.minBy { case (v, s) => (-s, v) }
+        sel :+= ((step.toLong, bv, bs))
+      }
+      sel.map { case (st, v, sc) => (qid, st, v, sc) }
+    }
+    val got = q("knn_mmr", dir).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("step"),
+        r.getAs[Long]("vec_id"), r.getAs[Double]("mmr"))).toSeq
+    assert(got == expect, "MMR greedy diverged from the reference replay")
+  }
+
+  test("knn_mmr: per-query steps are dense and distinct; step 1 is the top hit") {
+    // NOTE: scores are NOT monotone across steps — with cosine in
+    // [-1,1] the max-similarity penalty can be NEGATIVE (an
+    // anti-similar pick earns a diversity bonus), so a later greedy
+    // step may legitimately outscore step 1.
+    val brute1 = q("knn_brute", sfDir).collect()
+      .filter(_.getAs[Int]("rank") == 1)
+      .map(r => r.getAs[Long]("qid") -> r.getAs[Long]("vec_id")).toMap
+    val rows = q("knn_mmr", sfDir).collect()
+    rows.groupBy(_.getAs[Long]("qid")).foreach { case (qid, rs) =>
+      val ordered = rs.sortBy(_.getAs[Long]("step"))
+      assert(ordered.map(_.getAs[Long]("step")).toSeq == (1L to 5L))
+      val ids = ordered.map(_.getAs[Long]("vec_id"))
+      assert(ids.distinct.length == ids.length)
+      assert(ids.head == brute1(qid),
+        "MMR step 1 must be the undiversified nearest neighbor")
+    }
+  }
+
   test("text_classify separates rule-gated positives on the planted fixture") {
     // Fixture doc 0 (28 words incl. repeated stopwords) trains as a
     // positive; doc 3 (9 words) as a negative. A naive-Bayes log-odds
