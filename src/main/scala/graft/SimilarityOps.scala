@@ -1038,6 +1038,106 @@ object SimilarityOps {
         ORDER BY qid, step""")),
 
     Entry(
+      "emb_kcenter",
+      // Greedy farthest-point coreset (Gonzalez'85 k-center
+      // 2-approximation — the diversity-exemplar selection a
+      // data-pruning pipeline runs to pick maximally-spread
+      // representatives, and the deterministic cousin of k-means++
+      // seeding): seed = vec_id 0, then 4 rounds of "pick the vector
+      // whose MAX cosine to the selected set is smallest". Scale
+      // shape: each round is ONE corpus scan — the ≤k selected
+      // vectors fold into a broadcast array literal, max-dot
+      // evaluates inside the row projection (order-free MAX — no
+      // float-sum drift), and the global argmin is a TakeOrdered
+      // top-1 (per-partition heap, no sort shuffle). k scans total,
+      // sel checkpointed per round (the knn_mmr lineage lesson).
+      // Ties break on vec_id; every compared double comes from the
+      // shared in-order fold — the unrolled SQL oracle replays the
+      // traversal exactly.
+      (s, dir) => {
+        val emb = embeddings(s, dir)
+        var sel = emb.filter(col("vec_id") === 0)
+          .select(lit(1L).as("step"), col("vec_id"),
+            lit(null).cast("double").as("max_dot"), col("embedding"))
+          .localCheckpoint(true)
+        for (step <- 2 to 5) {
+          val selArr = sel.agg(collect_list(
+            struct(col("vec_id").as("id"), col("embedding").as("v")))
+            .as("sel_arr"))
+          val pick = emb
+            .join(sel.select(col("vec_id")), Seq("vec_id"), "left_anti")
+            .crossJoin(broadcast(selArr))
+            .withColumn("max_dot", array_max(transform(col("sel_arr"),
+              e => Vectors.dot(col("embedding"), e.getField("v")))))
+            .orderBy(col("max_dot").asc, col("vec_id").asc)
+            .limit(1)
+            .select(lit(step.toLong).as("step"), col("vec_id"),
+              col("max_dot"), col("embedding"))
+            .localCheckpoint(true)
+          sel = sel.unionByName(pick)
+        }
+        sel.select(col("step"), col("vec_id"), col("max_dot"))
+          .orderBy(col("step"))
+      },
+      Some("""WITH norm AS (SELECT vec_id,
+            list_transform(embedding, x -> CAST(x AS DOUBLE) / sqrt(
+              list_reduce(list_transform(embedding,
+                y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)),
+                (a,b) -> a+b))) AS e
+          FROM embeddings),
+        sel1 AS (SELECT vec_id, e FROM norm WHERE vec_id = 0),
+        m2 AS (SELECT n.vec_id,
+            MAX(list_reduce(list_transform(range(1, len(n.e)+1),
+              i -> n.e[i]*s.e[i]), (a,b) -> a+b)) AS md
+          FROM norm n CROSS JOIN sel1 s
+          WHERE n.vec_id NOT IN (SELECT vec_id FROM sel1)
+          GROUP BY n.vec_id),
+        p2 AS (SELECT vec_id, md FROM (SELECT vec_id, md,
+            row_number() OVER (ORDER BY md, vec_id) AS rn FROM m2)
+          WHERE rn = 1),
+        sel2 AS (SELECT * FROM sel1 UNION ALL
+          SELECT n.vec_id, n.e FROM norm n JOIN p2 USING (vec_id)),
+        m3 AS (SELECT n.vec_id,
+            MAX(list_reduce(list_transform(range(1, len(n.e)+1),
+              i -> n.e[i]*s.e[i]), (a,b) -> a+b)) AS md
+          FROM norm n CROSS JOIN sel2 s
+          WHERE n.vec_id NOT IN (SELECT vec_id FROM sel2)
+          GROUP BY n.vec_id),
+        p3 AS (SELECT vec_id, md FROM (SELECT vec_id, md,
+            row_number() OVER (ORDER BY md, vec_id) AS rn FROM m3)
+          WHERE rn = 1),
+        sel3 AS (SELECT * FROM sel2 UNION ALL
+          SELECT n.vec_id, n.e FROM norm n JOIN p3 USING (vec_id)),
+        m4 AS (SELECT n.vec_id,
+            MAX(list_reduce(list_transform(range(1, len(n.e)+1),
+              i -> n.e[i]*s.e[i]), (a,b) -> a+b)) AS md
+          FROM norm n CROSS JOIN sel3 s
+          WHERE n.vec_id NOT IN (SELECT vec_id FROM sel3)
+          GROUP BY n.vec_id),
+        p4 AS (SELECT vec_id, md FROM (SELECT vec_id, md,
+            row_number() OVER (ORDER BY md, vec_id) AS rn FROM m4)
+          WHERE rn = 1),
+        sel4 AS (SELECT * FROM sel3 UNION ALL
+          SELECT n.vec_id, n.e FROM norm n JOIN p4 USING (vec_id)),
+        m5 AS (SELECT n.vec_id,
+            MAX(list_reduce(list_transform(range(1, len(n.e)+1),
+              i -> n.e[i]*s.e[i]), (a,b) -> a+b)) AS md
+          FROM norm n CROSS JOIN sel4 s
+          WHERE n.vec_id NOT IN (SELECT vec_id FROM sel4)
+          GROUP BY n.vec_id),
+        p5 AS (SELECT vec_id, md FROM (SELECT vec_id, md,
+            row_number() OVER (ORDER BY md, vec_id) AS rn FROM m5)
+          WHERE rn = 1)
+        SELECT CAST(step AS BIGINT) AS step, vec_id, max_dot FROM (
+          SELECT 1 AS step, vec_id, CAST(NULL AS DOUBLE) AS max_dot
+            FROM sel1
+          UNION ALL SELECT 2, vec_id, md FROM p2
+          UNION ALL SELECT 3, vec_id, md FROM p3
+          UNION ALL SELECT 4, vec_id, md FROM p4
+          UNION ALL SELECT 5, vec_id, md FROM p5)
+        ORDER BY step""")),
+
+    Entry(
       "emb_centroid",
       // Per-label embedding centroids with EXACTLY-reproducible float
       // reduction: a double Σ is order-dependent, so each (label, dim)

@@ -317,6 +317,38 @@ class Round11Spec extends SparkSuite {
     }
   }
 
+  test("emb_kcenter: independent greedy replay and non-decreasing coverage") {
+    val dir = sfDir
+    val emb = Tables.t(spark, dir, "embeddings").collect()
+      .map { r =>
+        val v = r.getAs[Seq[Float]]("embedding").map(_.toDouble).toArray
+        val n = math.sqrt(v.foldLeft(0.0)((a, x) => a + x * x))
+        r.getAs[Long]("vec_id") -> v.map(_ / n)
+      }.toMap
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    var sel = Vector(0L)
+    var expect = Vector[(Long, Long, Option[Double])]((1L, 0L, None))
+    for (step <- 2 to 5) {
+      val cands = emb.keys.filterNot(sel.contains).toSeq
+        .map(v => v -> sel.map(s => dot(emb(v), emb(s))).max)
+      val (bv, bm) = cands.minBy { case (v, m) => (m, v) }
+      sel :+= bv
+      expect :+= ((step.toLong, bv, Some(bm)))
+    }
+    val got = q("emb_kcenter", dir).collect()
+      .map(r => (r.getAs[Long]("step"), r.getAs[Long]("vec_id"),
+        if (r.isNullAt(r.fieldIndex("max_dot"))) None
+        else Some(r.getAs[Double]("max_dot")))).toVector
+    assert(got == expect, "k-center traversal diverged from the replay")
+    // coverage monotonicity: as the set grows, the farthest remaining
+    // point can only get CLOSER (max_dot non-decreasing over steps)
+    val mds = got.drop(1).map(_._3.get)
+    assert(mds.zip(mds.tail).forall { case (a, b) => b >= a }, mds)
+  }
+
   test("text_classify separates rule-gated positives on the planted fixture") {
     // Fixture doc 0 (28 words incl. repeated stopwords) trains as a
     // positive; doc 3 (9 words) as a negative. A naive-Bayes log-odds
