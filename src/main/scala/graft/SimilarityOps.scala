@@ -1548,6 +1548,37 @@ object MultimodalOps {
         if (r.payload.isEmpty) 0.0 else sum.toDouble / r.payload.length)
     }
 
+  case class MMHash(doc_id: Long, sig: Long)
+
+  /** STUB perceptual hash (aHash's exact structure over raw payload
+    * bytes — a real implementation swaps the byte blocks for 8×8 DCT
+    * coefficients of the decoded image; the block-mean-vs-global-mean
+    * bit rule is the algorithm): 32 equal-stride byte blocks, bit i =
+    * [block-i mean > whole-payload mean], compared in EXACT integer
+    * cross-multiplied form (blocksum·nb > total·blocklen). */
+  private def phashBatch(it: Iterator[MMIn]): Iterator[MMHash] =
+    it.map { r =>
+      val nb = r.payload.length
+      val stride = math.max(nb / 32, 1)
+      var tot = 0L
+      var i = 0
+      while (i < nb) { tot += (r.payload(i) & 0xff); i += 1 }
+      var sig = 0L
+      var blk = 0
+      while (blk < 32) {
+        val st = blk * stride
+        val en = math.min(st + stride, nb)
+        if (st < nb) {
+          var s = 0L
+          var j = st
+          while (j < en) { s += (r.payload(j) & 0xff); j += 1 }
+          if (s * nb > tot * (en - st)) sig |= (1L << blk)
+        }
+        blk += 1
+      }
+      MMHash(r.doc_id, sig)
+    }
+
   case class MMResized(doc_id: Long, out_w: Int, out_h: Int,
       scale_x: Double, scale_y: Double, n_bytes: Long)
   case class MMFrame(doc_id: Long, frame_idx: Int, offset: Long,
@@ -1692,6 +1723,77 @@ object MultimodalOps {
               CAST(LEAST(f*32+32, nb) AS INT)),
               i -> h2i(h, 2*i+1, 2))), (a, x) -> a + x) AS frame_checksum
         FROM fr ORDER BY doc_id, frame_idx""")),
+
+    Entry(
+      "mm_phash",
+      // Perceptual-hash near-dup detection for media payloads — the
+      // image-dedup stage a multimodal pipeline runs where text gets
+      // MinHash (near-identical images differ in a few phash bits the
+      // way near-dup docs differ in a few shingles). The hash is
+      // aHash's structure over the payload (see phashBatch — a real
+      // codec swaps byte blocks for decoded DCT coefficients; the
+      // mapPartitions batch plumbing and everything downstream are
+      // the production shape). Pairing is dedup_simhash's topology:
+      // 4×8-bit block-equality buckets (hamming ≤ 3 ⇒ some block
+      // exact), bucket self-join, bit_count(xor) verify — one bucket
+      // shuffle, no n². Bit rule is exact cross-multiplied integer
+      // compare, so the whole pipeline is SQL-oracled from raw bytes.
+      (s, dir) => {
+        val sig = mmSource(s, dir).as(Encoders.product[MMIn])
+          .mapPartitions(phashBatch)(Encoders.product[MMHash])
+          .toDF()
+        val blocked = sig.select(col("doc_id"), col("sig"),
+          posexplode(expr("transform(sequence(0, 3), " +
+            "b -> (sig >> (b * 8)) & 255)")).as(Seq("blk", "bkey")))
+        val l = blocked.select(col("blk"), col("bkey"),
+          col("doc_id").as("a"), col("sig").as("sig_a"))
+        val r = blocked.select(col("blk"), col("bkey"),
+          col("doc_id").as("b"), col("sig").as("sig_b"))
+        l.join(r, Seq("blk", "bkey"))
+          .filter(col("a") < col("b"))
+          .select(col("a"), col("b"),
+            bit_count(col("sig_a").bitwiseXOR(col("sig_b")))
+              .cast("long").as("hamming"))
+          .distinct()
+          .filter(col("hamming") <= 3)
+          .orderBy(col("a"), col("b"))
+      },
+      Some("""CREATE OR REPLACE MACRO h2i(h, p, k) AS list_reduce(
+          list_transform(range(CAST(p AS INT), CAST(p + k AS INT)),
+            i -> strpos('0123456789ABCDEF', h[CAST(i AS INT)]) - 1),
+          (a, b) -> a * 16 + b);
+        CREATE OR REPLACE MACRO bytes_of(t) AS (
+          list_transform(range(0, octet_length(encode(t))),
+            i -> h2i(hex(encode(t)), 2*CAST(i AS INT)+1, 2)));
+        WITH b AS (SELECT doc_id, bytes_of(text) AS by,
+            CAST(octet_length(encode(text)) AS BIGINT) AS nb
+          FROM documents),
+        t AS (SELECT doc_id, by, nb, GREATEST(nb // 32, 1) AS stride,
+            list_reduce(list_prepend(CAST(0 AS BIGINT), by),
+              (a, x) -> a + x) AS tot
+          FROM b),
+        s AS (SELECT doc_id,
+            list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(range(0, 32), blk ->
+                CASE WHEN blk*stride < nb AND
+                  list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_slice(by, CAST(blk*stride+1 AS INT),
+                      CAST(LEAST(blk*stride+stride, nb) AS INT))),
+                    (a, x) -> a + x) * nb
+                  > tot * (LEAST(blk*stride+stride, nb) - blk*stride)
+                THEN (CAST(1 AS BIGINT) << CAST(blk AS INT))
+                ELSE CAST(0 AS BIGINT) END)),
+              (a, x) -> a + x) AS sig
+          FROM t),
+        bk AS (SELECT doc_id, sig, blk,
+            (sig >> CAST(blk*8 AS INT)) & 255 AS bkey
+          FROM (SELECT doc_id, sig, unnest(range(0, 4)) AS blk FROM s)),
+        cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
+            l.sig AS sa, r.sig AS sb
+          FROM bk l JOIN bk r ON l.blk = r.blk AND l.bkey = r.bkey
+            AND l.doc_id < r.doc_id)
+        SELECT a, b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+        FROM cand WHERE bit_count(xor(sa, sb)) <= 3 ORDER BY a, b""")),
 
     Entry(
       "mm_embed_knn",

@@ -349,6 +349,17 @@ class Round11Spec extends SparkSuite {
     assert(mds.zip(mds.tail).forall { case (a, b) => b >= a }, mds)
   }
 
+  test("mm_phash: exact-dup payloads collide at hamming 0 on the fixture") {
+    val pairs = q("mm_phash", Fixtures.dir).collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"),
+        r.getAs[Long]("hamming")))
+    assert(pairs.exists(p => p._1 == 0L && p._2 == 1L && p._3 == 0L),
+      s"identical payloads must share the perceptual hash: ${pairs.toSeq}")
+    pairs.foreach { case (a, b, h) =>
+      assert(a < b && h >= 0 && h <= 3)
+    }
+  }
+
   test("text_classify separates rule-gated positives on the planted fixture") {
     // Fixture doc 0 (28 words incl. repeated stopwords) trains as a
     // positive; doc 3 (9 words) as a negative. A naive-Bayes log-odds
