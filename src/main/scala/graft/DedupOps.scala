@@ -447,6 +447,62 @@ object DedupOps {
         WHERE containment >= 0.6 ORDER BY contained, container""")),
 
     Entry(
+      "dedup_threshold_report",
+      // τ-sweep observability — the report that picks the dedup
+      // threshold BEFORE committing a 100 TB dedup run: exact-Jaccard
+      // histogram of all LSH candidate pairs (banding admits
+      // false-positive pairs well below the 0.5 design point — their
+      // mass shows where the τ knife actually cuts). Bins are
+      // INTEGER-EXACT: bin = min(10·|∩| div |∪|, 9) — no float
+      // boundary, the cross-multiplied trick — with per-bin pair
+      // count and min/max observed Jaccard. Same single bucket
+      // shuffle + shingle verify the other dedup entries share; the
+      // report itself is a ≤10-row aggregate.
+      (s, dir) => {
+        withJaccardRewrite(s)
+        dumpOracleBase(s, dir)
+        val cand = pairsFromBuckets(bandedSigs(s, dir), Seq("band", "bkey"))
+        val sh = shingledCached(s, dir)
+        cand.join(sh.toDF("a", "sh_a"), "a")
+          .join(sh.toDF("b", "sh_b"), "b")
+          .withColumn("inter",
+            size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+          .withColumn("uni",
+            size(array_union(col("sh_a"), col("sh_b"))).cast("long"))
+          .withColumn("bin",
+            least(expr("(inter * 10) DIV uni"), lit(9L)))
+          .withColumn("jaccard",
+            col("inter").cast("double") / col("uni").cast("double"))
+          .groupBy(col("bin"))
+          .agg(count(lit(1)).as("n_pairs"),
+            min(col("jaccard")).as("min_j"),
+            max(col("jaccard")).as("max_j"))
+          .withColumn("jaccard_lo", col("bin").cast("double") / 10.0)
+          .select(col("bin"), col("jaccard_lo"), col("n_pairs"),
+            col("min_j"), col("max_j"))
+          .orderBy(col("bin"))
+      },
+      Some(s"""WITH $shinglesSql,
+        bd AS (SELECT band, bkey, doc_id
+          FROM read_parquet('$dumpSql/banded/*.parquet')),
+        cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+          FROM bd l JOIN bd r ON l.band = r.band AND l.bkey = r.bkey
+            AND l.doc_id < r.doc_id),
+        v AS (SELECT a, b,
+            CAST(len(list_intersect(x.shingles, y.shingles)) AS BIGINT)
+              AS inter,
+            CAST(len(list_distinct(list_concat(x.shingles, y.shingles)))
+              AS BIGINT) AS uni
+          FROM cand JOIN sh x ON cand.a = x.doc_id
+            JOIN sh y ON cand.b = y.doc_id),
+        binned AS (SELECT LEAST((inter * 10) // uni, 9) AS bin,
+            CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) AS jaccard
+          FROM v)
+        SELECT bin, CAST(bin AS DOUBLE) / 10.0 AS jaccard_lo,
+          COUNT(*) AS n_pairs, MIN(jaccard) AS min_j, MAX(jaccard) AS max_j
+        FROM binned GROUP BY bin ORDER BY bin""")),
+
+    Entry(
       "dedup_incremental",
       // The CONTINUOUS-INGESTION form of MinHash dedup: history's
       // banded signatures live in a PERSISTED store (parquet

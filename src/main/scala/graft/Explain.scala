@@ -25,7 +25,7 @@ object Explain {
         "index_stats", "text_lm_score", "knn_hybrid",
         "text_boiler_ngrams", "dq_length_hist", "text_classify",
         "mix_curriculum", "text_entropy", "dedup_containment", "knn_mmr",
-        "emb_kcenter", "mm_phash",
+        "emb_kcenter", "mm_phash", "dedup_threshold_report",
         // stream_* entries are deliberately absent: calling one RUNS
         // the streaming query (AvailableNow drain) and returns the
         // post-materialization batch read, whose plan says nothing

@@ -360,6 +360,23 @@ class Round11Spec extends SparkSuite {
     }
   }
 
+  test("dedup_threshold_report: fixture mass lands in the exact integer bins") {
+    // fixture candidates: the exact pair (0,1) at jaccard 1.0 → bin 9
+    // (capped), and the near pair(s) at 23/29 ≈ 0.793 → 230//29 = 7
+    val rows = q("dedup_threshold_report", Fixtures.dir).collect()
+      .map(r => r.getAs[Long]("bin") ->
+        (r.getAs[Long]("n_pairs"), r.getAs[Double]("min_j"),
+          r.getAs[Double]("max_j"))).toMap
+    assert(rows.contains(9L) && rows(9L)._3 == 1.0,
+      s"exact-dup pair must land in the top bin: $rows")
+    assert(rows.contains(7L), s"the 0.79-jaccard near pair is missing: $rows")
+    rows.foreach { case (bin, (n, lo, hi)) =>
+      assert(n > 0 && lo <= hi)
+      assert(lo >= bin / 10.0 - 1e-15 && (bin == 9L || hi < (bin + 1) / 10.0),
+        s"observed jaccards must respect bin bounds: $bin -> ($lo, $hi)")
+    }
+  }
+
   test("text_classify separates rule-gated positives on the planted fixture") {
     // Fixture doc 0 (28 words incl. repeated stopwords) trains as a
     // positive; doc 3 (9 words) as a negative. A naive-Bayes log-odds
