@@ -1170,6 +1170,140 @@ object SimilarityOps {
         FROM s ORDER BY label, dim""")),
 
     Entry(
+      "emb_outliers",
+      // Embedding outlier report — the data-QA pass a vector corpus
+      // runs before training/indexing (noise, mislabels and encoder
+      // failures sit far from the data's center): cosine of each
+      // unit vector to the UNIT GLOBAL CENTROID, bottom-20. The
+      // centroid reuses emb_centroid's exactly-reproducible sorted
+      // per-dim fold (one (dim) shuffle, 64 rows out), rides into
+      // the scan as a broadcast 1-row array, and the bottom-k is a
+      // TakeOrdered heap — no corpus shuffle. Every float step is
+      // the shared in-order fold, so ranks and cosines hash-match.
+      (s, dir) => {
+        val cen = t(s, dir, "embeddings")
+          .select(posexplode(col("embedding")).as(Seq("pos", "v")))
+          .select(col("pos"), col("v").cast("double").as("v"))
+          .groupBy(col("pos"))
+          .agg(aggregate(array_sort(collect_list(col("v"))), lit(0.0),
+              (a, x) => a + x).as("ssum"),
+            count(lit(1)).as("n"))
+          .select(col("pos"), (col("ssum") / col("n")).as("m"))
+          .agg(array_sort(collect_list(struct(col("pos"), col("m"))))
+            .as("cen_arr"))
+        val cenVec = transform(col("cen_arr"), e => e.getField("m"))
+        val scored = embeddings(s, dir)
+          .crossJoin(broadcast(cen))
+          .withColumn("cos_centroid",
+            Vectors.dot(col("embedding"), Vectors.normalized(cenVec)))
+          .select(col("vec_id"), col("cos_centroid"))
+          .orderBy(col("cos_centroid").asc, col("vec_id"))
+          .limit(20)
+        scored.withColumn("rank", row_number().over(
+            Window.orderBy(col("cos_centroid").asc, col("vec_id")))
+            .cast("long"))
+          .select(col("rank"), col("vec_id"), col("cos_centroid"))
+          .orderBy(col("rank"))
+      },
+      Some("""WITH e AS (SELECT i - 1 AS pos,
+            CAST(embedding[i] AS DOUBLE) AS v
+          FROM embeddings,
+            unnest(generate_series(1, len(embedding))) AS t(i)),
+        cd AS (SELECT pos,
+            list_reduce(list(v ORDER BY v), (a, x) -> a + x)
+              / COUNT(*) AS m
+          FROM e GROUP BY pos),
+        ca AS (SELECT list(m ORDER BY pos) AS cv FROM cd),
+        cu AS (SELECT list_transform(cv, x -> x / sqrt(
+            list_reduce(list_transform(cv, y -> y*y), (a,b) -> a+b)))
+            AS cu FROM ca),
+        norm AS (SELECT vec_id,
+            list_transform(embedding, x -> CAST(x AS DOUBLE) / sqrt(
+              list_reduce(list_transform(embedding,
+                y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)),
+                (a,b) -> a+b))) AS e
+          FROM embeddings),
+        sc AS (SELECT n.vec_id,
+            list_reduce(list_transform(range(1, len(n.e)+1),
+              i -> n.e[i]*cu.cu[i]), (a,b) -> a+b) AS cos_centroid
+          FROM norm n CROSS JOIN cu)
+        SELECT CAST(row_number() OVER (ORDER BY cos_centroid, vec_id)
+            AS BIGINT) AS rank, vec_id, cos_centroid
+        FROM sc ORDER BY cos_centroid, vec_id LIMIT 20""")),
+
+    Entry(
+      "emb_dispersion",
+      // Per-label cohesion report — the classifier-data QA twin of
+      // emb_centroid (tight classes embed-train well; a label whose
+      // members barely point at their own centroid is noisy or
+      // mislabeled): mean cosine of each member to its label's unit
+      // centroid. The per-member cosines are QUANTIZED to
+      // round(·1e12) integers before summing (the lm/classify trick)
+      // so the per-label mean is order-free and hash-exact. One
+      // (label, dim) centroid shuffle + one label re-agg; centroids
+      // ride broadcast.
+      (s, dir) => {
+        val cen = t(s, dir, "embeddings")
+          .select(col("label"), posexplode(col("embedding"))
+            .as(Seq("pos", "v")))
+          .select(col("label"), col("pos"), col("v").cast("double").as("v"))
+          .groupBy(col("label"), col("pos"))
+          .agg(aggregate(array_sort(collect_list(col("v"))), lit(0.0),
+              (a, x) => a + x).as("ssum"),
+            count(lit(1)).as("n"))
+          .select(col("label"), col("pos"), (col("ssum") / col("n")).as("m"))
+          .groupBy(col("label"))
+          .agg(array_sort(collect_list(struct(col("pos"), col("m"))))
+            .as("cen_arr"))
+          .select(col("label"),
+            transform(col("cen_arr"), e => e.getField("m")).as("cv"))
+        val cu = cen.select(col("label"),
+          Vectors.normalized(col("cv")).as("cu"))
+        t(s, dir, "embeddings")
+          .select(col("vec_id"), col("label"),
+            Vectors.normalized(col("embedding")).as("e"))
+          .join(broadcast(cu), "label")
+          .withColumn("cos_q",
+            round(Vectors.dot(col("e"), col("cu")) * 1e12).cast("long"))
+          .groupBy(col("label"))
+          .agg(count(lit(1)).as("n"), sum(col("cos_q")).as("cohesion_q"))
+          .withColumn("cohesion", col("cohesion_q").cast("double")
+            / lit(1e12) / col("n"))
+          .select(col("label"), col("n"), col("cohesion_q"),
+            col("cohesion"))
+          .orderBy(col("label"))
+      },
+      Some("""WITH e AS (SELECT label, i - 1 AS pos,
+            CAST(embedding[i] AS DOUBLE) AS v
+          FROM embeddings,
+            unnest(generate_series(1, len(embedding))) AS t(i)),
+        cd AS (SELECT label, pos,
+            list_reduce(list(v ORDER BY v), (a, x) -> a + x)
+              / COUNT(*) AS m
+          FROM e GROUP BY label, pos),
+        ca AS (SELECT label, list(m ORDER BY pos) AS cv
+          FROM cd GROUP BY label),
+        cu AS (SELECT label, list_transform(cv, x -> x / sqrt(
+            list_reduce(list_transform(cv, y -> y*y), (a,b) -> a+b)))
+            AS cu FROM ca),
+        norm AS (SELECT vec_id, label,
+            list_transform(embedding, x -> CAST(x AS DOUBLE) / sqrt(
+              list_reduce(list_transform(embedding,
+                y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)),
+                (a,b) -> a+b))) AS e
+          FROM embeddings),
+        sc AS (SELECT n.label,
+            CAST(round(list_reduce(list_transform(range(1, len(n.e)+1),
+              i -> n.e[i]*cu.cu[i]), (a,b) -> a+b) * 1e12) AS BIGINT)
+              AS cos_q
+          FROM norm n JOIN cu USING (label))
+        SELECT label, COUNT(*) AS n,
+          CAST(SUM(cos_q) AS BIGINT) AS cohesion_q,
+          CAST(CAST(SUM(cos_q) AS BIGINT) AS DOUBLE) / 1e12 / COUNT(*)
+            AS cohesion
+        FROM sc GROUP BY label ORDER BY label""")),
+
+    Entry(
       "emb_quantize",
       // Symmetric int8 scalar quantization of the embedding store —
       // the 4× storage compressor a 100 TB vector corpus runs before

