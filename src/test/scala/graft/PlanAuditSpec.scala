@@ -183,6 +183,50 @@ class PlanAuditSpec extends SparkSuite {
     }
   }
 
+  test("knn_hybrid: lexical side is an inverted-index probe — no cartesian") {
+    // the query-term set and idf table must BROADCAST into the postings
+    // scan (the corpus never shuffles for lexical scoring), the dense
+    // side keeps knn_brute's broadcast cross (BNLJ is the intentional
+    // broadcast-queries fan-out, not a planning accident), and both
+    // rankings run through the k-bounded TopKAgg
+    val p = plan("knn_hybrid")
+    assert(!p.contains("CartesianProduct"), p.take(1000))
+    assert(p.contains("BroadcastHashJoin"), p.take(1000))
+    assert(p.contains("graft_topk"), p.take(1000))
+  }
+
+  test("text_boiler_ngrams: gram recount joins on the gram key — no cartesian") {
+    val p = plan("text_boiler_ngrams")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(1000))
+  }
+
+  test("text_entropy: lnq lookups broadcast — no cartesian, no corpus sort") {
+    val p = plan("text_entropy")
+    assert(p.contains("BroadcastHashJoin"), p.take(1000))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(1000))
+  }
+
+  test("mix_curriculum: stage assignment is join-free — weights are plan literals") {
+    // the classifier weight vector rides as a literal and the stage
+    // cuts are integer projections, so the ONLY exchanges are the
+    // (stage, shard) window partitioning and the presentation sort
+    val p = plan("mix_curriculum")
+    assert(!p.contains("Join"), p.take(1000))
+  }
+
+  test("emb_outliers: bottom-k is a TakeOrdered heap — no corpus-wide window") {
+    val p = plan("emb_outliers")
+    assert(p.contains("TakeOrderedAndProject"), p.take(1000))
+  }
+
+  test("mm_phash: hamming pairing buckets on (blk, bkey) — no cartesian") {
+    val p = plan("mm_phash")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(1000))
+  }
+
   test("u2_bulk_ingest: assembly is map-only — correlation adds no shuffle") {
     // single-pass per-file assembly: the only exchanges allowed are the
     // cid windows' per-(sensor, file) partitioning and the tiny
