@@ -26,7 +26,7 @@ object Explain {
         "text_boiler_ngrams", "dq_length_hist", "text_classify",
         "mix_curriculum", "text_entropy", "dedup_containment", "knn_mmr",
         "emb_kcenter", "mm_phash", "dedup_threshold_report",
-        "emb_outliers", "emb_dispersion",
+        "emb_outliers", "emb_dispersion", "knn_filtered",
         // stream_* entries are deliberately absent: calling one RUNS
         // the streaming query (AvailableNow drain) and returns the
         // post-materialization batch read, whose plan says nothing

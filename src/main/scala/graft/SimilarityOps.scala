@@ -876,6 +876,54 @@ object SimilarityOps {
         FROM r WHERE rank <= 10 ORDER BY qid, rank""")),
 
     Entry(
+      "knn_filtered",
+      // Metadata-FILTERED vector search — the vector-store feature
+      // every RAG deployment needs ("top-k but only docs matching
+      // the predicate"): top-5 cosine per query among corpus vectors
+      // whose label matches the query's label. The predicate composes
+      // into the scan (label equality folds into the broadcast-join
+      // condition BEFORE any similarity math — pre-filtering, the
+      // shape that stays exact; post-filtering an unfiltered top-k
+      // under-fills when the predicate is selective), so the plan is
+      // knn_brute's broadcast scan with a tighter join. At 100 TB
+      // with a partitioned/bucketed store the label predicate also
+      // prunes files — the same DPP the IVF posting lists use.
+      (s, dir) => {
+        val lab = t(s, dir, "embeddings").select(col("vec_id"), col("label"))
+        val emb = embeddings(s, dir).join(lab, "vec_id")
+        val q = emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+            col("label").as("qlabel"))
+        val scored = emb.crossJoin(broadcast(q))
+          .filter(col("vec_id") =!= col("qid") &&
+            col("label") === col("qlabel"))
+          .withColumn("sim", Vectors.dot(col("embedding"), col("qvec")))
+          .select(col("qid"), col("vec_id"), col("sim"))
+        topkPerQuery(scored, "sim", 5)
+          .orderBy(col("qid"), col("rank"))
+      },
+      Some("""WITH norm AS (
+          SELECT vec_id, label,
+            list_transform(embedding, x -> CAST(x AS DOUBLE) / sqrt(
+              list_reduce(list_transform(embedding,
+                y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)),
+                (a,b) -> a+b))) AS e
+          FROM embeddings),
+        q AS (SELECT vec_id AS qid, label AS qlabel, e AS qe
+          FROM norm WHERE vec_id < 10),
+        s AS (SELECT q.qid, n.vec_id,
+            list_reduce(list_transform(range(1, len(n.e)+1),
+              i -> n.e[i]*q.qe[i]), (a,b) -> a+b) AS sim
+          FROM norm n, q
+          WHERE n.vec_id <> q.qid AND n.label = q.qlabel),
+        r AS (SELECT qid,
+            CAST(row_number() OVER (PARTITION BY qid
+              ORDER BY sim DESC, vec_id) AS INT) AS rank,
+            vec_id, sim FROM s)
+        SELECT qid, rank, vec_id, sim FROM r
+        WHERE rank <= 5 ORDER BY qid, rank""")),
+
+    Entry(
       "knn_mmr",
       // MMR diversified re-ranking (Carbonell & Goldstein, SIGIR'98)
       // — the de-dup layer retrieval serves AFTER top-k: greedily

@@ -403,6 +403,29 @@ class Round11Spec extends SparkSuite {
     }
   }
 
+  test("knn_filtered: every hit satisfies the predicate; pre-filter ⊇ none missed") {
+    val dir = sfDir
+    val labels = Tables.t(spark, dir, "embeddings").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("label")).toMap
+    val rows = q("knn_filtered", dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (qid, vid) = (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"))
+      assert(labels(vid) == labels(qid),
+        s"hit $vid must share query $qid's label")
+    }
+    // pre-filtering: the filtered top-5 must contain every UNFILTERED
+    // top-5 member that happens to satisfy the predicate (post-filter
+    // of brute would only ever return a subset — equality here proves
+    // the filter ran before ranking, not after)
+    val brute = q("knn_brute", dir).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id")))
+    val got = rows.map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"))).toSet
+    brute.filter { case (qid, vid) => labels(vid) == labels(qid) }
+      .foreach { p => assert(got.contains(p),
+        s"same-label brute hit $p missing from filtered result") }
+  }
+
   test("text_classify separates rule-gated positives on the planted fixture") {
     // Fixture doc 0 (28 words incl. repeated stopwords) trains as a
     // positive; doc 3 (9 words) as a negative. A naive-Bayes log-odds
