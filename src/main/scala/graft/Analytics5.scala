@@ -511,6 +511,97 @@ object Analytics5 {
         FROM e GROUP BY flag ORDER BY flag""")),
 
     Entry(
+      "q90_twap",
+      // Time-weighted average (the TWAP/IoT-telemetry aggregate —
+      // a plain AVG over irregular samples over-weights bursts; each
+      // value must count for HOW LONG it held): per user, Σ v·Δt / ΣΔt
+      // over consecutive-event intervals. Exactness: value is 2-dp
+      // money (vq = round(100·v) BIGINT), Δt is integer µs, so each
+      // term is an exact BIGINT product and the per-user sums are
+      // order-free (DECIMAL(38,0) accumulation — a 100 TB user's
+      // term-sum outgrows int64); ONE final IEEE division each side.
+      // Shape: one lead() window + one user_id agg — single shuffle.
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("us"), col("event_id"))
+        t(s, dir, "events")
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts")).as("us"), col("value"))
+          .withColumn("vq", round(col("value") * 100).cast("long"))
+          .withColumn("next_us", lead(col("us"), 1).over(w))
+          .filter(col("next_us").isNotNull)
+          .withColumn("dus", col("next_us") - col("us"))
+          .withColumn("term", col("vq") * col("dus"))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_intervals"),
+            sum(col("dus")).as("total_us"),
+            sum(col("term").cast("decimal(38,0)")).as("tsum"))
+          .withColumn("twap", col("tsum").cast("double") / 100.0 /
+            col("total_us").cast("double"))
+          .select(col("user_id"), col("n_intervals"), col("total_us"),
+            col("twap"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+            CAST(round(value * 100) AS BIGINT) AS vq
+          FROM events),
+        iv AS (SELECT user_id, us, vq,
+            lead(us) OVER (PARTITION BY user_id
+              ORDER BY us, event_id) AS next_us
+          FROM e),
+        t AS (SELECT user_id, next_us - us AS dus,
+            vq * (next_us - us) AS term
+          FROM iv WHERE next_us IS NOT NULL)
+        SELECT user_id, COUNT(*) AS n_intervals,
+          CAST(SUM(dus) AS BIGINT) AS total_us,
+          CAST(SUM(term) AS DOUBLE) / 100.0 / CAST(SUM(dus) AS DOUBLE)
+            AS twap
+        FROM t GROUP BY user_id ORDER BY user_id""")),
+
+    Entry(
+      "q91_decay_sum",
+      // Recency-weighted engagement score (the half-life decay every
+      // ranking/feature pipeline wants: yesterday's click counts half
+      // of today's): Σ v·2^(−age_days) per user against the corpus
+      // max timestamp. EXACT arithmetic with a transcendental-free
+      // decay — the power-of-two half-life makes the weight an
+      // arithmetic right-shift of the 2-dp integer value (vq >> d,
+      // identical truncating semantics both engines, capped at 62) so
+      // the per-user sum is an order-free BIGINT; one IEEE division
+      // at the end. Shape: one broadcast 1-row max + one user agg.
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .select(col("user_id"), unix_micros(col("ts")).as("us"),
+            col("value"))
+          .withColumn("vq", round(col("value") * 100).cast("long"))
+        val mx = ev.agg(max(col("us")).as("max_us"))
+        ev.crossJoin(broadcast(mx))
+          .withColumn("d",
+            least(expr("(max_us - us) DIV 86400000000"), lit(62L)))
+          .withColumn("termq", expr("shiftright(vq, cast(d as int))"))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("termq")).as("score_q"))
+          .withColumn("score", col("score_q").cast("double") / 100.0)
+          .select(col("user_id"), col("n_events"), col("score_q"),
+            col("score"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS us,
+            CAST(round(value * 100) AS BIGINT) AS vq
+          FROM events),
+        mx AS (SELECT MAX(us) AS max_us FROM e),
+        t AS (SELECT user_id,
+            vq >> CAST(LEAST((mx.max_us - us) // 86400000000, 62)
+              AS INT) AS termq
+          FROM e, mx)
+        SELECT user_id, COUNT(*) AS n_events,
+          CAST(SUM(termq) AS BIGINT) AS score_q,
+          CAST(CAST(SUM(termq) AS BIGINT) AS DOUBLE) / 100.0 AS score
+        FROM t GROUP BY user_id ORDER BY user_id""")),
+
+    Entry(
       "table_profile",
       // Column profiling (the ANALYZE surface): one aggregation pass
       // emits per-column null count, exact distinct count and min/max,

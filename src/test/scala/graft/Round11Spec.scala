@@ -426,6 +426,42 @@ class Round11Spec extends SparkSuite {
         s"same-label brute hit $p missing from filtered result") }
   }
 
+  test("q90_twap: hand-recomputed user matches; twap inside value range") {
+    val dir = sfDir
+    val evs = Tables.t(spark, dir, "events")
+      .selectExpr("user_id", "event_id", "unix_micros(ts) as us", "value")
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"),
+        r.getAs[Long]("us"), r.getAs[Double]("value")))
+    val rows = q("q90_twap", dir).collect()
+    assert(rows.nonEmpty)
+    val uid = rows.head.getAs[Long]("user_id")
+    val mine = evs.filter(_._1 == uid).sortBy(e => (e._3, e._2))
+    val terms = mine.zip(mine.tail).map { case (a, b) =>
+      (math.round(a._4 * 100), b._3 - a._3)
+    }
+    val expTwap = terms.map { case (vq, d) => vq * d }.sum.toDouble / 100.0 /
+      terms.map(_._2).sum.toDouble
+    val got = rows.find(_.getAs[Long]("user_id") == uid).get
+    assert(got.getAs[Long]("n_intervals") == terms.length)
+    assert(got.getAs[Double]("twap") == expTwap)
+    rows.foreach { r =>
+      val t = r.getAs[Double]("twap")
+      assert(!t.isNaN && t >= 0.0, s"twap out of range: $r")
+    }
+  }
+
+  test("q91_decay_sum: shift semantics — recent events dominate, score bounded") {
+    val rows = q("q91_decay_sum", sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, sq) = (r.getAs[Long]("n_events"), r.getAs[Long]("score_q"))
+      assert(n > 0)
+      assert(r.getAs[Double]("score") == sq.toDouble / 100.0)
+      assert(sq >= 0)
+    }
+  }
+
   test("text_classify separates rule-gated positives on the planted fixture") {
     // Fixture doc 0 (28 words incl. repeated stopwords) trains as a
     // positive; doc 3 (9 words) as a negative. A naive-Bayes log-odds
