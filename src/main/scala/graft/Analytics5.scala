@@ -511,6 +511,41 @@ object Analytics5 {
         FROM e GROUP BY flag ORDER BY flag""")),
 
     Entry(
+      "dq_freshness",
+      // Ingest-freshness report — the staleness monitor a streaming
+      // warehouse publishes per feed: for each event_type, event
+      // count, newest event, lag behind the corpus watermark (global
+      // max ts), and how much of the feed arrived in the final hour
+      // before it. Pure integer-µs arithmetic (no timezone, no
+      // rounding) over ONE map-side-combined groupBy + a broadcast
+      // 1-row global max — bounded output at any scale.
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .select(col("event_type"), unix_micros(col("ts")).as("us"))
+        val mx = ev.agg(max(col("us")).as("wm_us"))
+        ev.crossJoin(broadcast(mx))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+            max(col("us")).as("max_us"),
+            first(col("wm_us")).as("wm_us"),
+            sum(when(col("us") >= col("wm_us") - 3600000000L, 1L)
+              .otherwise(0L)).as("n_last_hour"))
+          .select(col("event_type"), col("n_events"), col("max_us"),
+            (col("wm_us") - col("max_us")).as("lag_us"),
+            col("n_last_hour"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH e AS (SELECT event_type, epoch_us(ts) AS us
+          FROM events),
+        mx AS (SELECT MAX(us) AS wm_us FROM e)
+        SELECT event_type, COUNT(*) AS n_events, MAX(us) AS max_us,
+          mx.wm_us - MAX(us) AS lag_us,
+          CAST(SUM(CASE WHEN us >= mx.wm_us - 3600000000 THEN 1
+            ELSE 0 END) AS BIGINT) AS n_last_hour
+        FROM e, mx GROUP BY event_type, mx.wm_us
+        ORDER BY event_type""")),
+
+    Entry(
       "q90_twap",
       // Time-weighted average (the TWAP/IoT-telemetry aggregate —
       // a plain AVG over irregular samples over-weights bursts; each

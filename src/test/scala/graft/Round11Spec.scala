@@ -462,6 +462,19 @@ class Round11Spec extends SparkSuite {
     }
   }
 
+  test("dq_freshness: the freshest feed has zero lag; totals cover the table") {
+    val rows = q("dq_freshness", sfDir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.exists(_.getAs[Long]("lag_us") == 0L),
+      "some feed must define the watermark")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("lag_us") >= 0L)
+      assert(r.getAs[Long]("n_last_hour") <= r.getAs[Long]("n_events"))
+    }
+    val total = rows.map(_.getAs[Long]("n_events")).sum
+    assert(total == Tables.t(spark, sfDir, "events").count())
+  }
+
   test("text_classify separates rule-gated positives on the planted fixture") {
     // Fixture doc 0 (28 words incl. repeated stopwords) trains as a
     // positive; doc 3 (9 words) as a negative. A naive-Bayes log-odds
