@@ -404,6 +404,56 @@ object PipelineOps {
         FROM c WHERE cum_tok <= 800 ORDER BY source, doc_id""")),
 
     Entry(
+      "sample_importance",
+      // Quality-weighted (importance) sampling — the soft version of
+      // a hard quality gate: keep each doc with probability rising in
+      // its learned-classifier score (clamped to [0.1, 0.9] so no doc
+      // is certain either way), decided by a deterministic hash draw.
+      // Both sides of the accept test are exact: the uniform draw is
+      // corpus_shuffle's integer hash scaled once to double, and the
+      // acceptance probability is clamp(0.5 + score, ·) from
+      // text_classify's integer-quantized score — identical IEEE op
+      // order cross-engine, so membership hash-matches. Serving is a
+      // pure projection over the cached weights (no shuffle, like
+      // text_classify); at 100 TB this is the cheapest
+      // quality-curation dial there is.
+      (s, dir) => {
+        val scored = TextOps.classifyProjection(
+          t(s, dir, "documents").select(col("doc_id"), col("text")),
+          TextOps.classifyWeights(s, dir))
+        val prime = 1000000007L
+        val u = ((((col("doc_id") * lit(2654435761L) +
+          lit(11L * 998244353L)) % lit(prime)) + lit(prime)) % lit(prime))
+          .cast("double") / lit(prime.toDouble)
+        scored
+          .withColumn("p_accept",
+            least(greatest(lit(0.5) + col("score"), lit(0.1)), lit(0.9)))
+          .withColumn("u", u)
+          .filter(col("u") < col("p_accept"))
+          .select(col("doc_id"), col("score"), col("p_accept"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH v AS (SELECT token, wq FROM read_parquet(
+            '${OracleDumps.SqlRoot}/text/classify_vocab/*.parquet')),
+        dd AS (SELECT doc_id, list_filter(string_split(lower(text), ' '),
+            x -> len(x) > 0) AS w
+          FROM documents),
+        tok AS (SELECT doc_id, unnest(w) AS token
+          FROM dd WHERE len(w) >= 1),
+        sc AS (SELECT doc_id, COUNT(*) AS n_tok,
+            CAST(SUM(v.wq) AS BIGINT) AS score_q
+          FROM tok JOIN v USING (token) GROUP BY doc_id),
+        s2 AS (SELECT doc_id,
+            CAST(score_q AS DOUBLE) / 1e9 / n_tok AS score,
+            LEAST(GREATEST(0.5 + CAST(score_q AS DOUBLE) / 1e9 / n_tok,
+              0.1), 0.9) AS p_accept,
+            CAST((doc_id * 2654435761 + CAST(11 AS BIGINT) * 998244353)
+              % 1000000007 AS DOUBLE) / 1000000007.0 AS u
+          FROM sc)
+        SELECT doc_id, score, p_accept FROM s2
+        WHERE u < p_accept ORDER BY doc_id""")),
+
+    Entry(
       "sample_weighted",
       // Weighted sampling WITHOUT replacement (Efraimidis–Spirakis,
       // IPL'06): each row draws key = u^(1/w) (u a deterministic

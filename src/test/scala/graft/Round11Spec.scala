@@ -475,6 +475,25 @@ class Round11Spec extends SparkSuite {
     assert(total == Tables.t(spark, sfDir, "events").count())
   }
 
+  test("sample_importance: acceptance follows the quality score") {
+    val dir = sfDir
+    val kept = q("sample_importance", dir).collect()
+    assert(kept.nonEmpty)
+    kept.foreach { r =>
+      val p = r.getAs[Double]("p_accept")
+      val expect = math.min(math.max(0.5 + r.getAs[Double]("score"), 0.1), 0.9)
+      assert(p == expect && p >= 0.1 && p <= 0.9)
+    }
+    // importance sampling must actually bias toward quality: the kept
+    // set's mean score exceeds the full corpus mean (deterministic on
+    // the pinned corpus)
+    val all = q("text_classify", dir).collect()
+    def mean(xs: Array[Double]) = xs.sum / xs.length
+    assert(mean(kept.map(_.getAs[Double]("score"))) >
+      mean(all.map(_.getAs[Double]("score"))))
+    assert(kept.length < all.length, "sampling must actually drop docs")
+  }
+
   test("text_classify separates rule-gated positives on the planted fixture") {
     // Fixture doc 0 (28 words incl. repeated stopwords) trains as a
     // positive; doc 3 (9 words) as a negative. A naive-Bayes log-odds
