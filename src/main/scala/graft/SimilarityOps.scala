@@ -1223,20 +1223,24 @@ object SimilarityOps {
       // runs before training/indexing (noise, mislabels and encoder
       // failures sit far from the data's center): cosine of each
       // unit vector to the UNIT GLOBAL CENTROID, bottom-20. The
-      // centroid reuses emb_centroid's exactly-reproducible sorted
-      // per-dim fold (one (dim) shuffle, 64 rows out), rides into
-      // the scan as a broadcast 1-row array, and the bottom-k is a
-      // TakeOrdered heap — no corpus shuffle. Every float step is
-      // the shared in-order fold, so ranks and cosines hash-match.
+      // centroid is the QUANTIZED order-free form — per dim,
+      // Σ round(1e9·v) as a map-side-combined BIGINT — because the
+      // sorted-fold mean (emb_centroid's per-LABEL pattern) buffers
+      // every corpus value in one collect_list per dim: fine for
+      // class-sized groups, an OOM at corpus-sized ones. The
+      // quantized sum keeps O(1) aggregation state per dim at any
+      // corpus size, stays bit-exact cross-engine, and the 64-row
+      // centroid rides into the scan as a broadcast 1-row array;
+      // bottom-k is a TakeOrdered heap — no corpus shuffle.
       (s, dir) => {
         val cen = t(s, dir, "embeddings")
           .select(posexplode(col("embedding")).as(Seq("pos", "v")))
-          .select(col("pos"), col("v").cast("double").as("v"))
           .groupBy(col("pos"))
-          .agg(aggregate(array_sort(collect_list(col("v"))), lit(0.0),
-              (a, x) => a + x).as("ssum"),
+          .agg(sum(round(col("v").cast("double") * 1e9).cast("long"))
+              .as("mq"),
             count(lit(1)).as("n"))
-          .select(col("pos"), (col("ssum") / col("n")).as("m"))
+          .select(col("pos"),
+            (col("mq").cast("double") / 1e9 / col("n")).as("m"))
           .agg(array_sort(collect_list(struct(col("pos"), col("m"))))
             .as("cen_arr"))
         val cenVec = transform(col("cen_arr"), e => e.getField("m"))
@@ -1258,8 +1262,8 @@ object SimilarityOps {
           FROM embeddings,
             unnest(generate_series(1, len(embedding))) AS t(i)),
         cd AS (SELECT pos,
-            list_reduce(list(v ORDER BY v), (a, x) -> a + x)
-              / COUNT(*) AS m
+            CAST(SUM(CAST(round(v * 1e9) AS BIGINT)) AS DOUBLE)
+              / 1e9 / COUNT(*) AS m
           FROM e GROUP BY pos),
         ca AS (SELECT list(m ORDER BY pos) AS cv FROM cd),
         cu AS (SELECT list_transform(cv, x -> x / sqrt(
