@@ -50,14 +50,20 @@ object OracleDumps {
   private[graft] val StaleMs = 3L * 3600 * 1000
   def housekeep(s: org.apache.spark.sql.SparkSession): Unit =
     if (housekept.compareAndSet(false, true))
-      appTs(s.sparkContext.applicationId).foreach(pruneStale)
+      appTs(s.sparkContext.applicationId).foreach(ts => pruneStale(ts))
 
   /** Delete every app-stamped dir under the scratch root (and under
     * oracle_base) more than [[StaleMs]] older than `myTs`. Split from
     * [[housekeep]] so the deletion logic is testable without the
-    * once-per-JVM latch.
+    * once-per-JVM latch — and parameterized on the base dir so the
+    * TEST prunes a sandbox tree, never the real scratch root: the
+    * spec's synthetic far-future `myTs` would otherwise delete every
+    * LIVE dump on the machine, breaking a concurrent or just-exited
+    * Verify run's DuckDB compare (observed r11: a test suite running
+    * beside a Verify wiped its oracle base mid-gate).
     */
-  private[graft] def pruneStale(myTs: Long): Unit = {
+  private[graft] def pruneStale(myTs: Long,
+      base: java.io.File = new java.io.File(Base)): Unit = {
     def prune(parent: java.io.File): Unit = {
       val kids = parent.listFiles()
       if (kids != null) kids.foreach { d =>
@@ -66,8 +72,8 @@ object OracleDumps {
           deleteRecursively(d.toPath)
       }
     }
-    prune(new java.io.File(Base).getParentFile)
-    prune(new java.io.File(Base))
+    prune(base.getParentFile)
+    prune(base)
   }
 
   /** Best-effort recursive delete; walk stream closed via Using

@@ -121,13 +121,20 @@ class Round8Spec extends SparkSuite {
   }
 
   test("pruneStale deletes only dirs >3h older than the running app") {
-    val scratch = Paths.get(OracleDumps.Base).getParent
-    Files.createDirectories(Paths.get(OracleDumps.Base))
+    // SANDBOXED tree: pruning the real scratch root with this
+    // synthetic future myTs would delete every live dump on the
+    // machine — including a concurrent Verify run's oracle base
+    // (bit us in r11: the suite ran beside a Verify and its DuckDB
+    // compare found every dump-backed oracle empty)
+    val sandbox = Files.createTempDirectory("graft_prune_spec")
+    val scratch = sandbox.resolve("graft_scratch")
+    val base = scratch.resolve("oracle_base")
+    Files.createDirectories(base)
     val myTs = 2000000000000L
     val stale = myTs - OracleDumps.StaleMs - 1000
     val fresh = myTs - OracleDumps.StaleMs + 60000
     val staleTop = scratch.resolve(s"ivf_r8spec_local_$stale")
-    val staleBase = Paths.get(OracleDumps.Base).resolve(s"r8spec__local-$stale")
+    val staleBase = base.resolve(s"r8spec__local-$stale")
     val freshTop = scratch.resolve(s"ivf_r8spec_local_$fresh")
     val unstamped = scratch.resolve("corpus_r8spec_unstamped")
     Seq(staleTop, staleBase, freshTop, unstamped).foreach { d =>
@@ -135,16 +142,15 @@ class Round8Spec extends SparkSuite {
       Files.writeString(d.resolve("marker.txt"), "x")
     }
     try {
-      OracleDumps.pruneStale(myTs)
+      OracleDumps.pruneStale(myTs, base.toFile)
       assert(!Files.exists(staleTop), "stale top-level dir must be deleted")
       assert(!Files.exists(staleBase), "stale oracle_base dir must be deleted")
       assert(Files.exists(freshTop), "recent dir must survive (could be a concurrent JVM)")
       assert(Files.exists(unstamped), "unstamped corpus dirs are never pruned")
     } finally {
-      Seq(freshTop, unstamped).foreach { d =>
-        Files.deleteIfExists(d.resolve("marker.txt"))
-        Files.deleteIfExists(d)
-      }
+      Seq(freshTop.resolve("marker.txt"), freshTop,
+        unstamped.resolve("marker.txt"), unstamped, base, scratch, sandbox)
+        .foreach(Files.deleteIfExists)
     }
   }
 }
