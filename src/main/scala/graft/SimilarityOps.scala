@@ -1530,8 +1530,110 @@ object SimilarityOps {
               i -> a.embedding[i]*c.cvec[i]), (x,y) -> x+y) AS d
           FROM asg a JOIN cen c ON a.cell = c.cell)
         SELECT cell, COUNT(*) AS n_vecs, MIN(d) AS min_cdot
-        FROM d GROUP BY cell ORDER BY cell"""))
+        FROM d GROUP BY cell ORDER BY cell""")),
+
+    Entry(
+      "dedup_semantic",
+      // SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup
+      // at corpus scale WITHOUT the all-pairs O(n²) — pairwise cosine
+      // runs only WITHIN k-means cells of the standing IVF index (the
+      // paper's clustering step is exactly this Lloyd training, reused
+      // here the way a deployment reuses its serving index). Keep-rank
+      // inside a cell is (dot-to-centroid ASC, vec_id ASC): the paper
+      // keeps LOW-centroid-similarity members to bias survivors toward
+      // diversity. A vector is DROPPED iff some better-ranked cell-mate
+      // is τ-similar; the report lists each dropped vector with its
+      // cell and its count of better-ranked τ-neighbors. One shuffle on
+      // cell for the self-join; each pairwise block is bounded by cell
+      // occupancy (~37 members at n/37 cells), so a 100 TB embedding
+      // store sweeps cell-parallel across executors with no global
+      // pairwise stage. τ = 0.35 matches dedup_embedding's confirm
+      // threshold on this corpus.
+      (s, dir) => {
+        dumpOracleBase(s, dir)
+        val m = semanticRank(s, dir)
+        val keep = m.select(col("cell"), col("vec_id").as("a"),
+          col("embedding").as("e_a"), col("cdot").as("cdot_a"))
+        val drop = m.select(col("cell"), col("vec_id").as("b"),
+          col("embedding").as("e_b"), col("cdot").as("cdot_b"))
+        keep.join(drop, "cell")
+          .filter(col("cdot_a") < col("cdot_b") ||
+            (col("cdot_a") === col("cdot_b") && col("a") < col("b")))
+          .withColumn("cos", Vectors.dot(col("e_a"), col("e_b")))
+          .filter(col("cos") >= 0.35)
+          .groupBy(col("cell"), col("b").as("vec_id"))
+          .agg(count(lit(1)).as("n_better"))
+          .orderBy(col("cell"), col("vec_id"))
+      },
+      // The whole pipeline re-derived in SQL from the dumped index:
+      // centroid-dot rank and pairwise cosine both use the bit-exact
+      // in-order list_reduce fold the knn_brute oracle proved.
+      Some(s"""WITH cen AS (SELECT cell, cvec
+          FROM read_parquet('$dumpSql/centroids/*.parquet')),
+        asg AS (SELECT cell, vec_id, embedding
+          FROM read_parquet('$dumpSql/assignments/*.parquet')),
+        m AS (SELECT a.cell, a.vec_id, a.embedding,
+            list_reduce(list_transform(range(1, len(a.embedding)+1),
+              i -> a.embedding[i]*c.cvec[i]), (x,y) -> x+y) AS cdot
+          FROM asg a JOIN cen c ON a.cell = c.cell)
+        SELECT l.cell, r.vec_id, COUNT(*) AS n_better
+        FROM m l JOIN m r ON l.cell = r.cell
+          AND (l.cdot < r.cdot
+            OR (l.cdot = r.cdot AND l.vec_id < r.vec_id))
+        WHERE list_reduce(list_transform(range(1, len(l.embedding)+1),
+            i -> l.embedding[i]*r.embedding[i]), (x,y) -> x+y) >= 0.35
+        GROUP BY l.cell, r.vec_id ORDER BY l.cell, r.vec_id""")),
+
+    Entry(
+      "dedup_semantic_incremental",
+      // Incremental SemDeDup — the ingest-side split of dedup_semantic,
+      // mirroring dedup_incremental's history/probe contract: vectors
+      // with vec_id % 10 == 0 arrive as the new batch and are checked
+      // against the STANDING members (% 10 != 0) of their assigned
+      // cell only. Assignment against fixed centroids is per-row, so a
+      // new vector's cell is identical whether or not it was in
+      // training (the refreshIndex property Round11Spec proves) — no
+      // retrain on ingest, O(batch × cell-occupancy) work. Emits every
+      // confirmed (new_id, dup_of, cos) pair, the shape a quarantine
+      // queue consumes.
+      (s, dir) => {
+        dumpOracleBase(s, dir)
+        val asg = assignedCached(s, dir)
+        val hist = asg.filter(col("vec_id") % 10 =!= 0)
+          .select(col("cell"), col("vec_id").as("dup_of"),
+            col("embedding").as("e_h"))
+        val probe = asg.filter(col("vec_id") % 10 === 0)
+          .select(col("cell"), col("vec_id").as("new_id"),
+            col("embedding").as("e_p"))
+        probe.join(hist, "cell")
+          .withColumn("cos", Vectors.dot(col("e_p"), col("e_h")))
+          .filter(col("cos") >= 0.35)
+          .select(col("new_id"), col("dup_of"), col("cos"))
+          .orderBy(col("new_id"), col("dup_of"))
+      },
+      Some(s"""WITH asg AS (SELECT cell, vec_id, embedding
+          FROM read_parquet('$dumpSql/assignments/*.parquet')),
+        hist AS (SELECT cell, vec_id AS dup_of, embedding AS e_h
+          FROM asg WHERE vec_id % 10 <> 0),
+        probe AS (SELECT cell, vec_id AS new_id, embedding AS e_p
+          FROM asg WHERE vec_id % 10 = 0),
+        v AS (SELECT p.new_id, h.dup_of,
+            list_reduce(list_transform(range(1, len(p.e_p)+1),
+              i -> p.e_p[i]*h.e_h[i]), (x,y) -> x+y) AS cos
+          FROM probe p JOIN hist h ON p.cell = h.cell)
+        SELECT new_id, dup_of, cos FROM v WHERE cos >= 0.35
+        ORDER BY new_id, dup_of"""))
   )
+
+  /** The SemDeDup keep-rank relation: every indexed vector with its
+    * cell and dot-to-centroid (the within-cell rank key). Shared by
+    * the dedup_semantic entry and its spec's independent Scala replay.
+    */
+  private[graft] def semanticRank(s: SparkSession, dir: String): DataFrame =
+    assignedCached(s, dir)
+      .join(broadcast(centroids(s, dir)), "cell")
+      .withColumn("cdot", Vectors.dot(col("embedding"), col("cvec")))
+      .select(col("cell"), col("vec_id"), col("embedding"), col("cdot"))
 
   /** Number of PQ subspaces (64 dims / 8 = 8-dim sub-vectors). */
   private val PqM = 8

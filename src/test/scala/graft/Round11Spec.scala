@@ -503,4 +503,65 @@ class Round11Spec extends SparkSuite {
     assert(byId(0L) > byId(3L),
       s"positive-labeled doc should outscore a negative: $byId")
   }
+
+  test("dedup_semantic equals an independent Scala replay of the keep-rank rule") {
+    // Re-derive the dropped set from the raw rank relation with plain
+    // Scala loops (same in-order left-fold dot as Vectors.dot, so the
+    // doubles compare bit-for-bit), then require the entry to match it
+    // EXACTLY — not just invariants.
+    val m = SimilarityOps.semanticRank(spark, sfDir).collect().map { r =>
+      (r.getAs[Long]("cell"), r.getAs[Long]("vec_id"),
+        r.getAs[scala.collection.Seq[Double]]("embedding").toArray,
+        r.getAs[Double]("cdot"))
+    }
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val expect = (for {
+      (cl, a, ea, ca) <- m
+      (cr, b, eb, cb) <- m
+      if cl == cr && (ca < cb || (ca == cb && a < b))
+      if dot(ea, eb) >= 0.35
+    } yield (cl, b)).groupBy(identity).view
+      .map { case ((cl, b), hits) => (cl, b, hits.length.toLong) }
+      .toSeq.sorted
+    val got = q("dedup_semantic", sfDir).collect()
+      .map(r => (r.getAs[Long]("cell"), r.getAs[Long]("vec_id"),
+        r.getAs[Long]("n_better"))).toSeq
+    assert(expect.nonEmpty, "corpus should plant at least one semantic dup")
+    assert(got == expect, s"entry diverged from the replay: " +
+      s"got ${got.take(5)}... expect ${expect.take(5)}...")
+    // the per-cell rank champion (min cdot, tie min id) must survive
+    val dropped = got.map(t => (t._1, t._2)).toSet
+    m.groupBy(_._1).foreach { case (cl, members) =>
+      val champ = members.minBy(t => (t._4, t._2))._2
+      assert(!dropped.contains((cl, champ)),
+        s"cell $cl keep-rank champion $champ must never be dropped")
+    }
+  }
+
+  test("dedup_semantic_incremental: probe-only, history-only partners, within cell") {
+    val m = SimilarityOps.semanticRank(spark, sfDir).collect().map { r =>
+      (r.getAs[Long]("cell"), r.getAs[Long]("vec_id"),
+        r.getAs[scala.collection.Seq[Double]]("embedding").toArray)
+    }
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val expect = (for {
+      (cp, p, ep) <- m if p % 10 == 0
+      (ch, h, eh) <- m if h % 10 != 0
+      if cp == ch
+      c = dot(ep, eh) if c >= 0.35
+    } yield (p, h, c)).toSeq.sortBy(t => (t._1, t._2))
+    val got = q("dedup_semantic_incremental", sfDir).collect()
+      .map(r => (r.getAs[Long]("new_id"), r.getAs[Long]("dup_of"),
+        r.getAs[Double]("cos"))).toSeq
+    assert(got == expect, s"incremental diverged: got ${got.take(5)} " +
+      s"expect ${expect.take(5)}")
+  }
 }
