@@ -503,6 +503,73 @@ object DedupOps {
         FROM binned GROUP BY bin ORDER BY bin""")),
 
     Entry(
+      "dedup_recall_report",
+      // LSH RECALL observability — the dedup analog of
+      // knn_recall_report: the banding's empirical S-curve, measured
+      // on a bounded sample (doc_id < 200) where EXACT all-pairs
+      // ground truth is affordable. Per integer Jaccard bin: how many
+      // sample pairs exist vs how many the (band, bkey) buckets
+      // surface as candidates. Recall ≈ 1 above the 16×4 banding's
+      // 0.5 design point and falling away below it is the healthy
+      // shape; a flat curve means the signature store is broken. At
+      // 100 TB this runs on exactly such a sample at store-build time
+      // — the all-pairs side is the expensive half, which is why a
+      // recall report samples instead of sweeping the corpus.
+      // Integer-exact bins (cross-multiplied); recall is one IEEE
+      // division of two exact counts, so the report hash-matches.
+      (s, dir) => {
+        dumpOracleBase(s, dir)
+        val sh = shingledCached(s, dir).filter(col("doc_id") < 200)
+        val truth = sh.toDF("a", "sh_a")
+          .join(broadcast(sh.toDF("b", "sh_b")), col("a") < col("b"))
+          .withColumn("inter",
+            size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+          .withColumn("uni",
+            size(array_union(col("sh_a"), col("sh_b"))).cast("long"))
+          .filter(col("uni") > 0)
+          .withColumn("bin", least(expr("(inter * 10) DIV uni"), lit(9L)))
+          .select(col("a"), col("b"), col("bin"))
+        val cand = pairsFromBuckets(
+            bandedSigs(s, dir).filter(col("doc_id") < 200),
+            Seq("band", "bkey"))
+          .withColumn("hit", lit(1L))
+        truth.join(cand, Seq("a", "b"), "left")
+          .groupBy(col("bin"))
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(coalesce(col("hit"), lit(0L))).as("n_recalled"))
+          .withColumn("recall",
+            col("n_recalled").cast("double") / col("n_pairs").cast("double"))
+          .orderBy(col("bin"))
+      },
+      // Ground truth re-derived ENTIRELY from text via the SQL shingle
+      // twin; the candidate side re-joins the dumped banded signatures
+      // (the 64-bit permutations are the one inexpressible step).
+      Some(s"""WITH $shinglesSql,
+        samp AS (SELECT doc_id, shingles FROM sh WHERE doc_id < 200),
+        v AS (SELECT x.doc_id AS a, y.doc_id AS b,
+            CAST(len(list_intersect(x.shingles, y.shingles)) AS BIGINT)
+              AS inter,
+            CAST(len(list_distinct(list_concat(x.shingles, y.shingles)))
+              AS BIGINT) AS uni
+          FROM samp x JOIN samp y ON x.doc_id < y.doc_id),
+        truth AS (SELECT a, b, LEAST((inter * 10) // uni, 9) AS bin
+          FROM v WHERE uni > 0),
+        bd AS (SELECT band, bkey, doc_id
+          FROM read_parquet('$dumpSql/banded/*.parquet')
+          WHERE doc_id < 200),
+        cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+          FROM bd l JOIN bd r ON l.band = r.band AND l.bkey = r.bkey
+            AND l.doc_id < r.doc_id),
+        agg AS (SELECT t.bin, COUNT(*) AS n_pairs,
+            CAST(SUM(CASE WHEN c.a IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_recalled
+          FROM truth t LEFT JOIN cand c ON t.a = c.a AND t.b = c.b
+          GROUP BY t.bin)
+        SELECT bin, n_pairs, n_recalled,
+          CAST(n_recalled AS DOUBLE) / CAST(n_pairs AS DOUBLE) AS recall
+        FROM agg ORDER BY bin""")),
+
+    Entry(
       "dedup_incremental",
       // The CONTINUOUS-INGESTION form of MinHash dedup: history's
       // banded signatures live in a PERSISTED store (parquet

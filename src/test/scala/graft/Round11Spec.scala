@@ -564,4 +564,26 @@ class Round11Spec extends SparkSuite {
     assert(got == expect, s"incremental diverged: got ${got.take(5)} " +
       s"expect ${expect.take(5)}")
   }
+
+  test("dedup_recall_report: planted exact dup lands in bin 9 with full recall") {
+    // Fixture docs 0 and 1 are byte-identical → Jaccard 1.0 (bin 9)
+    // and identical MinHash signatures, so ALL 16 bands collide: the
+    // top bin must exist and be fully recalled. Identical signatures
+    // failing to collide would mean the signature store is broken —
+    // exactly what this report exists to catch.
+    val rows = q("dedup_recall_report", Fixtures.dir).collect()
+    assert(rows.nonEmpty)
+    val bins = rows.map(_.getAs[Long]("bin")).toSeq
+    assert(bins == bins.sorted && bins.distinct == bins)
+    rows.foreach { r =>
+      val (n, rec) = (r.getAs[Long]("n_pairs"), r.getAs[Long]("n_recalled"))
+      assert(n >= 1 && rec >= 0 && rec <= n)
+      assert(r.getAs[Double]("recall") == rec.toDouble / n.toDouble)
+      assert(r.getAs[Long]("bin") >= 0 && r.getAs[Long]("bin") <= 9)
+    }
+    val top = rows.find(_.getAs[Long]("bin") == 9L)
+    assert(top.isDefined, s"exact-dup pair must populate bin 9: $bins")
+    assert(top.get.getAs[Double]("recall") == 1.0,
+      "identical signatures must collide in every band")
+  }
 }
