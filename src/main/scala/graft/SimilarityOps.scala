@@ -1622,7 +1622,87 @@ object SimilarityOps {
               i -> p.e_p[i]*h.e_h[i]), (x,y) -> x+y) AS cos
           FROM probe p JOIN hist h ON p.cell = h.cell)
         SELECT new_id, dup_of, cos FROM v WHERE cos >= 0.35
-        ORDER BY new_id, dup_of"""))
+        ORDER BY new_id, dup_of""")),
+
+    Entry(
+      "pq_recall_report",
+      // PQ index-quality monitoring — knn_recall_report's twin for the
+      // COMPRESSED index: recall@5 of exhaustive ADC retrieval (8-byte
+      // codes, per-query lookup tables) against the exact float brute
+      // force, per query. Quantization loss is the quantity a PQ
+      // deployment must watch (it is recall-bound where IVF is
+      // probe-bound): a code budget too small for the corpus shows up
+      // here before it shows up in production relevance. Both sides
+      // reuse the entries' own plans; the diff is a 50-row join and
+      // hits/recall are small-integer arithmetic — hash-exact against
+      // the oracle, which recomputes both retrievals in SQL (the
+      // bit-identical folds knn_brute and knn_pq already prove). At
+      // 100 TB this runs on a sampled query set at codebook-train
+      // time, brute side being the expensive half.
+      (s, dir) => {
+        dumpOracleBase(s, dir)
+        val emb = embeddings(s, dir)
+        val (cen, codes) = pqIndex(s, dir, emb)
+        val q = emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val brute = topkPerQuery(
+          emb.crossJoin(broadcast(q))
+            .filter(col("vec_id") =!= col("qid"))
+            .withColumn("sim", Vectors.dot(col("embedding"), col("qvec")))
+            .select(col("qid"), col("vec_id"), col("sim")), "sim", 5)
+          .select(col("qid"), col("vec_id"))
+        val pq = pqSearch(cen, codes, q, 5)
+          .select(col("qid"), col("vec_id"))
+        val hits = brute.join(pq, Seq("qid", "vec_id"))
+          .groupBy(col("qid")).agg(count(lit(1)).as("hits"))
+        q.select(col("qid")).join(hits, Seq("qid"), "left")
+          .select(col("qid"),
+            coalesce(col("hits"), lit(0L)).as("hits"),
+            (coalesce(col("hits"), lit(0L)).cast("double") / 5.0)
+              .as("recall"))
+          .orderBy(col("qid"))
+      },
+      Some(s"""WITH norm AS (SELECT vec_id,
+            list_transform(embedding, x -> CAST(x AS DOUBLE) / sqrt(
+              list_reduce(list_transform(embedding,
+                y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)),
+                (a,b) -> a+b))) AS e
+          FROM embeddings),
+        q AS (SELECT vec_id AS qid, e AS qe FROM norm WHERE vec_id < 10),
+        bs AS (SELECT q.qid, n.vec_id,
+            list_reduce(list_transform(range(1, len(n.e)+1),
+              i -> n.e[i]*q.qe[i]), (a,b) -> a+b) AS sim
+          FROM norm n, q WHERE n.vec_id <> q.qid),
+        br AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
+            row_number() OVER (PARTITION BY qid
+              ORDER BY sim DESC, vec_id) AS rnk FROM bs)
+          WHERE rnk <= 5),
+        cb AS (SELECT m, code, cvec
+          FROM read_parquet('$dumpSql/pq_codebooks/*.parquet')),
+        ce AS (SELECT vec_id, mi - 1 AS m, codes[mi] AS code
+          FROM read_parquet('$dumpSql/pq_codes/*.parquet')
+          CROSS JOIN (SELECT unnest(range(1, 9)) AS mi) u),
+        tab AS (SELECT q2.qid, cb.m, cb.code,
+            list_reduce(list_transform(range(1, 9),
+              i -> q2.qe[cb.m*8 + i] * cb.cvec[i]), (a,b) -> a+b) AS tdot
+          FROM q q2 CROSS JOIN cb),
+        sc AS (SELECT c.qid, c.vec_id,
+            list_reduce(list(t.tdot ORDER BY t.m), (a,b) -> a+b)
+              AS approx_dot
+          FROM (SELECT q.qid, ce.vec_id, ce.m, ce.code
+            FROM q CROSS JOIN ce WHERE ce.vec_id <> q.qid) c
+          JOIN tab t ON t.qid = c.qid AND t.m = c.m AND t.code = c.code
+          GROUP BY c.qid, c.vec_id HAVING COUNT(*) = 8),
+        pr AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
+            row_number() OVER (PARTITION BY qid
+              ORDER BY approx_dot DESC, vec_id) AS rnk FROM sc)
+          WHERE rnk <= 5),
+        hits AS (SELECT br.qid, COUNT(*) AS hits
+          FROM br JOIN pr ON br.qid = pr.qid AND br.vec_id = pr.vec_id
+          GROUP BY br.qid)
+        SELECT q.qid, COALESCE(h.hits, 0) AS hits,
+          CAST(COALESCE(h.hits, 0) AS DOUBLE) / 5.0 AS recall
+        FROM q LEFT JOIN hits h ON q.qid = h.qid ORDER BY q.qid"""))
   )
 
   /** The SemDeDup keep-rank relation: every indexed vector with its

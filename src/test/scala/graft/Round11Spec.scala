@@ -586,4 +586,26 @@ class Round11Spec extends SparkSuite {
     assert(top.get.getAs[Double]("recall") == 1.0,
       "identical signatures must collide in every band")
   }
+
+  test("pq_recall_report: hits equal the recomputed brute∩pq overlap per query") {
+    // Cross-check the report against the two retrieval entries it
+    // monitors: hits@5 must equal the overlap of knn_brute's and
+    // knn_pq's own top-5 sets, query by query.
+    val brute = q("knn_brute", sfDir).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id")))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val pq = q("knn_pq", sfDir).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id")))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val rows = q("pq_recall_report", sfDir).collect()
+    assert(rows.map(_.getAs[Long]("qid")).toSeq == (0L until 10L),
+      "every sampled query must report, zero-hit ones included")
+    rows.foreach { r =>
+      val qid = r.getAs[Long]("qid")
+      val expect = brute(qid).intersect(pq(qid)).size.toLong
+      assert(r.getAs[Long]("hits") == expect,
+        s"qid $qid hits ${r.getAs[Long]("hits")} != overlap $expect")
+      assert(r.getAs[Double]("recall") == expect.toDouble / 5.0)
+    }
+  }
 }
