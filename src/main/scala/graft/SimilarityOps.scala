@@ -1611,18 +1611,7 @@ object SimilarityOps {
           .select(col("new_id"), col("dup_of"), col("cos"))
           .orderBy(col("new_id"), col("dup_of"))
       },
-      Some(s"""WITH asg AS (SELECT cell, vec_id, embedding
-          FROM read_parquet('$dumpSql/assignments/*.parquet')),
-        hist AS (SELECT cell, vec_id AS dup_of, embedding AS e_h
-          FROM asg WHERE vec_id % 10 <> 0),
-        probe AS (SELECT cell, vec_id AS new_id, embedding AS e_p
-          FROM asg WHERE vec_id % 10 = 0),
-        v AS (SELECT p.new_id, h.dup_of,
-            list_reduce(list_transform(range(1, len(p.e_p)+1),
-              i -> p.e_p[i]*h.e_h[i]), (x,y) -> x+y) AS cos
-          FROM probe p JOIN hist h ON p.cell = h.cell)
-        SELECT new_id, dup_of, cos FROM v WHERE cos >= 0.35
-        ORDER BY new_id, dup_of""")),
+      Some(semanticIncrementalSql)),
 
     Entry(
       "pq_recall_report",
@@ -1704,6 +1693,49 @@ object SimilarityOps {
           CAST(COALESCE(h.hits, 0) AS DOUBLE) / 5.0 AS recall
         FROM q LEFT JOIN hits h ON q.qid = h.qid ORDER BY q.qid"""))
   )
+
+  /** Oracle for the ingest-side SemDeDup probe, shared by the batch
+    * entry (dedup_semantic_incremental) and its streaming twin
+    * (stream_semantic_dedup): the history/probe split re-derived in
+    * SQL over the dumped assignments with the bit-exact in-order dot
+    * fold.
+    */
+  private[graft] def semanticIncrementalSql: String =
+    s"""WITH asg AS (SELECT cell, vec_id, embedding
+        FROM read_parquet('$dumpSql/assignments/*.parquet')),
+      hist AS (SELECT cell, vec_id AS dup_of, embedding AS e_h
+        FROM asg WHERE vec_id % 10 <> 0),
+      probe AS (SELECT cell, vec_id AS new_id, embedding AS e_p
+        FROM asg WHERE vec_id % 10 = 0),
+      v AS (SELECT p.new_id, h.dup_of,
+          list_reduce(list_transform(range(1, len(p.e_p)+1),
+            i -> p.e_p[i]*h.e_h[i]), (x,y) -> x+y) AS cos
+        FROM probe p JOIN hist h ON p.cell = h.cell)
+      SELECT new_id, dup_of, cos FROM v WHERE cos >= 0.35
+      ORDER BY new_id, dup_of"""
+
+  /** Ingest-side SemDeDup probe for a batch of (vec_id, embedding)
+    * rows (unit-normalized): assign each to its cell against the
+    * FIXED standing centroids (per-row, no retrain — identical to the
+    * training-time assignment, the proven refreshIndex property) and
+    * emit every (new_id, dup_of, cos ≥ τ) pair against the standing
+    * %10≠0 members of that cell. Shared by the streaming twin
+    * (stream_semantic_dedup) so drained-stream ≡ batch holds by
+    * construction of the per-batch plan.
+    */
+  private[graft] def semanticProbe(s: SparkSession, dir: String,
+      batch: DataFrame): DataFrame = {
+    val hist = assignedCached(s, dir).filter(col("vec_id") % 10 =!= 0)
+      .select(col("cell"), col("vec_id").as("dup_of"),
+        col("embedding").as("e_h"))
+    val asg = withNearestCell(batch, col("embedding"), centroids(s, dir))
+      .select(col("cell"), col("vec_id").as("new_id"),
+        col("embedding").as("e_p"))
+    asg.join(hist, "cell")
+      .withColumn("cos", Vectors.dot(col("e_p"), col("e_h")))
+      .filter(col("cos") >= 0.35)
+      .select(col("new_id"), col("dup_of"), col("cos"))
+  }
 
   /** The SemDeDup keep-rank relation: every indexed vector with its
     * cell and dot-to-centroid (the within-cell rank key). Shared by

@@ -946,6 +946,44 @@ object StreamOps {
       Some(SimilarityOps.ivfProbeSql("vec_id < 32"))),
 
     Entry(
+      "stream_semantic_dedup",
+      // Streaming SemDeDup — dedup_semantic_incremental's plan run as
+      // the ingest job it models: the %10==0 batch vectors arrive as a
+      // bounded file stream and each micro-batch probes the STANDING
+      // index via SimilarityOps.semanticProbe (per-row cell assignment
+      // against broadcast fixed centroids, then cosine only against
+      // that cell's standing members). The corpus never moves per
+      // batch; state lives in the standing index, not the state store
+      // — so an unbounded deployment's per-batch cost stays
+      // O(batch × cell occupancy). Sharing the probe plan with the
+      // batch entry makes drained-stream ≡ batch hold by construction;
+      // the oracle (same SQL as the batch twin) and Round11Spec verify
+      // it anyway.
+      (s, dir) => {
+        SimilarityOps.dumpOracleBase(s, dir)
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_stream_semdedup").toString
+        val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        val qs = s.readStream.schema(emb.schema)
+          .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+          .filter(col("vec_id") % 10 === 0)
+          .select(col("vec_id").cast("long").as("vec_id"),
+            graft.functions.Vectors.normalized(col("embedding"))
+              .as("embedding"))
+        val q = qs.writeStream
+          .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
+              epoch: Long) =>
+            SimilarityOps.semanticProbe(s, dir, batch.toDF())
+              .write.mode("overwrite").parquet(s"$root/b$epoch")
+            ()
+          }
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        s.read.parquet(s"$root/b*").orderBy(col("new_id"), col("dup_of"))
+      },
+      Some(SimilarityOps.semanticIncrementalSql)),
+
+    Entry(
       "stream_asof",
       // Micro-batch AS-OF enrichment: each streamed batch of purchases
       // runs through the custom AsOfJoin operator against the static

@@ -608,4 +608,13 @@ class Round11Spec extends SparkSuite {
       assert(r.getAs[Double]("recall") == expect.toDouble / 5.0)
     }
   }
+
+  test("stream_semantic_dedup drained == batch dedup_semantic_incremental") {
+    val batch = q("dedup_semantic_incremental", sfDir).collect()
+      .map(_.toString).toSeq
+    val stream = q("stream_semantic_dedup", sfDir).collect()
+      .map(_.toString).toSeq
+    assert(stream == batch,
+      "stream splitting must not change a single confirmed pair")
+  }
 }
