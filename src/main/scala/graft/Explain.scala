@@ -28,7 +28,7 @@ object Explain {
         "emb_kcenter", "mm_phash", "dedup_threshold_report",
         "emb_outliers", "emb_dispersion", "knn_filtered",
         "dedup_semantic", "dedup_semantic_incremental",
-        "dedup_recall_report", "pq_recall_report",
+        "dedup_recall_report", "pq_recall_report", "knn_hard_negatives",
         // stream_* entries are deliberately absent: calling one RUNS
         // the streaming query (AvailableNow drain) and returns the
         // post-materialization batch read, whose plan says nothing

@@ -1691,7 +1691,57 @@ object SimilarityOps {
           GROUP BY br.qid)
         SELECT q.qid, COALESCE(h.hits, 0) AS hits,
           CAST(COALESCE(h.hits, 0) AS DOUBLE) / 5.0 AS recall
-        FROM q LEFT JOIN hits h ON q.qid = h.qid ORDER BY q.qid"""))
+        FROM q LEFT JOIN hits h ON q.qid = h.qid ORDER BY q.qid""")),
+
+    Entry(
+      "knn_hard_negatives",
+      // Hard-negative mining — the contrastive-training data op (DPR,
+      // Karpukhin et al. 2020 §4.2: negatives nearest the query are
+      // the ones worth training against): per query, the top-5 most
+      // cosine-similar vectors with a DIFFERENT label. Differs from
+      // knn_filtered's static predicate — the filter here is PER-PAIR
+      // (candidate label ≠ that query's label), composed into the
+      // broadcast fan-out before ranking so each query ranks only its
+      // own negative pool. Same scale shape as knn_brute: queries
+      // broadcast, corpus never shuffles, TopKAgg bounds state at k;
+      // a production miner swaps the brute scan for the IVF probe.
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+          .select(col("vec_id"),
+            Vectors.normalized(col("embedding")).as("embedding"),
+            col("label"))
+        val q = emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+            col("label").as("qlabel"))
+        val scored = emb.crossJoin(broadcast(q))
+          .filter(col("vec_id") =!= col("qid") &&
+            col("label") =!= col("qlabel"))
+          .withColumn("sim", Vectors.dot(col("embedding"), col("qvec")))
+          .select(col("qid"), col("vec_id"), col("sim"))
+        topkPerQuery(scored, "sim", 5)
+          .orderBy(col("qid"), col("rank"))
+      },
+      // knn_brute's bit-exact SQL with the label cross-filter applied
+      // before ranking.
+      Some("""WITH norm AS (
+          SELECT vec_id, label,
+            list_transform(embedding, x -> CAST(x AS DOUBLE) / sqrt(
+              list_reduce(list_transform(embedding,
+                y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)),
+                (a,b) -> a+b))) AS e
+          FROM embeddings),
+        q AS (SELECT vec_id AS qid, e AS qe, label AS qlabel
+          FROM norm WHERE vec_id < 10),
+        s AS (SELECT q.qid, n.vec_id,
+            list_reduce(list_transform(range(1, len(n.e)+1),
+              i -> n.e[i]*q.qe[i]), (a,b) -> a+b) AS sim
+          FROM norm n, q WHERE n.vec_id <> q.qid AND n.label <> q.qlabel),
+        r AS (SELECT qid,
+            CAST(row_number() OVER (PARTITION BY qid
+              ORDER BY sim DESC, vec_id) AS INT) AS rank,
+            vec_id, sim FROM s)
+        SELECT qid, rank, vec_id, sim FROM r
+        WHERE rank <= 5 ORDER BY qid, rank"""))
   )
 
   /** Oracle for the ingest-side SemDeDup probe, shared by the batch

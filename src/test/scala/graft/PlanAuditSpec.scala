@@ -227,6 +227,41 @@ class PlanAuditSpec extends SparkSuite {
       !p.contains("BroadcastNestedLoopJoin"), p.take(1000))
   }
 
+  test("dedup_semantic: pairwise stays within cells — one cell join, no cartesian") {
+    // the defining scale property: the pairwise self-join must KEY on
+    // cell (bounded occupancy blocks), never an all-pairs cross. The
+    // cached index (InMemoryRelation) embeds its one-time BUILD plan —
+    // whose centroid assignment legitimately uses a broadcast
+    // nested-loop fan-out — so the pin asserts the serving join's key
+    // rather than a tree-wide no-BNLJ.
+    val p = plan("dedup_semantic")
+    assert("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \\[cell"
+      .r.findFirstIn(p).isDefined, p.take(1200))
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+  }
+
+  test("dedup_semantic_incremental: probe joins history on cell only") {
+    val p = plan("dedup_semantic_incremental")
+    assert("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \\[cell"
+      .r.findFirstIn(p).isDefined, p.take(1200))
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+  }
+
+  test("dedup_recall_report: all-pairs is sample-bounded broadcast, candidates bucket-joined") {
+    // the truth side's BNLJ is the INTENTIONAL bounded-sample
+    // all-pairs (broadcast, constant-size at any corpus scale); the
+    // candidate side must still come from the (band, bkey) equi-join
+    val p = plan("dedup_recall_report")
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(1000))
+    assert(!p.contains("CartesianProduct"), p.take(1000))
+  }
+
+  test("pq_recall_report: both retrievals stay TopKAgg-bounded") {
+    val p = plan("pq_recall_report")
+    assert(p.contains("graft_topk"), p.take(1000))
+    assert(!p.contains("CartesianProduct"), p.take(1000))
+  }
+
   test("u2_bulk_ingest: assembly is map-only — correlation adds no shuffle") {
     // single-pass per-file assembly: the only exchanges allowed are the
     // cid windows' per-(sensor, file) partitioning and the tiny

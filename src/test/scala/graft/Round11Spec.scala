@@ -617,4 +617,36 @@ class Round11Spec extends SparkSuite {
     assert(stream == batch,
       "stream splitting must not change a single confirmed pair")
   }
+
+  test("knn_hard_negatives: every hit is cross-label and equals the filtered brute rank") {
+    val emb = Tables.t(spark, sfDir, "embeddings")
+      .select(col("vec_id"),
+        graft.functions.Vectors.normalized(col("embedding")).as("e"),
+        col("label"))
+      .collect()
+      .map(r => (r.getAs[Long]("vec_id"),
+        r.getAs[scala.collection.Seq[Double]]("e").toArray,
+        r.getAs[Int]("label")))
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val labels = emb.map(t => t._1 -> t._3).toMap
+    val expect = emb.filter(_._1 < 10).sortBy(_._1).flatMap {
+      case (qid, qe, ql) =>
+        emb.filter(t => t._1 != qid && t._3 != ql)
+          .map(t => (t._1, dot(t._2, qe)))
+          .sortBy { case (id, sim) => (-sim, id) }
+          .take(5).zipWithIndex
+          .map { case ((id, sim), i) => (qid, i + 1, id, sim) }
+    }.toSeq
+    val got = q("knn_hard_negatives", sfDir).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rank"),
+        r.getAs[Long]("vec_id"), r.getAs[Double]("sim"))).toSeq
+    assert(got == expect, s"diverged: got ${got.take(3)} expect ${expect.take(3)}")
+    got.foreach { case (qid, _, id, _) =>
+      assert(labels(id) != labels(qid), "a hard negative must be cross-label")
+    }
+  }
 }
