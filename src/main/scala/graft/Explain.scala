@@ -29,6 +29,7 @@ object Explain {
         "emb_outliers", "emb_dispersion", "knn_filtered",
         "dedup_semantic", "dedup_semantic_incremental",
         "dedup_recall_report", "pq_recall_report", "knn_hard_negatives",
+        "sample_class_balance",
         // stream_* entries are deliberately absent: calling one RUNS
         // the streaming query (AvailableNow drain) and returns the
         // post-materialization batch read, whose plan says nothing

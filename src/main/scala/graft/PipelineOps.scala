@@ -374,6 +374,40 @@ object PipelineOps {
         WHERE rk <= 20 ORDER BY lang, rk""")),
 
     Entry(
+      "sample_class_balance",
+      // Class-balanced downsampling — the standard fix for imbalanced
+      // classifier/contrastive training data: every label downsampled
+      // to the MINORITY class's count, members chosen by the same
+      // scrambled-hash rank sample_stratified uses (deterministic,
+      // insertion-order-unbiased). The target count is a one-row
+      // aggregate broadcast past the per-label rank window — one
+      // shuffle on label, no global sort; the identical plan balances
+      // a 100 TB labeled store label-parallel.
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = t(s, dir, "embeddings").select(col("vec_id"), col("label"))
+        val target = e.groupBy(col("label"))
+          .agg(count(lit(1)).as("n"))
+          .agg(min(col("n")).as("k"))
+        val h = pmod(col("vec_id") * lit(2654435761L), lit(1000000007L))
+        val w = Window.partitionBy(col("label")).orderBy(h, col("vec_id"))
+        e.withColumn("rk", row_number().over(w).cast("long"))
+          .crossJoin(broadcast(target))
+          .filter(col("rk") <= col("k"))
+          .select(col("label"), col("rk"), col("vec_id"))
+          .orderBy(col("label"), col("rk"))
+      },
+      Some("""WITH c AS (SELECT MIN(cnt) AS k FROM (
+            SELECT COUNT(*) AS cnt FROM embeddings GROUP BY label)),
+          r AS (SELECT label, vec_id, CAST(ROW_NUMBER() OVER (
+              PARTITION BY label
+              ORDER BY (vec_id * 2654435761) % 1000000007, vec_id)
+            AS BIGINT) AS rk
+          FROM embeddings)
+        SELECT label, rk, vec_id FROM r, c WHERE rk <= c.k
+        ORDER BY label, rk""")),
+
+    Entry(
       "mix_token_budget",
       // Data-mix quota: cap each source's contribution at a fixed token
       // budget by taking the deterministic per-source prefix whose

@@ -649,4 +649,21 @@ class Round11Spec extends SparkSuite {
       assert(labels(id) != labels(qid), "a hard negative must be cross-label")
     }
   }
+
+  test("sample_class_balance: every label kept at exactly the minority count") {
+    val all = Tables.t(spark, sfDir, "embeddings")
+      .groupBy(col("label")).count().collect()
+      .map(r => r.getAs[Int]("label") -> r.getAs[Long]("count")).toMap
+    val minN = all.values.min
+    val kept = q("sample_class_balance", sfDir).collect()
+    val byLabel = kept.groupBy(_.getAs[Int]("label"))
+      .view.mapValues(_.length.toLong).toMap
+    assert(byLabel.keySet == all.keySet, "every label must survive")
+    byLabel.foreach { case (l, n) =>
+      assert(n == minN, s"label $l kept $n != minority count $minN")
+    }
+    // deterministic: a rerun replays the identical membership
+    val again = q("sample_class_balance", sfDir).collect()
+    assert(kept.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
 }
