@@ -682,15 +682,8 @@ object Analytics {
         ON p.user_id = s.user_id AND p.ts >= s.ts
         ORDER BY p.event_id""")),
 
-    Entry(
-      "q28_approx_distinct",
-      (s, dir) =>
-        t(s, dir, "events")
-          .groupBy(col("event_type"))
-          .agg(approx_count_distinct(col("user_id")).as("approx_users"),
-            count(lit(1)).as("n"))
-          .orderBy(col("event_type")),
-      None),
+    // q28_approx_distinct moved to SketchOps (bracket-check oracle
+    // contract alongside the other estimate sketches, VERDICT r11 #1)
 
     Entry(
       "q30_cube",

@@ -141,14 +141,35 @@ object Bench {
       else regs.map { case (k, r) => f""""$k":$r%.1f""" }
         .mkString(""","regressions":{""", ",", "}")
     }
+    // Load-invariant health number (VERDICT r11 #3): the MEDIAN of
+    // per-entry time/pin ratios. Host load inflates single-shot
+    // entries 3–8x but cannot inflate the median of min-of-k across
+    // 200+ entries unless the whole run is contaminated — so the
+    // driver artifact self-adjudicates: median ≤ ~1.15 means "code is
+    // healthy, any flagged regression is noise"; a genuinely slower
+    // build moves the median itself. Appended AFTER queries like
+    // regressions so the documented metric-first prefix is unchanged;
+    // omitted when no pins cover the run.
+    val mprStr = {
+      val ratios = results.toSeq
+        .flatMap { case (k, v) => pins.get(k).filter(_ > 0).map(v / _) }
+        .sorted
+      if (ratios.isEmpty) ""
+      else {
+        val n = ratios.length
+        val med = if (n % 2 == 1) ratios(n / 2)
+          else (ratios(n / 2 - 1) + ratios(n / 2)) / 2
+        f""","median_pin_ratio":$med%.2f"""
+      }
+    }
     val entries = results.toSeq.sortBy { case (k, v) => (-v, k) }
       .map { case (k, v) => f""""$k":$v%.3f""" }
     val kept = scala.collection.mutable.ListBuffer.empty[String]
-    var used = header.length + 2 + regStr.length
+    var used = header.length + 2 + regStr.length + mprStr.length
     entries.foreach { e =>
       if (used + e.length + 1 <= budget) { kept += e; used += e.length + 1 }
     }
-    header + kept.mkString("{", ",", "}") + regStr + "}"
+    header + kept.mkString("{", ",", "}") + regStr + mprStr + "}"
   }
 
   /** Pinned per-entry minimums for `sfDir`'s scale, from the committed

@@ -63,7 +63,14 @@ object PipelineOps {
       // that makes the split reproducible across reruns and engines.
       // 20% sample per language; the sample splits 80/10/10.
       (s, dir) => {
-        val bucket = (col("doc_id") * 2654435761L) % 1000
+        // doc_id masked by the prime BEFORE the Knuth multiply: the
+        // product then stays < 2^61.4, so the arithmetic is identical
+        // in Spark's wrapping Long and DuckDB's overflow-promoting
+        // BIGINT for ANY doc_id — not just ids < 2^63/2654435761
+        // (~3.5e9, a bound a 100 TB corpus can exceed). Identity for
+        // ids below the prime, so existing outputs are unchanged.
+        // Applied to every hash-order/bucket site (ADVICE r11).
+        val bucket = ((col("doc_id") % 1000000007L) * 2654435761L) % 1000
         t(s, dir, "documents")
           .withColumn("bucket", bucket)
           .filter(col("bucket") < 200)
@@ -77,7 +84,8 @@ object PipelineOps {
           .orderBy(col("lang"), col("split"))
       },
       Some("""WITH b AS (SELECT lang, n_chars,
-          (doc_id * 2654435761) % 1000 AS bucket FROM documents),
+          ((doc_id % 1000000007) * 2654435761) % 1000 AS bucket
+          FROM documents),
         s AS (SELECT lang, n_chars,
             CASE WHEN bucket < 160 THEN 'train'
                  WHEN bucket < 180 THEN 'val' ELSE 'test' END AS split
@@ -238,8 +246,8 @@ object PipelineOps {
         t(s, dir, "documents").select(col("doc_id")), seed = 42L)
         .orderBy(col("shard_id"), col("position")),
       Some("""WITH k AS (SELECT doc_id,
-          (doc_id * 2654435761 + CAST(42 AS BIGINT) * 998244353)
-            % 1000000007 AS k
+          ((doc_id % 1000000007) * 2654435761
+            + CAST(42 AS BIGINT) * 998244353) % 1000000007 AS k
           FROM documents)
         SELECT CAST(k // 62500001 AS BIGINT) AS shard_id,
           CAST(row_number() OVER (PARTITION BY k // 62500001
@@ -278,7 +286,8 @@ object PipelineOps {
                 2L)
               .otherwise(3L))
           .withColumn("k",
-            (((col("doc_id") * lit(2654435761L) + lit(42L * 998244353L))
+            ((((col("doc_id") % lit(prime)) * lit(2654435761L)
+              + lit(42L * 998244353L))
               % lit(prime)) + lit(prime)) % lit(prime))
           .withColumn("shard_id", expr(s"CAST(k DIV $shardW AS BIGINT)"))
         val w = Window.partitionBy(col("stage"), col("shard_id"))
@@ -303,8 +312,8 @@ object PipelineOps {
                  WHEN score_q * 100 >= 9000000000 * n_tok THEN 1
                  WHEN score_q * 100 >= 5000000000 * n_tok THEN 2
                  ELSE 3 END AS stage,
-            (doc_id * 2654435761 + CAST(42 AS BIGINT) * 998244353)
-              % 1000000007 AS k
+            ((doc_id % 1000000007) * 2654435761
+              + CAST(42 AS BIGINT) * 998244353) % 1000000007 AS k
           FROM sc)
         SELECT CAST(stage AS BIGINT) AS stage,
           CAST(k // 250000002 AS BIGINT) AS shard_id,
@@ -356,7 +365,8 @@ object PipelineOps {
       // window, never a global sort.
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
-        val h = pmod(col("doc_id") * lit(2654435761L), lit(1000000007L))
+        val h = pmod((col("doc_id") % 1000000007L) * lit(2654435761L),
+          lit(1000000007L))
         val w = Window.partitionBy(col("lang")).orderBy(h, col("doc_id"))
         t(s, dir, "documents")
           .withColumn("rk", row_number().over(w))
@@ -368,7 +378,8 @@ object PipelineOps {
       Some("""SELECT lang, rk, doc_id FROM (
           SELECT lang, doc_id, CAST(ROW_NUMBER() OVER (
               PARTITION BY lang
-              ORDER BY (doc_id * 2654435761) % 1000000007, doc_id)
+              ORDER BY ((doc_id % 1000000007) * 2654435761)
+                % 1000000007, doc_id)
             AS BIGINT) AS rk
           FROM documents)
         WHERE rk <= 20 ORDER BY lang, rk""")),
@@ -389,7 +400,8 @@ object PipelineOps {
         val target = e.groupBy(col("label"))
           .agg(count(lit(1)).as("n"))
           .agg(min(col("n")).as("k"))
-        val h = pmod(col("vec_id") * lit(2654435761L), lit(1000000007L))
+        val h = pmod((col("vec_id") % 1000000007L) * lit(2654435761L),
+          lit(1000000007L))
         val w = Window.partitionBy(col("label")).orderBy(h, col("vec_id"))
         e.withColumn("rk", row_number().over(w).cast("long"))
           .crossJoin(broadcast(target))
@@ -401,7 +413,8 @@ object PipelineOps {
             SELECT COUNT(*) AS cnt FROM embeddings GROUP BY label)),
           r AS (SELECT label, vec_id, CAST(ROW_NUMBER() OVER (
               PARTITION BY label
-              ORDER BY (vec_id * 2654435761) % 1000000007, vec_id)
+              ORDER BY ((vec_id % 1000000007) * 2654435761)
+                % 1000000007, vec_id)
             AS BIGINT) AS rk
           FROM embeddings)
         SELECT label, rk, vec_id FROM r, c WHERE rk <= c.k
@@ -456,7 +469,7 @@ object PipelineOps {
           t(s, dir, "documents").select(col("doc_id"), col("text")),
           TextOps.classifyWeights(s, dir))
         val prime = 1000000007L
-        val u = ((((col("doc_id") * lit(2654435761L) +
+        val u = (((((col("doc_id") % lit(prime)) * lit(2654435761L) +
           lit(11L * 998244353L)) % lit(prime)) + lit(prime)) % lit(prime))
           .cast("double") / lit(prime.toDouble)
         scored
@@ -481,7 +494,8 @@ object PipelineOps {
             CAST(score_q AS DOUBLE) / 1e9 / n_tok AS score,
             LEAST(GREATEST(0.5 + CAST(score_q AS DOUBLE) / 1e9 / n_tok,
               0.1), 0.9) AS p_accept,
-            CAST((doc_id * 2654435761 + CAST(11 AS BIGINT) * 998244353)
+            CAST(((doc_id % 1000000007) * 2654435761
+              + CAST(11 AS BIGINT) * 998244353)
               % 1000000007 AS DOUBLE) / 1000000007.0 AS u
           FROM sc)
         SELECT doc_id, score, p_accept FROM s2
@@ -505,8 +519,8 @@ object PipelineOps {
       // out on the pinned corpus; quantizing the key would RAISE the
       // risk (boundary-straddle ~1e-4 vs ulp-adjacency ~1e-16).
       (s, dir) => {
-        val u = ((col("doc_id") * 2654435761L) % 1000003L + 1L)
-          .cast("double") / 1000004.0
+        val u = (((col("doc_id") % 1000000007L) * 2654435761L)
+          % 1000003L + 1L).cast("double") / 1000004.0
         val w = Window.partitionBy(col("lang"))
           .orderBy(col("key").desc, col("doc_id"))
         t(s, dir, "documents")
@@ -518,7 +532,8 @@ object PipelineOps {
           .orderBy(col("lang"), col("rk"))
       },
       Some("""WITH k AS (SELECT lang, doc_id,
-            pow(CAST((doc_id * 2654435761) % 1000003 + 1 AS DOUBLE)
+            pow(CAST(((doc_id % 1000000007) * 2654435761)
+                  % 1000003 + 1 AS DOUBLE)
                 / 1000004.0,
               1.0 / CAST(n_chars AS DOUBLE)) AS key
           FROM documents)
@@ -582,7 +597,8 @@ object PipelineOps {
         import org.apache.spark.sql.graft.DatasetBridge
         val cap = 10
         val prime = 1000000007L
-        val k = (((col("doc_id") * lit(2654435761L) + lit(7L * 998244353L))
+        val k = ((((col("doc_id") % lit(prime)) * lit(2654435761L)
+          + lit(7L * 998244353L))
           % lit(prime)) + lit(prime)) % lit(prime)
         val topk = DatasetBridge.column(
           graft.functions.TopKAgg(
@@ -600,8 +616,8 @@ object PipelineOps {
           .orderBy(col("source"), col("rnk"))
       },
       Some("""WITH k AS (SELECT source, doc_id,
-            (doc_id * 2654435761 + CAST(7 AS BIGINT) * 998244353)
-              % 1000000007 AS k
+            ((doc_id % 1000000007) * 2654435761
+              + CAST(7 AS BIGINT) * 998244353) % 1000000007 AS k
           FROM documents)
         SELECT source, rnk, doc_id, k FROM (
           SELECT source, doc_id, k,
@@ -894,9 +910,11 @@ object PipelineOps {
     * pseudo-random total order keyed only by (`idCol`, `seed`) and
     * emits `(shard_id, position, idCol)` — shard n_shards ways, read
     * back in (shard_id, position) order to replay the shuffled epoch.
-    * The order key is k = (id·2654435761 + seed·998244353) mod p
-    * (p = 1e9+7; products stay far under 2^63 for any realistic id),
-    * the shard is k div ceil(p/n_shards): arithmetic on the row alone,
+    * The order key is k = ((id mod p)·2654435761 + seed·998244353)
+    * mod p (p = 1e9+7; masking id FIRST keeps the product < 2^61.4,
+    * so Spark's wrapping Long and DuckDB's overflow-promoting BIGINT
+    * agree for ANY id, not just ids < ~3.5e9 — ADVICE r11), the shard
+    * is k div ceil(p/n_shards): arithmetic on the row alone,
     * so the result is independent of input partitioning and identical
     * across reruns/engines for the same seed. One shuffle (hash on
     * shard_id), one bounded per-shard sort — no global window, no
@@ -913,7 +931,8 @@ object PipelineOps {
     // keeps the dividend's sign); for the non-negative entry inputs it
     // is value-identical to the oracle's single %
     df.withColumn("k",
-        (((col(idCol) * lit(2654435761L) + lit(seed * 998244353L))
+        ((((col(idCol) % lit(prime)) * lit(2654435761L)
+          + lit(seed * 998244353L))
           % lit(prime)) + lit(prime)) % lit(prime))
       .withColumn("shard_id", expr(s"CAST(k DIV $shardW AS BIGINT)"))
       .withColumn("position", row_number().over(w).cast("long"))

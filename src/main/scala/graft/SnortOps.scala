@@ -991,7 +991,8 @@ object SnortOps {
           .withColumn("bin", shiftright(col("net_start"), 24))
         val ips = Tables.t(s, dir, "lineitem")
           .filter(col("l_linenumber") === 1)
-          .withColumn("x", (col("l_orderkey") * 2654435761L) % 4294967296L)
+          .withColumn("x", ((col("l_orderkey") % 2147483648L) * 2654435761L)
+            % 4294967296L)
           .withColumn("bin", shiftright(col("x"), 24))
         ips.join(broadcast(cidrs),
             ips("bin") === cidrs("bin") &&
@@ -1008,7 +1009,7 @@ object SnortOps {
             CAST(x % 256 AS VARCHAR) AS ip,
           COALESCE(d.net_name, 'public') AS net_name
         FROM (SELECT l_orderkey,
-            (l_orderkey * 2654435761) % 4294967296 AS x
+            ((l_orderkey % 2147483648) * 2654435761) % 4294967296 AS x
           FROM lineitem WHERE l_linenumber = 1) p
         LEFT JOIN (VALUES
             (167772160, 184549375, 'rfc1918-a'),
@@ -1026,7 +1027,8 @@ object SnortOps {
       (s, dir) =>
         Tables.t(s, dir, "lineitem")
           .filter(col("l_linenumber") === 1)
-          .withColumn("x", (col("l_orderkey") * 2654435761L) % 4294967296L)
+          .withColumn("x", ((col("l_orderkey") % 2147483648L) * 2654435761L)
+            % 4294967296L)
           .withColumn("ip", Net.inet_ntoa(col("x")))
           .withColumn("rt", Net.inet_aton(col("ip")))
           .select(col("l_orderkey"), col("x"), col("ip"), col("rt"))
@@ -1038,7 +1040,7 @@ object SnortOps {
           CAST(x % 256 AS VARCHAR) AS ip,
         x AS rt
         FROM (SELECT l_orderkey,
-                (l_orderkey * 2654435761) % 4294967296 AS x
+                ((l_orderkey % 2147483648) * 2654435761) % 4294967296 AS x
               FROM lineitem WHERE l_linenumber = 1)
         ORDER BY l_orderkey"""))
   )

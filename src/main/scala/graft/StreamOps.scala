@@ -24,6 +24,25 @@ object StreamOps {
 
   private val counter = new AtomicInteger(0)
 
+  /** Temp root (checkpoint / per-epoch output) registered for recursive
+    * deletion at JVM exit. The entries hand back LAZY reads over these
+    * dirs, so deletion can't happen inline after the entry returns —
+    * but without cleanup every invocation leaked a graft_stream_* dir
+    * for the life of the machine (ADVICE r11). One hook per dir; a
+    * bounded handful per session.
+    */
+  private def tempRoot(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        val cs = f.listFiles(); if (cs != null) cs.foreach(rm)
+        f.delete(); ()
+      }
+      rm(p.toFile)
+    }))
+    p.toString
+  }
+
   /** Run a bounded streaming DataFrame to completion, return result. */
   private def runOnce(s: SparkSession, df: DataFrame,
       mode: OutputMode): DataFrame = {
@@ -40,8 +59,7 @@ object StreamOps {
   private def runOnceCheckpointed(s: SparkSession, df: DataFrame,
       mode: OutputMode): (DataFrame, String) = {
     val name = s"graft_stream_${counter.incrementAndGet()}"
-    val ckpt = java.nio.file.Files
-      .createTempDirectory(s"graft_ckpt_$name").toString
+    val ckpt = tempRoot(s"graft_ckpt_$name")
     val query = df.writeStream.format("memory").queryName(name)
       .option("checkpointLocation", ckpt)
       .outputMode(mode).trigger(Trigger.AvailableNow()).start()
@@ -711,8 +729,7 @@ object StreamOps {
       // integer arithmetic on both sides.
       (s, dir) => {
         val gapUs = 1800000000L
-        val root = java.nio.file.Files
-          .createTempDirectory("graft_timer_sess").toString
+        val root = tempRoot("graft_timer_sess")
         val ev = t(s, dir, "events").select(col("user_id"), col("event_id"),
           unix_micros(col("ts")).as("us"))
         val Array(lo, hi) = ev.agg(min(col("us")), max(col("us")))
@@ -780,8 +797,7 @@ object StreamOps {
       // the final store equals the batch latest-per-key regardless of
       // how the drain splits into micro-batches (the oracle).
       (s, dir) => {
-        val root = java.nio.file.Files
-          .createTempDirectory("graft_upsert").toString
+        val root = tempRoot("graft_upsert")
         val evs = eventStream(s, dir).select(
           col("user_id"), col("event_id"),
           unix_micros(col("ts").cast("timestamp")).as("us"),
@@ -921,8 +937,7 @@ object StreamOps {
       (s, dir) => {
         SimilarityOps.dumpOracleBase(s, dir)
         val idx = SimilarityOps.ensureIndex(s, dir)
-        val root = java.nio.file.Files
-          .createTempDirectory("graft_stream_knn").toString
+        val root = tempRoot("graft_stream_knn")
         val emb = s.read.parquet(s"$dir/embeddings.parquet")
         val qs = s.readStream.schema(emb.schema)
           .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
@@ -961,8 +976,7 @@ object StreamOps {
       // it anyway.
       (s, dir) => {
         SimilarityOps.dumpOracleBase(s, dir)
-        val root = java.nio.file.Files
-          .createTempDirectory("graft_stream_semdedup").toString
+        val root = tempRoot("graft_stream_semdedup")
         val emb = s.read.parquet(s"$dir/embeddings.parquet")
         val qs = s.readStream.schema(emb.schema)
           .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
@@ -995,8 +1009,7 @@ object StreamOps {
       // epoch via overwrite-by-batch dirs). Oracle: the batch as-of
       // (q29's shape) — stream splitting must not change a single row.
       (s, dir) => {
-        val root = java.nio.file.Files
-          .createTempDirectory("graft_stream_asof").toString
+        val root = tempRoot("graft_stream_asof")
         val ev = t(s, dir, "events")
         val sg = ev.filter(col("event_type") === "signup")
           .select(col("user_id").as("s_user_id"),

@@ -27,6 +27,16 @@ object DatasetBridge {
   def expression(c: org.apache.spark.sql.Column): org.apache.spark.sql.catalyst.expressions.Expression =
     classic.ExpressionUtils.expression(c)
 
+  /** An uncorrelated scalar subquery over `df`'s analyzed plan — the
+    * currency Spark's own runtime row-filtering hands to
+    * `BloomFilterMightContain` (which requires its filter argument be
+    * foldable or a plan subquery). Lets library code build the
+    * build-once/probe-everywhere shape without a driver-side collect.
+    */
+  def scalarSubquery(df: DataFrame): org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.catalyst.expressions.ScalarSubquery(
+      df.asInstanceOf[classic.Dataset[_]].queryExecution.analyzed)
+
   /** A fresh session with `ext` installed on an EXISTING SparkContext —
     * `builder().withExtensions(...).getOrCreate()` silently ignores
     * extensions when any session is already active (e.g. a shared test

@@ -63,12 +63,36 @@ class BenchLineSpec extends AnyFunSuite {
     assert(line.contains(""","regressions":{"""), line.takeRight(200))
     assert(line.contains("\"query_300\":3000.0"), "worst ratio must be kept")
     // capped at 6 so the field can't evict the queries map
-    val regBody = line.split(""""regressions":\{""")(1)
+    val regBody = line.split(""""regressions":\{""")(1).takeWhile(_ != '}')
     assert(regBody.count(_ == ':') <= 6, regBody)
     assert(line.length <= 1400 + 2, s"len=${line.length}")
     assert(line.count(_ == '{') == line.count(_ == '}'))
     // metric-first prefix the driver parses is untouched by the field
     assert(line.contains(""","unit":"sec","sf":0.1,"errors":0,"queries":{"""))
+  }
+
+  test("median pin ratio: load-invariant health field, absent without pins") {
+    // VERDICT r11 #3: twice (r10, r11) the driver's bench total ran
+    // ~1.5x the isolated truth under host load and its regression
+    // queue flagged only noise. The median of per-entry time/pin
+    // ratios is the self-adjudicating health number: load can't move
+    // the median of min-of-k across 200+ entries; a real regression
+    // moves it. SURVEY §5 documents the threshold (≤1.15 = healthy).
+    val pins = many.map { case (k, v) => k -> v } // ratio exactly 1.0
+    val line = Bench.jsonLine("/root/testdata/sf0.1", many, pins = pins)
+    assert(line.contains(""","median_pin_ratio":1.00"""), line.takeRight(120))
+    assert(line.length <= 1400 + 2 && line.endsWith("}"))
+    assert(line.count(_ == '{') == line.count(_ == '}'))
+    // metric-first prefix the driver parses is untouched by the field
+    assert(line.contains(""","unit":"sec","sf":0.1,"errors":0,"queries":{"""))
+    // even-count median averages the middle pair
+    val two = Map("a" -> 1.0, "b" -> 3.0)
+    val line2 = Bench.jsonLine("/root/testdata/sf0.1", two,
+      pins = Map("a" -> 1.0, "b" -> 1.0))
+    assert(line2.contains(""""median_pin_ratio":2.00"""), line2)
+    // no pins → no field (e.g. an sf without a committed pin set)
+    assert(!Bench.jsonLine("/root/testdata/sf0.1", many)
+      .contains("median_pin_ratio"))
   }
 
   test("within-2x entries and unpinned entries produce no regressions field") {

