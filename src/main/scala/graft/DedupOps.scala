@@ -927,7 +927,205 @@ object DedupOps {
           CAST(COUNT(DISTINCT pos) AS BIGINT) AS n_contaminated,
           CAST(COUNT(DISTINCT pos) AS DOUBLE) / CAST(n_tokens AS DOUBLE)
             AS frac
-        FROM cov GROUP BY doc_id, n_tokens ORDER BY doc_id"""))
+        FROM cov GROUP BY doc_id, n_tokens ORDER BY doc_id""")),
+
+    Entry(
+      "dedup_url",
+      // URL-keyed dedup — the FIRST dedup pass of every web-crawl
+      // pipeline (CommonCrawl WARCs carry one record per fetch; the
+      // same page is fetched under scheme/case/port/tracking-param
+      // variants): canonicalize each doc's URL (TextOps.canonicalizeUrl
+      // — the text_url_canon kernel) and keep the best copy per
+      // canonical key (max n_chars, min doc_id tiebreak). Planted
+      // variant URLs (deterministic from doc_id; case, www., default
+      // port, utm params and fragments all differ across copies of the
+      // same canonical page doc_id % 97). Plan: per-row projection +
+      // ONE shuffle on the canonical key; the rank window and the
+      // group agg share it. At 100 TB: url dedup is the cheapest
+      // corpus halving there is — no content hashing, no shingles.
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val url = concat(
+          when(col("doc_id") % 2 === 0, lit("HTTPS")).otherwise(lit("https")),
+          lit("://"),
+          when(col("doc_id") % 3 === 0, lit("WWW.Site")).otherwise(lit("site")),
+          (col("doc_id") % 97).cast("string"),
+          when(col("doc_id") % 3 === 0, lit(".COM")).otherwise(lit(".com")),
+          when(col("doc_id") % 2 === 0, lit(":443")).otherwise(lit("")),
+          lit("/p"),
+          when(col("doc_id") % 5 === 0, lit("?utm_source=feed"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 4 === 0, lit("#top")).otherwise(lit("")))
+        val keyed = t(s, dir, "documents")
+          .select(col("doc_id"), col("n_chars"),
+            TextOps.canonicalizeUrl(url).as("canon_url"))
+        val w = Window.partitionBy(col("canon_url"))
+          .orderBy(col("n_chars").desc, col("doc_id"))
+        val best = keyed
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") === 1)
+          .select(col("canon_url"), col("doc_id").as("keep_id"),
+            col("n_chars").as("keep_chars"))
+        keyed.groupBy(col("canon_url"))
+          .agg(count(lit(1)).as("n_copies"))
+          .join(best, "canon_url")
+          .select(col("canon_url"), col("keep_id"), col("keep_chars"),
+            col("n_copies"))
+          .orderBy(col("canon_url"))
+      },
+      Some("""WITH u AS (SELECT doc_id, n_chars,
+          CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'https' END || '://'
+            || CASE WHEN doc_id % 3 = 0 THEN 'WWW.Site' ELSE 'site' END
+            || (doc_id % 97)
+            || CASE WHEN doc_id % 3 = 0 THEN '.COM' ELSE '.com' END
+            || CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE '' END
+            || '/p'
+            || CASE WHEN doc_id % 5 = 0 THEN '?utm_source=feed' ELSE '' END
+            || CASE WHEN doc_id % 4 = 0 THEN '#top' ELSE '' END AS url
+          FROM documents),
+        p AS (SELECT doc_id, n_chars,
+          lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+          regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1) AS hostport,
+          regexp_replace(
+            regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1),
+            '[^/]+/\.\./', '') AS path,
+          regexp_extract(url, '\?([^#]*)', 1) AS q0 FROM u),
+        c AS (SELECT doc_id, n_chars, scheme, path,
+          regexp_replace(lower(regexp_replace(hostport, ':[0-9]+$', '')),
+            '^www\.', '') AS host,
+          regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+          regexp_replace(regexp_replace(q0, '(^|&)utm_[^&]*', '', 'g'),
+            '^&', '') AS q2 FROM p),
+        k AS (SELECT doc_id, n_chars,
+          scheme || '://' || host
+            || CASE WHEN (scheme = 'https' AND port = '443')
+                 OR (scheme = 'http' AND port = '80') OR port = ''
+              THEN '' ELSE ':' || port END
+            || path
+            || CASE WHEN q2 = '' THEN '' ELSE '?' || q2 END AS canon_url
+          FROM c),
+        r AS (SELECT canon_url, doc_id, n_chars,
+          ROW_NUMBER() OVER (PARTITION BY canon_url
+            ORDER BY n_chars DESC, doc_id) AS rk FROM k)
+        SELECT canon_url, doc_id AS keep_id, n_chars AS keep_chars,
+          (SELECT COUNT(*) FROM k k2
+            WHERE k2.canon_url = r.canon_url) AS n_copies
+        FROM r WHERE rk = 1 ORDER BY canon_url""")),
+
+    Entry(
+      "dedup_lines",
+      // Line/paragraph-level boilerplate dedup — CCNet's per-paragraph
+      // hash dedup in miniature: split each doc into fixed 10-word
+      // "lines", count each line's document frequency across the
+      // corpus, strip lines appearing in >= 3 distinct docs (nav bars,
+      // license banners, cookie notices at web scale), and emit the
+      // surviving text's fingerprint. Exact line STRINGS key the df
+      // count on both engines (at 100 TB the key becomes xxhash64 —
+      // same plan, 8-byte keys). Plan: one explode shuffle for the df
+      // count (map-side partial on the line key), one groupBy(doc_id)
+      // to reassemble; the collect_list is bounded by the doc's own
+      // line count, never the corpus.
+      (s, dir) => {
+        val toks = t(s, dir, "documents")
+          .select(col("doc_id"),
+            filter(split(col("text"), " "),
+              x => length(x) > lit(0)).as("tk"))
+        val lines = toks.select(col("doc_id"),
+          posexplode(transform(
+            sequence(lit(0), expr("(size(tk) - 1) DIV 10")),
+            i => array_join(
+              slice(col("tk"), i * lit(10) + lit(1), lit(10)), " ")))
+            .as(Seq("i", "line")))
+        val df = lines.groupBy(col("line"))
+          .agg(countDistinct(col("doc_id")).as("df"))
+        lines.join(df, "line")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_lines"),
+            sum(when(col("df") >= 3, 1L).otherwise(0L)).as("n_boiler"),
+            sha2(array_join(transform(
+              array_sort(collect_list(when(col("df") < 3,
+                struct(col("i"), col("line"))))),
+              x => x.getField("line")), " "), 256).as("kept_sha"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH toks AS (SELECT doc_id,
+            list_filter(string_split(text, ' '), x -> len(x) > 0) AS tk
+          FROM documents),
+        lines AS (SELECT doc_id,
+            unnest(range(0, (len(tk) - 1) // 10 + 1)) AS i,
+            unnest([array_to_string(tk[j*10+1:j*10+10], ' ')
+              for j in range(0, (len(tk) - 1) // 10 + 1)]) AS line
+          FROM toks),
+        df AS (SELECT line, COUNT(DISTINCT doc_id) AS df
+          FROM lines GROUP BY 1)
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines,
+          CAST(SUM(CASE WHEN df >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_boiler,
+          sha256(COALESCE(string_agg(CASE WHEN df < 3 THEN line END,
+            ' ' ORDER BY i), '')) AS kept_sha
+        FROM lines JOIN df USING (line)
+        GROUP BY doc_id ORDER BY doc_id""")),
+
+    Entry(
+      "dedup_incremental_bloom",
+      // Bloom-gated ingest decontamination — the ~MB sketch that makes
+      // continuous gram-level dedup affordable at 100 TB: the STANDING
+      // corpus's 6-gram set is summarized once into an engine-native
+      // Bloom filter (BloomFilterAggregate, the q42 machinery); each
+      // arriving batch (doc_id % 10 == 0) probes it IN THE SCAN
+      // (codegen'd might_contain on xxhash64(gram) — no join, no
+      // shuffle for the overwhelming majority of novel grams) and only
+      // the surviving candidate grams run the exact string-equality
+      // verify join that removes Bloom false positives. Result is
+      // bit-equal to the sketch-free gram join (no false negatives),
+      // so fully DuckDB-oracled. Emits per batch doc the verbatim
+      // 6-gram overlap with history: (doc_id, n_shared grams,
+      // n_hist_docs sharing them).
+      (s, dir) => {
+        import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+        import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+        import org.apache.spark.sql.graft.DatasetBridge
+        val toks = t(s, dir, "documents")
+          .select(col("doc_id"),
+            filter(split(lower(col("text")), " "),
+              x => length(x) > lit(0)).as("tk"))
+        val grams = toks.select(col("doc_id"),
+          explode(when(size(col("tk")) >= 6,
+            transform(sequence(lit(1), size(col("tk")) - lit(5)),
+              i => array_join(slice(col("tk"), i, lit(6)), " ")))
+            .otherwise(array().cast("array<string>"))).as("gram"))
+        val hist = grams.filter(col("doc_id") % 10 =!= 0)
+          .select(col("doc_id").as("hist_doc"), col("gram")).distinct()
+        val bf = hist.agg(DatasetBridge.column(
+          new BloomFilterAggregate(
+            DatasetBridge.expression(xxhash64(col("gram"))),
+            Literal(1000000L), Literal(9585059L)).toAggregateExpression())
+          .as("bf"))
+        val probe = DatasetBridge.column(BloomFilterMightContain(
+          DatasetBridge.scalarSubquery(bf),
+          DatasetBridge.expression(xxhash64(col("gram")))))
+        grams.filter(col("doc_id") % 10 === 0)
+          .filter(probe) // coarse scan-side gram prune
+          .join(hist, "gram") // exact verify: kills Bloom false positives
+          .groupBy(col("doc_id"))
+          .agg(countDistinct(col("gram")).as("n_shared"),
+            countDistinct(col("hist_doc")).as("n_hist_docs"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH toks AS (SELECT doc_id,
+            list_filter(string_split(lower(text), ' '),
+              x -> len(x) > 0) AS tk FROM documents),
+        grams AS (SELECT doc_id, unnest([array_to_string(tk[i:i+5], ' ')
+            for i in range(1, greatest(len(tk) - 5, 0) + 1)]) AS gram
+          FROM toks),
+        hist AS (SELECT DISTINCT doc_id AS hist_doc, gram FROM grams
+          WHERE doc_id % 10 <> 0),
+        batch AS (SELECT doc_id, gram FROM grams WHERE doc_id % 10 = 0)
+        SELECT batch.doc_id,
+          COUNT(DISTINCT batch.gram) AS n_shared,
+          COUNT(DISTINCT hist.hist_doc) AS n_hist_docs
+        FROM batch JOIN hist USING (gram)
+        GROUP BY batch.doc_id ORDER BY batch.doc_id"""))
   )
 
   /** Winnowing-fingerprint shared-substring candidate pairs; see the

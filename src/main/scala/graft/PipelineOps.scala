@@ -903,7 +903,68 @@ object PipelineOps {
               ELSE 'unchanged' END AS status
           FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
         SELECT doc_id, status FROM j
-        WHERE status <> 'unchanged' ORDER BY doc_id"""))
+        WHERE status <> 'unchanged' ORDER BY doc_id""")),
+
+    Entry(
+      "corpus_overlap",
+      // Cross-SOURCE overlap matrix — the corpus-level contamination /
+      // provenance question ("how much of source A is already in
+      // source B?") that doc-level dedup doesn't answer: per source
+      // pair, the exact Jaccard of their distinct word-3-shingle sets.
+      // Plan shape: the distinct (source, shingle) relation caps the
+      // shingle self-join's fan-out at C(|sources|, 2) rows PER
+      // SHINGLE — bounded by the source count, never the corpus — so
+      // candidate volume is O(shingles × sources²/2) worst case with
+      // tiny constants, one shuffle on the shingle key. n/n Jaccard is
+      // exact int division (identical double both engines). At 100 TB
+      // the same plan runs with xxhash64 shingle keys.
+      (s, dir) => {
+        val sh = t(s, dir, "documents")
+          .withColumn("tk",
+            filter(split(col("text"), " "), x => length(x) > lit(0)))
+          .select(col("source"),
+            explode(expr("array_distinct(transform(" +
+              "sequence(0, greatest(size(tk) - 3, 0)), " +
+              "i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2])))")).as("sh"))
+          .distinct()
+        val sizes = sh.groupBy(col("source"))
+          .agg(count(lit(1)).as("n"))
+        val inter = sh.toDF("source_a", "sh")
+          .join(sh.toDF("source_b", "sh2"),
+            col("sh") === col("sh2") && col("source_a") < col("source_b"))
+          .groupBy(col("source_a"), col("source_b"))
+          .agg(count(lit(1)).as("n_shared"))
+        inter
+          .join(sizes.toDF("source_a", "n_a"), "source_a")
+          .join(sizes.toDF("source_b", "n_b"), "source_b")
+          .select(col("source_a"), col("source_b"), col("n_a"),
+            col("n_b"), col("n_shared"),
+            (col("n_shared").cast("double") /
+              (col("n_a") + col("n_b") - col("n_shared")).cast("double"))
+              .as("jaccard"))
+          .orderBy(col("source_a"), col("source_b"))
+      },
+      Some("""WITH d AS (SELECT source,
+            list_filter(string_split(text, ' '), x -> len(x) > 0) AS tk
+          FROM documents),
+        g AS (SELECT DISTINCT source,
+            unnest([array_to_string(tk[i:i+2], ' ')
+              for i in range(1, greatest(len(tk) - 2, 0) + 1)]) AS sh
+          FROM d),
+        sz AS (SELECT source, COUNT(*) AS n FROM g GROUP BY 1),
+        inter AS (SELECT a.source AS source_a, b.source AS source_b,
+            CAST(COUNT(*) AS BIGINT) AS n_shared
+          FROM g a JOIN g b ON a.sh = b.sh AND a.source < b.source
+          GROUP BY 1, 2)
+        SELECT source_a, source_b,
+          CAST(x.n AS BIGINT) AS n_a, CAST(y.n AS BIGINT) AS n_b,
+          n_shared,
+          CAST(n_shared AS DOUBLE)
+            / CAST(x.n + y.n - n_shared AS DOUBLE) AS jaccard
+        FROM inter
+        JOIN sz x ON x.source = source_a
+        JOIN sz y ON y.source = source_b
+        ORDER BY source_a, source_b"""))
   )
 
   /** Deterministic training-order shuffle: assigns every row a

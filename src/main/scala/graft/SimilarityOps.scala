@@ -1741,7 +1741,42 @@ object SimilarityOps {
               ORDER BY sim DESC, vec_id) AS INT) AS rank,
             vec_id, sim FROM s)
         SELECT qid, rank, vec_id, sim FROM r
-        WHERE rank <= 5 ORDER BY qid, rank"""))
+        WHERE rank <= 5 ORDER BY qid, rank""")),
+
+    Entry(
+      "emb_project",
+      // Random-projection dimensionality reduction (Achlioptas'01 /
+      // JL): 64-dim float embeddings down to 8 dims via a DETERMINISTIC
+      // ±1 sign matrix — the cheap pre-clustering shrink every
+      // embedding pipeline runs before k-means/IVF training at scale
+      // (8× fewer bytes per vector into the iterative stage). The sign
+      // s(i,j) is a pure integer hash (middle bit of the squared-key
+      // Knuth multiply — parity-safe where a raw multiply's low bit is
+      // not; max key² · C ≈ 7e14, no overflow), so the matrix never
+      // materializes, reruns and engines agree, and the projection is
+      // a PROJECTION: per-row expression, no shuffle, no UDF, fully
+      // inside codegen. Doubles accumulate in index order on both
+      // engines (the knn_brute left-fold contract) → bit-exact oracle.
+      (s, dir) => {
+        val proj = expr("""transform(sequence(0, 7), j ->
+          aggregate(sequence(0, size(embedding) - 1), cast(0 as double),
+            (acc, i) -> acc + cast(embedding[i] as double) *
+              cast(1 - 2 * ((((cast(i as bigint) * 8 + j + 1)
+                * (cast(i as bigint) * 8 + j + 1) * 2654435761)
+                div 65536) % 2) as double)))""")
+        t(s, dir, "embeddings")
+          .select(col("vec_id") +: (0 until 8).map(j =>
+            proj.getItem(j).as(s"p$j")): _*)
+          .orderBy(col("vec_id"))
+      },
+      Some(s"""SELECT vec_id,
+        ${(0 until 8).map(j =>
+          s"""list_reduce(list_transform(range(0, len(embedding)),
+            i -> CAST(embedding[i + 1] AS DOUBLE) *
+              CAST(1 - 2 * ((((i * 8 + $j + 1) * (i * 8 + $j + 1)
+                * 2654435761) // 65536) % 2) AS DOUBLE)),
+            (a, b) -> a + b) AS p$j""").mkString(",\n        ")}
+        FROM embeddings ORDER BY vec_id"""))
   )
 
   /** Oracle for the ingest-side SemDeDup probe, shared by the batch
