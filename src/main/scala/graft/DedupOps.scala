@@ -1031,10 +1031,14 @@ object DedupOps {
             filter(split(col("text"), " "),
               x => length(x) > lit(0)).as("tk"))
         val lines = toks.select(col("doc_id"),
-          posexplode(transform(
+          // empty/whitespace-only docs yield NO lines on both engines:
+          // unguarded, Spark's (-1 DIV 10)=0 emits one empty line while
+          // DuckDB's floor division emits none (ADVICE r12)
+          posexplode(when(size(col("tk")) > lit(0), transform(
             sequence(lit(0), expr("(size(tk) - 1) DIV 10")),
             i => array_join(
               slice(col("tk"), i * lit(10) + lit(1), lit(10)), " ")))
+            .otherwise(expr("CAST(array() AS array<string>)")))
             .as(Seq("i", "line")))
         val df = lines.groupBy(col("line"))
           .agg(countDistinct(col("doc_id")).as("df"))

@@ -923,9 +923,13 @@ object PipelineOps {
           .withColumn("tk",
             filter(split(col("text"), " "), x => length(x) > lit(0)))
           .select(col("source"),
-            explode(expr("array_distinct(transform(" +
-              "sequence(0, greatest(size(tk) - 3, 0)), " +
-              "i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2])))")).as("sh"))
+            // docs under 3 tokens yield NO shingles (matching the
+            // oracle's empty range) — an unguarded sequence would emit
+            // a partial shingle via null-skipping concat_ws (ADVICE r12)
+            explode(expr("array_distinct(CASE WHEN size(tk) >= 3 THEN " +
+              "transform(sequence(0, size(tk) - 3), " +
+              "i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2])) " +
+              "ELSE CAST(array() AS array<string>) END)")).as("sh"))
           .distinct()
         val sizes = sh.groupBy(col("source"))
           .agg(count(lit(1)).as("n"))

@@ -28,18 +28,27 @@ object StreamOps {
     * deletion at JVM exit. The entries hand back LAZY reads over these
     * dirs, so deletion can't happen inline after the entry returns —
     * but without cleanup every invocation leaked a graft_stream_* dir
-    * for the life of the machine (ADVICE r11). One hook per dir; a
-    * bounded handful per session.
+    * for the life of the machine (ADVICE r11). ONE shutdown hook for
+    * the whole JVM draining a queue of roots (ADVICE r12: a hook+Thread
+    * per call accumulates without bound under bench min-of-k loops, and
+    * all the deletions then race each other at exit).
     */
-  private def tempRoot(prefix: String): String = {
-    val p = java.nio.file.Files.createTempDirectory(prefix)
+  private val tempRoots =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]
+  private lazy val tempRootHook: Unit = {
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       def rm(f: java.io.File): Unit = {
         val cs = f.listFiles(); if (cs != null) cs.foreach(rm)
         f.delete(); ()
       }
-      rm(p.toFile)
+      var p = tempRoots.poll()
+      while (p != null) { rm(p.toFile); p = tempRoots.poll() }
     }))
+  }
+  private def tempRoot(prefix: String): String = {
+    tempRootHook
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    tempRoots.add(p)
     p.toString
   }
 

@@ -24,10 +24,42 @@ import org.apache.spark.sql.functions.{count, lit}
   */
 object Compact {
 
+  /** Ingest-batch file names promoted by `Spool.idempotentAppend`:
+    * `batch_<32-hex queryId>_<batchId>_<i>.parquet`, or the pre-r13
+    * legacy `batch_<batchId>_<i>.parquet` (no namespace).
+    */
+  private val BatchFile =
+    "^batch_(?:([0-9a-f]{32})_)?([0-9]+)_[0-9]+\\.parquet$".r
+
+  /** The NEWEST ingest batch of each checkpoint namespace must survive
+    * compaction verbatim: it is the only batch a crashed-but-uncommitted
+    * stream can replay on restart, and the replay dedups by DELETING its
+    * own `batch_<ns>_<id>_*` files before re-promoting — rename those to
+    * `part-*` and the replay turns into row duplication (ADVICE r12).
+    * Every OLDER batch is provably committed (the streaming commit log
+    * records batch N before batch N+1 ever writes a file), so compacting
+    * them is always safe — making Compact safe to run at ANY point,
+    * including between a crash and the recovering restart.
+    */
+  private def preservedBatchFiles(names: Seq[String]): Set[String] = {
+    val batches = names.flatMap {
+      case n @ BatchFile(ns, id) =>
+        Some((if (ns == null) "" else ns, id.toLong, n))
+      case _ => None
+    }
+    batches.groupBy(_._1).values.flatMap { g =>
+      val newest = g.map(_._2).max
+      g.collect { case (_, id, n) if id == newest => n }
+    }.toSet
+  }
+
   /** Rewrite `dir` into ceil(bytes/targetBytes) files. Returns
     * (filesBefore, filesAfter, rows); (0, 0, 0) for a missing or
     * parquet-less directory (a sensor that never alerted is normal,
     * not an error — a multi-spool maintenance run must not abort).
+    * `rows` counts the rewritten rows only — the preserved newest
+    * ingest batches (see [[preservedBatchFiles]]) are carried over
+    * byte-for-byte, not re-read.
     */
   def compactParquet(spark: SparkSession, dir: String,
       targetBytes: Long = 128L << 20): (Int, Int, Long) = {
@@ -57,15 +89,28 @@ object Compact {
     if (!fs.exists(path)) return (0, 0, 0L)
     val before = dataFiles()
     if (before.isEmpty) return (0, 0, 0L)
+    val preserved = preservedBatchFiles(
+      before.map(_.getPath.getName).toSeq)
+    val compactable = before.filterNot(st => preserved(st.getPath.getName))
+    if (compactable.isEmpty) return (before.length, before.length, 0L)
 
-    val totalBytes = before.map(_.getLen).sum
+    val totalBytes = compactable.map(_.getLen).sum
     val n = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
     // observe() rides the rewrite job: row count with no second scan
     val obs = Observation()
-    spark.read.parquet(dir)
+    spark.read.parquet(compactable.map(_.getPath.toString).toIndexedSeq: _*)
       .observe(obs, count(lit(1)).as("rows"))
       .repartition(n).write.mode("overwrite").parquet(tmp.toString)
     val rows = obs.get("rows").asInstanceOf[Long]
+    // carry the preserved newest batches into the replacement dir as
+    // COPIES (a rename here would leave `dir` incomplete if we crash
+    // before the swap; the originals die with `.old` after it)
+    val conf = spark.sparkContext.hadoopConfiguration
+    before.filter(st => preserved(st.getPath.getName)).foreach { st =>
+      if (!org.apache.hadoop.fs.FileUtil.copy(fs, st.getPath, fs,
+          new Path(tmp, st.getPath.getName), false, conf))
+        sys.error(s"compact: preserving copy of ${st.getPath} failed")
+    }
     if (!fs.rename(path, old))
       sys.error(s"compact: rename $path -> $old failed")
     if (!fs.rename(tmp, path))

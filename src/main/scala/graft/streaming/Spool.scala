@@ -70,7 +70,7 @@ object Spool {
     val q = streamRecords(spark, dirs, prefix, sensor)
       .writeStream
       .foreachBatch(enrichAndAppend(spark, sigMapPath, genMapPath,
-        classMapPath, outPath))
+        classMapPath, outPath, checkpoint))
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .start()
@@ -91,7 +91,7 @@ object Spool {
     val w = SpoolTail.streamRecords(spark, dirs, prefix, sensor)
       .writeStream
       .foreachBatch(enrichAndAppend(spark, sigMapPath, genMapPath,
-        classMapPath, outPath))
+        classMapPath, outPath, checkpoint))
       .option("checkpointLocation", checkpoint)
     val q = (if (availableNow) w.trigger(Trigger.AvailableNow()) else w)
       .start()
@@ -161,7 +161,8 @@ object Spool {
     * hot reload.
     */
   private def enrichAndAppend(spark: SparkSession, sigMapPath: String,
-      genMapPath: String, classMapPath: String, outPath: String)
+      genMapPath: String, classMapPath: String, outPath: String,
+      checkpoint: String)
       : (Dataset[Row], Long) => Unit = { (batch: Dataset[Row], id: Long) =>
     val alerts = Maps.enrichClassifications(
       Maps.enrichSignatures(Unified2.alerts(batch),
@@ -174,7 +175,34 @@ object Spool {
         Net.ipToString(col("ip_source")).as("src_ip"),
         Net.ipToString(col("ip_destination")).as("dst_ip"),
         col("sport_itype"), col("dport_icode"), col("protocol")),
-      outPath, id)
+      outPath, id, checkpointNamespace(spark, checkpoint))
+  }
+
+  /** Stable namespace for one checkpoint LIFETIME: the streaming query
+    * id Spark persists in `<checkpoint>/metadata` at first start and
+    * reuses on every restart of the same checkpoint; a fresh checkpoint
+    * mints a fresh uuid. Batch ids are only unique WITHIN a lifetime
+    * (every checkpoint counts 0,1,2,…), so replay-overwrite keyed on the
+    * bare batch id destroys data the moment a new checkpoint writes into
+    * an outPath an older run populated (ADVICE r12): its batch 0 would
+    * silently DELETE the previous run's batch_0 files. Keying on
+    * (queryId, batchId) makes the overwrite exact — a replay only ever
+    * touches its own prior attempt. Read per batch (one ~100-byte file;
+    * guaranteed present, Spark writes it before batch 0 runs).
+    */
+  private def checkpointNamespace(spark: SparkSession,
+      checkpoint: String): String = {
+    import org.apache.hadoop.fs.Path
+    val meta = new Path(checkpoint, "metadata")
+    val fs = meta.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(meta)
+    val txt =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    "\"id\"\\s*:\\s*\"([0-9a-fA-F-]+)\"".r.findFirstMatchIn(txt) match {
+      case Some(m) => m.group(1).replace("-", "").toLowerCase
+      case None => sys.error(s"ingest: no query id in $meta")
+    }
   }
 
   /** Batch-idempotent parquet append: exactly-once for the foreachBatch
@@ -185,36 +213,46 @@ object Spool {
     * its DB transaction + bookmark file pairing,
     * /root/reference/charlotte/__init__.py:372-433).
     *
-    * Protocol (every step idempotent under replay of the SAME batch id;
-    * same-fs renames are atomic):
-    *   1. rewrite the batch into the hidden `.batch_<id>.tmp` staging
-    *      dir (replay deletes any torn leftover first);
-    *   2. delete every `batch_<id>_*.parquet` in `outPath` — the files
-    *      a previous crashed attempt of THIS batch may have promoted;
-    *   3. rename the staged part files in as `batch_<id>_<i>.parquet`.
-    * Readers ignore the dot-dir; the flat layout (no partition subdirs)
-    * keeps `spark.read.parquet(outPath)` schemas and
-    * [[graft.sources.Compact]] unchanged. CrashRecoverySpec kills a
-    * drain between steps (simulated via commit-log truncation) and
-    * proves zero duplicate / zero lost event ids across the restart.
+    * Protocol (every step idempotent under replay of the SAME
+    * (namespace, batch id); same-fs renames are atomic):
+    *   1. rewrite the batch into the hidden `.batch_<ns>_<id>.tmp`
+    *      staging dir (replay deletes any torn leftover first);
+    *   2. delete every `batch_<ns>_<id>_*.parquet` in `outPath` — the
+    *      files a previous crashed attempt of THIS batch may have
+    *      promoted;
+    *   3. rename the staged part files in as
+    *      `batch_<ns>_<id>_<i>.parquet`.
+    * `ns` is the checkpoint's query id ([[checkpointNamespace]]), so
+    * step 2 can never touch another checkpoint lifetime's files even
+    * when batch ids collide (ADVICE r12). Readers ignore the dot-dir;
+    * the flat layout (no partition subdirs) keeps
+    * `spark.read.parquet(outPath)` schemas unchanged, and
+    * [[graft.sources.Compact]] preserves the newest batch of every
+    * namespace verbatim so this replay-delete keeps working even if a
+    * compaction runs between a crash and the recovering restart.
+    * CrashRecoverySpec kills a drain between steps (simulated via
+    * commit-log truncation) and proves zero duplicate / zero lost
+    * event ids across the restart, with and without an interposed
+    * compaction, and that a fresh checkpoint cannot destroy an older
+    * run's files.
     */
   private[graft] def idempotentAppend(spark: SparkSession, df: DataFrame,
-      outPath: String, batchId: Long): Unit = {
+      outPath: String, batchId: Long, ns: String): Unit = {
     import org.apache.hadoop.fs.Path
     val out = new Path(outPath)
     val fs = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new Path(outPath, s".batch_$batchId.tmp")
+    val tmp = new Path(outPath, s".batch_${ns}_$batchId.tmp")
     fs.delete(tmp, true)
     df.write.mode("overwrite").parquet(tmp.toString)
     fs.listStatus(out)
       .filter(st => st.isFile &&
-        st.getPath.getName.startsWith(s"batch_${batchId}_"))
+        st.getPath.getName.startsWith(s"batch_${ns}_${batchId}_"))
       .foreach(st => fs.delete(st.getPath, false))
     fs.listStatus(tmp)
       .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
       .sortBy(_.getPath.getName)
       .zipWithIndex.foreach { case (st, i) =>
-        val dst = new Path(out, s"batch_${batchId}_$i.parquet")
+        val dst = new Path(out, s"batch_${ns}_${batchId}_$i.parquet")
         if (!fs.rename(st.getPath, dst))
           sys.error(s"ingest commit: rename ${st.getPath} -> $dst failed")
       }

@@ -1,6 +1,6 @@
 package graft
 
-import java.nio.file.{Files, Paths, StandardOpenOption}
+import java.nio.file.{Files, Path, Paths, StandardOpenOption}
 
 import org.apache.spark.sql.functions.col
 
@@ -20,6 +20,14 @@ import graft.sources.Unified2Fixture
   * `commits/<n>` entry from the checkpoint after a clean drain: that
   * is byte-for-byte the on-disk state of a JVM killed between the
   * foreachBatch write and the commit-log append.
+  *
+  * ADVICE r12 hardening, all covered below: batch files are namespaced
+  * by the checkpoint's query id, so a FRESH checkpoint writing into an
+  * already-populated outPath can no longer delete a previous lifetime's
+  * batch-0 files; Compact preserves the newest batch of every
+  * namespace, so compacting between a crash and the recovering restart
+  * stays exactly-once; and the replay proof is a deterministic
+  * delete-a-file-and-watch-it-reappear sentinel, not an mtime race.
   */
 class CrashRecoverySpec extends SparkSuite {
 
@@ -29,6 +37,37 @@ class CrashRecoverySpec extends SparkSuite {
   private def alert(id: Int): Array[Byte] =
     Unified2Fixture.eventV2(1, id, 1800000000L + id, 1000001, 1, 3, 2, 1,
       ip4(10, 0, 0, id), ip4(192, 168, 1, id), 1000 + id, 80, 6)
+
+  /** Promoted ingest files for batch `id` (any namespace). */
+  private def batchFiles(out: String, id: Long): Seq[Path] = {
+    val re = s"^batch_[0-9a-f]{32}_${id}_[0-9]+\\.parquet$$".r
+    val s = Files.list(Paths.get(out))
+    try scala.jdk.CollectionConverters.IteratorHasAsScala(s.iterator())
+      .asScala
+      .filter(p => re.findFirstIn(p.getFileName.toString).isDefined)
+      .toSeq
+    finally s.close()
+  }
+
+  /** Simulate the worst-window kill: the newest batch's output is on
+    * disk but its commit-log entry never landed.
+    */
+  private def truncateNewestCommit(ckpt: String): Unit = {
+    val commits = Paths.get(ckpt, "commits")
+    val s = Files.list(commits)
+    val names =
+      try scala.jdk.CollectionConverters.IteratorHasAsScala(s.iterator())
+        .asScala
+        .map(_.getFileName.toString).filter(_.forall(_.isDigit)).toSeq
+      finally s.close()
+    assert(names.nonEmpty, "commit log empty — test setup broke")
+    val victim = names.map(_.toLong).max.toString
+    Files.delete(commits.resolve(victim))
+    // local-fs ChecksumFileSystem keeps a .<name>.crc sibling; a real
+    // kill never leaves the crc without its data file, so drop it too
+    // (leaving it makes the commit rename fail as file-already-exists)
+    Files.deleteIfExists(commits.resolve(s".$victim.crc"))
+  }
 
   test("replayed micro-batch after a simulated crash neither duplicates nor loses events") {
     val dir = Files.createTempDirectory("graft_crash").toString
@@ -52,41 +91,21 @@ class CrashRecoverySpec extends SparkSuite {
     drain()
     assert(ids() == Seq(1L, 2L, 3L))
 
-    // ...then the "crash": the batch's OUTPUT is on disk but its commit
-    // never landed. Drop the newest commit-log entry — exactly the
-    // state a kill between the foreachBatch write and the commit leaves.
-    val commits = Paths.get(ckpt, "commits")
-    val newest = Files.list(commits).iterator()
-    val names = scala.jdk.CollectionConverters
-      .IteratorHasAsScala(newest).asScala
-      .map(_.getFileName.toString).filter(_.forall(_.isDigit)).toSeq
-    assert(names.nonEmpty, "commit log empty — test setup broke")
-    val victim = names.map(_.toLong).max.toString
-    Files.delete(commits.resolve(victim))
-    // local-fs ChecksumFileSystem keeps a .<name>.crc sibling; a real
-    // kill never leaves the crc without its data file, so drop it too
-    // (leaving it makes the commit rename fail as file-already-exists)
-    Files.deleteIfExists(commits.resolve(s".$victim.crc"))
+    // ...then the "crash".
+    truncateNewestCommit(ckpt)
 
-    // restart: Spark replays the uncommitted batch into the SAME sink.
-    // Exactly-once means: still exactly one row per event, none lost.
-    // The replayed batch REWRITES its own files — the bumped mtime of
-    // the batch-1 output proves the batch genuinely re-ran (the test
-    // would otherwise pass vacuously if the replay were skipped).
-    def b1mtime(): Long = {
-      val s = Files.list(Paths.get(out))
-      try scala.jdk.CollectionConverters.IteratorHasAsScala(s.iterator())
-        .asScala
-        .filter(_.getFileName.toString.startsWith("batch_1_"))
-        .map(p => Files.getLastModifiedTime(p).toMillis).max
-      finally s.close()
-    }
-    val before = b1mtime()
-    Thread.sleep(5) // mtime granularity
+    // Replay sentinel: delete one of batch 1's promoted files. Only a
+    // genuine replay of batch 1 can bring event 3 back AND re-promote
+    // the file — if the restart skipped the batch, the first assert
+    // below fails (event lost), so the test can never pass vacuously.
+    val b1 = batchFiles(out, 1L)
+    assert(b1.nonEmpty, "batch 1 left no namespaced files")
+    Files.delete(b1.head)
+
     drain()
     assert(ids() == Seq(1L, 2L, 3L),
       s"replay broke exactly-once: ${ids()}")
-    assert(b1mtime() > before,
+    assert(batchFiles(out, 1L).nonEmpty,
       "batch 1 was never replayed — the crash simulation is vacuous")
 
     // and the stream still makes progress after the recovery
@@ -103,6 +122,73 @@ class CrashRecoverySpec extends SparkSuite {
       .distinct().count() == 4, "duplicate (sensor, event_id) fact keys")
   }
 
+  test("compaction between a crash and the recovering restart stays exactly-once") {
+    val dir = Files.createTempDirectory("graft_crashc").toString
+    val file = Paths.get(dir, "snort.log.1800000000")
+    Files.write(file, alert(1) ++ alert(2))
+    val (sid, gen, cls) = Unified2Fixture.writeMaps(
+      Files.createTempDirectory("graft_crashc_maps").toString)
+    val out = Files.createTempDirectory("graft_crashc_out").toString
+    val ckpt = Files.createTempDirectory("graft_crashc_ckpt").toString
+
+    def drain(): Unit = graft.streaming.Spool.tailIngest(spark, Seq(dir),
+      "snort.log", "sCc", sid, gen, cls, out, ckpt, availableNow = true)
+    def ids(): Seq[Long] = spark.read.parquet(out)
+      .select(col("event_id")).collect().map(_.getLong(0)).sorted.toSeq
+
+    drain() // batch 0: events 1, 2
+    Files.write(file, alert(3), StandardOpenOption.APPEND)
+    drain() // batch 1: event 3
+    assert(ids() == Seq(1L, 2L, 3L))
+    truncateNewestCommit(ckpt)
+
+    // the maintenance pass runs in the crash window: batch 0 may be
+    // rewritten to part-* files, but batch 1 (the only batch the
+    // restart can replay) must come through verbatim
+    val (nBefore, nAfter, _) =
+      graft.sources.Compact.compactParquet(spark, out)
+    assert(nBefore > 0 && nAfter > 0)
+    assert(batchFiles(out, 1L).nonEmpty,
+      "Compact renamed the newest (possibly-uncommitted) batch")
+    assert(batchFiles(out, 0L).isEmpty,
+      "Compact left the committed batch 0 uncompacted")
+    assert(ids() == Seq(1L, 2L, 3L), "compaction changed the data")
+
+    drain() // restart: replays batch 1 into its own files only
+    assert(ids() == Seq(1L, 2L, 3L),
+      s"replay after compaction broke exactly-once: ${ids()}")
+    assert(spark.read.parquet(out).count() == 3)
+  }
+
+  test("a fresh checkpoint cannot destroy a previous lifetime's batches") {
+    val (sid, gen, cls) = Unified2Fixture.writeMaps(
+      Files.createTempDirectory("graft_crashn_maps").toString)
+    val out = Files.createTempDirectory("graft_crashn_out").toString
+
+    // lifetime A ingests event 1 (its batch 0)
+    val dirA = Files.createTempDirectory("graft_crashn_a").toString
+    Files.write(Paths.get(dirA, "snort.log.1800000000"), alert(1))
+    graft.streaming.Spool.tailIngest(spark, Seq(dirA), "snort.log", "sA",
+      sid, gen, cls, out,
+      Files.createTempDirectory("graft_crashn_ckpta").toString,
+      availableNow = true)
+
+    // lifetime B — a FRESH checkpoint, same outPath — also writes its
+    // batch 0. Under bare-batch-id naming this DELETED lifetime A's
+    // batch-0 files (ADVICE r12); query-id namespacing keeps both.
+    val dirB = Files.createTempDirectory("graft_crashn_b").toString
+    Files.write(Paths.get(dirB, "snort.log.1800000000"), alert(9))
+    graft.streaming.Spool.tailIngest(spark, Seq(dirB), "snort.log", "sB",
+      sid, gen, cls, out,
+      Files.createTempDirectory("graft_crashn_ckptb").toString,
+      availableNow = true)
+
+    val ids = spark.read.parquet(out)
+      .select(col("event_id")).collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(1L, 9L),
+      s"fresh checkpoint destroyed or duplicated data: $ids")
+  }
+
   test("a torn staging dir from a crash mid-write is invisible and cleaned up") {
     val dir = Files.createTempDirectory("graft_crash2").toString
     val file = Paths.get(dir, "snort.log.1800000000")
@@ -112,16 +198,38 @@ class CrashRecoverySpec extends SparkSuite {
     val out = Files.createTempDirectory("graft_crash2_out").toString
     val ckpt = Files.createTempDirectory("graft_crash2_ckpt").toString
 
-    // a previous attempt died mid-write: torn staging dir for batch 0
-    val torn = Paths.get(out, ".batch_0.tmp")
+    def drain(): Unit = graft.streaming.Spool.tailIngest(spark, Seq(dir),
+      "snort.log", "sC2", sid, gen, cls, out, ckpt, availableNow = true)
+
+    drain()
+    val rows = spark.read.parquet(out).collect()
+    assert(rows.map(_.getAs[Long]("event_id")).toSeq == Seq(7L))
+
+    // a crashed attempt of the NEXT batch died mid-write, leaving a
+    // torn staging dir in this checkpoint's namespace (learned from the
+    // promoted file name — the name Spool.idempotentAppend would use)
+    val ns = {
+      val re = "^batch_([0-9a-f]{32})_".r
+      val s = Files.list(Paths.get(out))
+      val names =
+        try scala.jdk.CollectionConverters.IteratorHasAsScala(s.iterator())
+          .asScala.map(_.getFileName.toString).toSeq
+        finally s.close()
+      names.flatMap(n => re.findFirstMatchIn(n).map(_.group(1))).head
+    }
+    val torn = Paths.get(out, s".batch_${ns}_1.tmp")
     Files.createDirectories(torn)
     Files.write(torn.resolve("part-garbage.parquet"),
       Array[Byte](1, 2, 3))
 
-    graft.streaming.Spool.tailIngest(spark, Seq(dir), "snort.log", "sC2",
-      sid, gen, cls, out, ckpt, availableNow = true)
-    val rows = spark.read.parquet(out).collect()
-    assert(rows.map(_.getAs[Long]("event_id")).toSeq == Seq(7L))
+    // torn dot-dir is invisible to readers even before the next drain
+    assert(spark.read.parquet(out).count() == 1)
+
+    Files.write(file, alert(8), StandardOpenOption.APPEND)
+    drain() // batch 1 replaces its torn staging leftovers
+    val ids = spark.read.parquet(out)
+      .select(col("event_id")).collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(7L, 8L))
     assert(!Files.exists(torn), "staging dir must be gone after commit")
   }
 }
