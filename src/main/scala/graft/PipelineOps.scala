@@ -968,7 +968,98 @@ object PipelineOps {
         FROM inter
         JOIN sz x ON x.source = source_a
         JOIN sz y ON y.source = source_b
-        ORDER BY source_a, source_b"""))
+        ORDER BY source_a, source_b""")),
+
+    Entry(
+      "dq_outlier_mad",
+      // Robust per-source length-outlier report — the DQ pass that
+      // catches truncated scrapes / concatenated pages mean±stddev
+      // misses (a few huge docs drag the mean toward themselves;
+      // median/MAD are 50%-breakdown robust): flag docs whose
+      // |n_chars − median| exceeds 3× the source's median absolute
+      // deviation. Both medians use the q67 integer-exact DISCRETE
+      // percentile (value at ceil(n/2) under (value, doc_id) order), so
+      // the report hash-matches DuckDB exactly. Plan: two window+agg
+      // passes partitioned by source (the ~20-group dimension), each
+      // one shuffle; the per-source medians broadcast back into the
+      // scan. At 100 TB swap the exact rank pick for approx_percentile
+      // — same two-pass shape, no more per-group sort.
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .select(col("source"), col("doc_id"), col("n_chars"))
+        val wn = Window.partitionBy(col("source"))
+        def discMedian(df: org.apache.spark.sql.DataFrame,
+            valCol: String, as: String) = {
+          val w = Window.partitionBy(col("source"))
+            .orderBy(col(valCol), col("doc_id"))
+          df.withColumn("rn", row_number().over(w))
+            .withColumn("n", count(lit(1)).over(wn))
+            .groupBy(col("source"))
+            .agg(max(when(col("rn") === expr("(50 * n + 99) DIV 100"),
+              col(valCol))).as(as))
+        }
+        val med = discMedian(docs, "n_chars", "med")
+        val dev = docs.join(broadcast(med), "source")
+          .withColumn("dev", abs(col("n_chars") - col("med")))
+        val mad = discMedian(dev, "dev", "mad")
+        dev.join(broadcast(mad), "source")
+          .filter(col("dev") > lit(3L) * col("mad"))
+          .select(col("source"), col("doc_id"), col("n_chars"),
+            col("med"), col("mad"))
+          .orderBy(col("source"), col("doc_id"))
+      },
+      Some("""WITH m AS (SELECT source,
+            quantile_disc(n_chars, 0.5 ORDER BY n_chars, doc_id) AS med
+          FROM documents GROUP BY source),
+        d AS (SELECT dd.source, dd.doc_id, dd.n_chars, m.med,
+            abs(dd.n_chars - m.med) AS dev
+          FROM documents dd JOIN m USING (source)),
+        md AS (SELECT source,
+            quantile_disc(dev, 0.5 ORDER BY dev, doc_id) AS mad
+          FROM d GROUP BY source)
+        SELECT d.source, d.doc_id, d.n_chars, d.med, md.mad
+        FROM d JOIN md USING (source)
+        WHERE d.dev > 3 * md.mad
+        ORDER BY d.source, d.doc_id""")),
+
+    Entry(
+      "sample_reservoir",
+      // Fixed-k uniform sample without replacement — the "give me
+      // 100 random docs" primitive behind eval-set carving and manual
+      // QA audits, as the DISTRIBUTED reservoir equivalent: rank every
+      // doc by a deterministic uniform hash (corpus_shuffle's
+      // overflow-safe multiplicative scheme, seed 7) and keep the k
+      // smallest. orderBy+limit plans as TakeOrderedAndProject — each
+      // partition keeps its own k-bounded heap and only tasks×k rows
+      // reach the driver-side merge, which IS Vitter's reservoir
+      // restated for partitioned data: no full sort, no corpus
+      // shuffle, identical sample at any partitioning (seed-determined,
+      // so re-runs and retries agree — the property `rand()`-based
+      // sampling loses under task retry).
+      (s, dir) => {
+        val prime = 1000000007L
+        val top = t(s, dir, "documents")
+          .select(col("doc_id"), col("source"), col("n_chars"))
+          .withColumn("k",
+            ((col("doc_id") % lit(prime)) * lit(2654435761L)
+              + lit(7L * 998244353L)) % lit(prime))
+          .orderBy(col("k"), col("doc_id")).limit(100)
+        top.withColumn("pick",
+            row_number().over(Window.orderBy(col("k"), col("doc_id")))
+              .cast("long"))
+          .select(col("pick"), col("doc_id"), col("source"),
+            col("n_chars"))
+          .orderBy(col("pick"))
+      },
+      Some("""WITH h AS (SELECT doc_id, source, n_chars,
+            ((doc_id % 1000000007) * 2654435761
+              + CAST(7 AS BIGINT) * 998244353) % 1000000007 AS k
+          FROM documents),
+        r AS (SELECT row_number() OVER (ORDER BY k, doc_id) AS pick,
+            doc_id, source, n_chars
+          FROM h)
+        SELECT pick, doc_id, source, n_chars FROM r
+        WHERE pick <= 100 ORDER BY pick"""))
   )
 
   /** Deterministic training-order shuffle: assigns every row a

@@ -327,6 +327,39 @@ object SimilarityOps {
       SELECT qid, rank, vec_id, sim FROM r WHERE rank <= 5
       ORDER BY qid, rank"""
 
+  /** The knn_graph serving path in SQL over the dumped index: every
+    * assigned vector routes to its 4 nearest cells (csim DESC, cell —
+    * TopCellsDot's strict-improvement tie rule over the id-sorted
+    * centroid array), scores only those cells' members, ranks top-3
+    * (sim DESC, vec_id = TopKAgg's comparator), keeps reciprocated
+    * pairs once (src < dst).
+    */
+  def knnGraphSql: String =
+    s"""WITH cen AS (SELECT cell, cvec
+          FROM read_parquet('$dumpSql/centroids/*.parquet')),
+      asg AS (SELECT cell, vec_id, embedding
+        FROM read_parquet('$dumpSql/assignments/*.parquet')),
+      q AS (SELECT vec_id AS qid, embedding AS qe FROM asg),
+      cs AS (SELECT q.qid, q.qe, c.cell,
+          list_reduce(list_transform(range(1, len(c.cvec)+1),
+            i -> q.qe[i]*c.cvec[i]), (a,b) -> a+b) AS csim
+        FROM q CROSS JOIN cen c),
+      pr AS (SELECT qid, qe, cell FROM (SELECT *, row_number() OVER (
+          PARTITION BY qid ORDER BY csim DESC, cell) AS crank FROM cs)
+        WHERE crank <= 4),
+      sc AS (SELECT pr.qid, a.vec_id,
+          list_reduce(list_transform(range(1, len(a.embedding)+1),
+            i -> a.embedding[i]*pr.qe[i]), (x,y) -> x+y) AS sim
+        FROM asg a JOIN pr ON a.cell = pr.cell
+        WHERE a.vec_id <> pr.qid),
+      t AS (SELECT qid, vec_id, sim FROM (SELECT qid, vec_id, sim,
+          row_number() OVER (PARTITION BY qid
+            ORDER BY sim DESC, vec_id) AS rank FROM sc) WHERE rank <= 3)
+      SELECT t.qid AS src, t.vec_id AS dst, t.sim AS sim
+      FROM t JOIN t t2 ON t2.qid = t.vec_id AND t2.vec_id = t.qid
+      WHERE t.qid < t.vec_id
+      ORDER BY src, dst"""
+
   private def trainCentroids(s: SparkSession, dir: String): DataFrame =
     trainCentroidsOn(embeddings(s, dir))
 
@@ -444,6 +477,153 @@ object SimilarityOps {
           .orderBy(col("qid"), col("rank"))
       },
       Some(ivfProbeSql("vec_id < 10"))),
+
+    Entry(
+      "knn_graph",
+      // Corpus-wide MUTUAL k-NN graph — the all-vectors neighborhood
+      // structure graph-based curation builds on (SemDeDup variants,
+      // diversity pruning, label propagation over near-neighbors):
+      // every vector finds its top-3 neighbors through the IVF index,
+      // then only RECIPROCATED edges survive (mutual kNN is the
+      // standard noise filter — a hub point's one-way edges drop out).
+      // Scale shape, stage by stage: (1) cell routing is MAP-ONLY —
+      // the corpus streams past the broadcast centroid array and the
+      // codegen'd TopCellsDot kernel emits each vector's 4 probe cells
+      // (no n×cells explode, no window sort); (2) candidate generation
+      // is ONE shuffle join on the cell key, fan-out bounded by
+      // nProbe × cell occupancy per vector — never n²; (3) per-vector
+      // top-3 via the k-bounded TopKAgg (map-side partials, ≤ tasks·k
+      // rows per vector shuffle); (4) mutualization self-joins the
+      // k-bounded edge list (≤ 3n rows) on the reversed pair. Oracle:
+      // the full route-probe-rank-reciprocate path in SQL over the
+      // dumped index; sims hash-match because dot(a,b) and dot(b,a)
+      // are the identical index-ordered product sum.
+      (s, dir) => {
+        dumpOracleBase(s, dir)
+        val asg = assignedCached(s, dir)
+        val cenArr = centroids(s, dir).agg(array_sort(collect_list(
+          struct(col("cell"), col("cvec")))).as("cen_arr"))
+        val probes = asg
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+          .crossJoin(broadcast(cenArr))
+          .select(col("qid"), col("qvec"),
+            explode(Vectors.topCellsDot(col("qvec"), col("cen_arr"), 4))
+              .as("cell"))
+        val scored = asg.join(probes, "cell")
+          .filter(col("vec_id") =!= col("qid"))
+          .withColumn("sim", Vectors.dot(col("embedding"), col("qvec")))
+          .select(col("qid"), col("vec_id"), col("sim"))
+        val top = topkPerQuery(scored, "sim", 3)
+          .select(col("qid"), col("vec_id"), col("sim"))
+        val rev = top.select(col("qid").as("r_src"),
+          col("vec_id").as("r_dst"))
+        top.join(rev,
+            col("qid") === col("r_dst") && col("vec_id") === col("r_src"))
+          .filter(col("qid") < col("vec_id"))
+          .select(col("qid").as("src"), col("vec_id").as("dst"),
+            col("sim"))
+          .orderBy(col("src"), col("dst"))
+      },
+      Some(knnGraphSql)),
+
+    Entry(
+      "emb_pca_power",
+      // Top principal direction of the embedding distribution — the
+      // spectral summary behind whitening, drift detection and
+      // dataset-cartography projections — via power iteration on the
+      // UNCENTERED second-moment matrix of a deterministic 10% hash
+      // sample (PCA-on-a-sample is the production norm; at 100 TB the
+      // sample is a fixed count, the plan unchanged). Distribution of
+      // labor: the d×d moment matrix is the DISTRIBUTED part — per-row
+      // (i,j) products quantized to round(1e9·x)::long (emb_outliers'
+      // order-free bit-exact aggregation; doubles would make the sum
+      // partition-order-dependent) and map-side-combined into d² cells
+      // — while the 3 fixed power-iteration steps run on the collected
+      // 64×64 matrix (a ~32 KB bounded model artifact, like
+      // bpe_train's merge table), each matvec/normalize a left-to-
+      // right fold the oracle replays verbatim as ordered list_reduce.
+      (s, dir) => {
+        val ei = t(s, dir, "embeddings")
+          .filter(col("vec_id") % 10 === 0)
+          .select(col("embedding"),
+            posexplode(col("embedding")).as(Seq("i", "x")))
+        val eij = ei.select(col("i"), col("x"),
+          posexplode(col("embedding")).as(Seq("j", "y")))
+        val cells = eij.groupBy(col("i"), col("j"))
+          .agg(sum(round(col("x").cast("double") * col("y").cast("double")
+            * lit(1e9)).cast("long")).as("sq"))
+          .select(col("i"), col("j"),
+            (col("sq").cast("double") / lit(1e9)).as("cij"))
+          .collect()
+        val d = cells.map(_.getInt(0)).max + 1
+        val m = Array.ofDim[Double](d, d)
+        cells.foreach(r => m(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+        def matvec(v: Array[Double]): Array[Double] =
+          Array.tabulate(d) { i =>
+            var acc = 0.0; var j = 0
+            while (j < d) { acc += m(i)(j) * v(j); j += 1 }; acc
+          }
+        var v = Array.fill(d)(1.0)
+        for (_ <- 1 to 3) {
+          val w = matvec(v)
+          var s2 = 0.0; var i = 0
+          while (i < d) { s2 += w(i) * w(i); i += 1 }
+          val nrm = math.sqrt(s2)
+          v = w.map(_ / nrm)
+        }
+        val mv = matvec(v)
+        var eig = 0.0; var i = 0
+        while (i < d) { eig += v(i) * mv(i); i += 1 }
+        import s.implicits._
+        v.toIndexedSeq.zipWithIndex
+          .map { case (x, dim) => (dim.toLong, x, eig) }
+          .toDF("dim", "loading", "eigval")
+          .orderBy(col("dim"))
+      },
+      Some("""WITH e AS (SELECT list_transform(embedding,
+            x -> CAST(x AS DOUBLE)) AS emb
+          FROM embeddings WHERE vec_id % 10 = 0),
+        dd AS (SELECT unnest(range(0, 64)) AS i),
+        pr AS (SELECT a.i AS i, b.i AS j, emb[a.i + 1] * emb[b.i + 1] AS p
+          FROM e CROSS JOIN dd a CROSS JOIN dd b),
+        c AS (SELECT i, j, SUM(CAST(round(p * 1e9) AS BIGINT)) AS sq
+          FROM pr GROUP BY i, j),
+        cr AS (SELECT i, list(CAST(sq AS DOUBLE) / 1e9 ORDER BY j) AS row
+          FROM c GROUP BY i),
+        v0 AS (SELECT list_transform(range(0, 64),
+          t -> CAST(1.0 AS DOUBLE)) AS v),
+        m1 AS (SELECT cr.i, list_reduce(list_transform(range(1, 65),
+            t -> cr.row[t] * v0.v[t]), (a, b) -> a + b) AS w
+          FROM cr CROSS JOIN v0),
+        l1 AS (SELECT list(w ORDER BY i) AS lw FROM m1),
+        v1 AS (SELECT list_transform(lw, x -> x / sqrt(list_reduce(
+            list_transform(lw, y -> y * y), (a, b) -> a + b))) AS v
+          FROM l1),
+        m2 AS (SELECT cr.i, list_reduce(list_transform(range(1, 65),
+            t -> cr.row[t] * v1.v[t]), (a, b) -> a + b) AS w
+          FROM cr CROSS JOIN v1),
+        l2 AS (SELECT list(w ORDER BY i) AS lw FROM m2),
+        v2 AS (SELECT list_transform(lw, x -> x / sqrt(list_reduce(
+            list_transform(lw, y -> y * y), (a, b) -> a + b))) AS v
+          FROM l2),
+        m3 AS (SELECT cr.i, list_reduce(list_transform(range(1, 65),
+            t -> cr.row[t] * v2.v[t]), (a, b) -> a + b) AS w
+          FROM cr CROSS JOIN v2),
+        l3 AS (SELECT list(w ORDER BY i) AS lw FROM m3),
+        v3 AS (SELECT list_transform(lw, x -> x / sqrt(list_reduce(
+            list_transform(lw, y -> y * y), (a, b) -> a + b))) AS v
+          FROM l3),
+        mf AS (SELECT cr.i, list_reduce(list_transform(range(1, 65),
+            t -> cr.row[t] * v3.v[t]), (a, b) -> a + b) AS w
+          FROM cr CROSS JOIN v3),
+        lf AS (SELECT list(w ORDER BY i) AS lw FROM mf),
+        eg AS (SELECT list_reduce(list_transform(range(1, 65),
+            t -> v3.v[t] * lf.lw[t]), (a, b) -> a + b) AS ev
+          FROM v3 CROSS JOIN lf)
+        SELECT CAST(a.i AS BIGINT) AS dim, v3.v[a.i + 1] AS loading,
+          eg.ev AS eigval
+        FROM dd a CROSS JOIN v3 CROSS JOIN eg
+        ORDER BY dim""")),
 
     Entry(
       "knn_brute",

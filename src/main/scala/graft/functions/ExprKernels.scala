@@ -91,6 +91,49 @@ object ExprKernels {
     bestId
   }
 
+  /** Top-k entry ids by dot product over an array of (id, cvec)
+    * structs — [[nearestEntry]]'s k-bounded sibling for multi-probe
+    * routing (see [[TopCellsDot]]): one insertion-sorted (score DESC,
+    * earliest-entry-first) buffer of size k per row, so a corpus-sized
+    * relation computes its nProbe cells map-only against the broadcast
+    * centroid array instead of crossJoin-exploding n×cells rows into a
+    * window sort. Tie rule matches the SQL `ORDER BY dot DESC, id ASC`
+    * twin when the entries array is id-sorted: insertion requires
+    * STRICT improvement to displace an earlier (smaller-id) entry.
+    * Entries with null/mismatched vecs are skipped; returns the ≤ k
+    * qualifying ids ranked, or null for a null input vec.
+    */
+  def topCellsDot(vec: ArrayData, entries: ArrayData, k: Int,
+      vecFloat: Boolean, entFloat: Boolean): ArrayData = {
+    val ids = new Array[Long](k)
+    val scs = new Array[Double](k)
+    var cnt = 0
+    val n = entries.numElements()
+    var i = 0
+    while (i < n) {
+      if (!entries.isNullAt(i)) {
+        val row = entries.getStruct(i, 2)
+        if (!row.isNullAt(0) && !row.isNullAt(1)) {
+          val d = dot(vec, row.getArray(1), vecFloat, entFloat)
+          if (d != null) {
+            val dd = d.doubleValue()
+            if (cnt < k || dd > scs(cnt - 1)) {
+              var p = if (cnt < k) cnt else k - 1
+              while (p > 0 && dd > scs(p - 1)) {
+                scs(p) = scs(p - 1); ids(p) = ids(p - 1); p -= 1
+              }
+              scs(p) = dd
+              ids(p) = row.getLong(0)
+              if (cnt < k) cnt += 1
+            }
+          }
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(ids, cnt))
+  }
+
   /** Distinct-element Jaccard; Divide(0,0)-identical ∅/∅ semantics:
     * NULL in default mode, the standard divide-by-zero error under
     * ANSI (see [[JaccardSim]]).

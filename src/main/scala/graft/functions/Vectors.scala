@@ -41,6 +41,14 @@ object Vectors {
   def nearestL2(vec: Column, entries: Column): Column =
     DatasetBridge.column(NearestEntry(DatasetBridge.expression(vec),
       DatasetBridge.expression(entries), useL2 = true))
+
+  /** Ids of the k max-dot entries (dot DESC, earliest-entry ties) in an
+    * id-sorted `array<struct<id: long, cvec>>` column — multi-probe
+    * cell routing as one codegen'd kernel call per row.
+    */
+  def topCellsDot(vec: Column, entries: Column, k: Int): Column =
+    DatasetBridge.column(TopCellsDot(DatasetBridge.expression(vec),
+      DatasetBridge.expression(entries), k))
 }
 
 /** Sequential-sum dot product of two float/double arrays. NULL if
@@ -80,6 +88,43 @@ case class DotProd(left: Expression, right: Expression)
       else { ${ev.value} = $tmp.doubleValue(); }
       """
     })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Top-k max-dot entry ids from a broadcast array of (id: long, cvec)
+  * structs — [[NearestEntry]] generalized to multi-probe IVF routing
+  * (knn_graph: every corpus vector picks its nProbe candidate cells).
+  * Same design rules: one static [[ExprKernels.topCellsDot]] call from
+  * generated code so the WholeStageCodegen span stays intact, and the
+  * strict-improvement insertion reproduces the `(dot DESC, id ASC)` tie
+  * order of the window-rank form over an id-sorted entries array.
+  */
+case class TopCellsDot(left: Expression, right: Expression, k: Int)
+    extends BinaryExpression {
+
+  override def prettyName: String = "graft_top_cells"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  private lazy val vecFloat =
+    left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  private lazy val entFloat = right.dataType.asInstanceOf[ArrayType]
+    .elementType.asInstanceOf[StructType].fields(1).dataType
+    .asInstanceOf[ArrayType].elementType == FloatType
+
+  override protected def nullSafeEval(v: Any, e: Any): Any =
+    ExprKernels.topCellsDot(v.asInstanceOf[ArrayData],
+      e.asInstanceOf[ArrayData], k, vecFloat, entFloat)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, e) => s"""
+      ${ev.value} = graft.functions.ExprKernels.topCellsDot($v, $e, $k,
+        $vecFloat, $entFloat);
+      """)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
