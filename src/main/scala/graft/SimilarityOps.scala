@@ -2218,19 +2218,24 @@ object MultimodalOps {
   /** STUB perceptual hash (aHash's exact structure over raw payload
     * bytes — a real implementation swaps the byte blocks for 8×8 DCT
     * coefficients of the decoded image; the block-mean-vs-global-mean
-    * bit rule is the algorithm): 32 equal-stride byte blocks, bit i =
+    * bit rule is the algorithm): 64 equal-stride byte blocks, bit i =
     * [block-i mean > whole-payload mean], compared in EXACT integer
-    * cross-multiplied form (blocksum·nb > total·blocklen). */
+    * cross-multiplied form (blocksum·nb > total·blocklen). 64 bits
+    * (not 32) so the pairing stage gets 16-bit block keys: with 8-bit
+    * keys the 256-value bucket space saturated and bucket occupancy —
+    * hence the candidate join — grew QUADRATICALLY with the corpus
+    * (measured 16.7×/decade at sf0.1→sf1); 65536-value keys push that
+    * knee out 256×. */
   private def phashBatch(it: Iterator[MMIn]): Iterator[MMHash] =
     it.map { r =>
       val nb = r.payload.length
-      val stride = math.max(nb / 32, 1)
+      val stride = math.max(nb / 64, 1)
       var tot = 0L
       var i = 0
       while (i < nb) { tot += (r.payload(i) & 0xff); i += 1 }
       var sig = 0L
       var blk = 0
-      while (blk < 32) {
+      while (blk < 64) {
         val st = blk * stride
         val en = math.min(st + stride, nb)
         if (st < nb) {
@@ -2399,17 +2404,20 @@ object MultimodalOps {
       // codec swaps byte blocks for decoded DCT coefficients; the
       // mapPartitions batch plumbing and everything downstream are
       // the production shape). Pairing is dedup_simhash's topology:
-      // 4×8-bit block-equality buckets (hamming ≤ 3 ⇒ some block
-      // exact), bucket self-join, bit_count(xor) verify — one bucket
-      // shuffle, no n². Bit rule is exact cross-multiplied integer
-      // compare, so the whole pipeline is SQL-oracled from raw bytes.
+      // 4×16-bit block-equality buckets (hamming ≤ 3 ⇒ some block
+      // exact, by pigeonhole over the 64-bit sig), bucket self-join,
+      // bit_count(xor) verify — one bucket shuffle, no n²; the 65536-
+      // value key space keeps bucket occupancy (and with it the join
+      // fan-out) sub-quadratic 256× further than the 8-bit keys it
+      // replaces. Bit rule is exact cross-multiplied integer compare,
+      // so the whole pipeline is SQL-oracled from raw bytes.
       (s, dir) => {
         val sig = mmSource(s, dir).as(Encoders.product[MMIn])
           .mapPartitions(phashBatch)(Encoders.product[MMHash])
           .toDF()
         val blocked = sig.select(col("doc_id"), col("sig"),
           posexplode(expr("transform(sequence(0, 3), " +
-            "b -> (sig >> (b * 8)) & 255)")).as(Seq("blk", "bkey")))
+            "b -> (sig >> (b * 16)) & 65535)")).as(Seq("blk", "bkey")))
         val l = blocked.select(col("blk"), col("bkey"),
           col("doc_id").as("a"), col("sig").as("sig_a"))
         val r = blocked.select(col("blk"), col("bkey"),
@@ -2433,25 +2441,27 @@ object MultimodalOps {
         WITH b AS (SELECT doc_id, bytes_of(text) AS by,
             CAST(octet_length(encode(text)) AS BIGINT) AS nb
           FROM documents),
-        t AS (SELECT doc_id, by, nb, GREATEST(nb // 32, 1) AS stride,
+        t AS (SELECT doc_id, by, nb, GREATEST(nb // 64, 1) AS stride,
             list_reduce(list_prepend(CAST(0 AS BIGINT), by),
               (a, x) -> a + x) AS tot
           FROM b),
         s AS (SELECT doc_id,
             list_reduce(list_prepend(CAST(0 AS BIGINT),
-              list_transform(range(0, 32), blk ->
+              list_transform(range(0, 64), blk ->
                 CASE WHEN blk*stride < nb AND
                   list_reduce(list_prepend(CAST(0 AS BIGINT),
                     list_slice(by, CAST(blk*stride+1 AS INT),
                       CAST(LEAST(blk*stride+stride, nb) AS INT))),
                     (a, x) -> a + x) * nb
                   > tot * (LEAST(blk*stride+stride, nb) - blk*stride)
-                THEN (CAST(1 AS BIGINT) << CAST(blk AS INT))
+                THEN CASE WHEN blk = 63
+                  THEN CAST('-9223372036854775808' AS BIGINT)
+                  ELSE (CAST(1 AS BIGINT) << CAST(blk AS INT)) END
                 ELSE CAST(0 AS BIGINT) END)),
               (a, x) -> a + x) AS sig
           FROM t),
         bk AS (SELECT doc_id, sig, blk,
-            (sig >> CAST(blk*8 AS INT)) & 255 AS bkey
+            (sig >> CAST(blk*16 AS INT)) & 65535 AS bkey
           FROM (SELECT doc_id, sig, unnest(range(0, 4)) AS blk FROM s)),
         cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
             l.sig AS sa, r.sig AS sb
