@@ -104,8 +104,13 @@ object SimilarityOps {
         _ => scala.collection.concurrent.TrieMap.empty[String, DataFrame])
     }
     perSession.getOrElseUpdate(s"$dir#assigned",
-      withNearestCell(embeddings(s, dir), col("embedding"),
-          centroids(s, dir))
+      // repartition by CPU budget, not input bytes: the argmax kernel
+      // is compute-bound (cells × dims per vector), so a 128 MB
+      // single-split parquet would otherwise run the whole corpus
+      // assignment on ONE core (measured at the sf10 decade)
+      withNearestCell(embeddings(s, dir)
+            .repartition(s.sparkContext.defaultParallelism),
+          col("embedding"), centroids(s, dir))
         .select(col("cell"), col("vec_id"), col("embedding"))
         .persist())
   }
@@ -146,7 +151,10 @@ object SimilarityOps {
       centroidCache.computeIfAbsent(s,
         _ => scala.collection.concurrent.TrieMap.empty[String, DataFrame])
     }
+    // CPU-budget repartition before the compute-bound argmax, as in
+    // assignedCached (a single-split parquet would single-core it)
     val base = embeddings(s, dir).filter(col("vec_id") % 7 =!= 3)
+      .repartition(s.sparkContext.defaultParallelism)
     val cen = perSession.getOrElseUpdate(s"$dir#refresh_cen",
       trainCentroidsOn(base))
     val asg = perSession.getOrElseUpdate(s"$dir#refresh_asg",
@@ -361,10 +369,24 @@ object SimilarityOps {
       ORDER BY src, dst"""
 
   private def trainCentroids(s: SparkSession, dir: String): DataFrame =
-    trainCentroidsOn(embeddings(s, dir))
+    trainCentroidsOn(embeddings(s, dir)
+      .repartition(s.sparkContext.defaultParallelism))
+
+  /** Seed stride for ~√n cells. IVF cost balances at k = Θ(√n):
+    * routing is k·d per vector, the probed scan is nProbe·(n/k)·d —
+    * k ≫ √n (the old fixed every-37th seeding, k = n/37) makes
+    * ROUTING the quadratic term (measured at the sf10 decade: 500 k
+    * vectors × 13.5 k cells × 64 dims pegged the assignment pass), k
+    * ≪ √n makes the probe scan quadratic. Floor of 37 keeps every
+    * sf ≤ 0.01 corpus, the fixtures, and the driver's oracle gate
+    * bit-identical to the pre-r13 index.
+    */
+  private def seedStride(n: Long): Long =
+    math.max(37L, math.sqrt(n.toDouble).toLong)
 
   private def trainCentroidsOn(emb: DataFrame): DataFrame = {
-    var cen = emb.filter(col("vec_id") % 37 === 0)
+    val stride = seedStride(emb.count())
+    var cen = emb.filter(col("vec_id") % stride === 0)
       .select(col("vec_id").as("cell"), col("embedding").as("cvec"))
     for (_ <- 1 to 2) {
       val assigned = withNearestCell(emb, col("embedding"), cen)
@@ -1423,11 +1445,15 @@ object SimilarityOps {
             (col("mq").cast("double") / 1e9 / col("n")).as("m"))
           .agg(array_sort(collect_list(struct(col("pos"), col("m"))))
             .as("cen_arr"))
-        val cenVec = transform(col("cen_arr"), e => e.getField("m"))
+          // normalize the constant centroid ONCE in this 1-row relation
+          // — inside the per-row projection it would re-normalize the
+          // same vector for every corpus row
+          .select(Vectors.normalized(
+            transform(col("cen_arr"), e => e.getField("m"))).as("cu"))
         val scored = embeddings(s, dir)
           .crossJoin(broadcast(cen))
           .withColumn("cos_centroid",
-            Vectors.dot(col("embedding"), Vectors.normalized(cenVec)))
+            Vectors.dot(col("embedding"), col("cu")))
           .select(col("vec_id"), col("cos_centroid"))
           .orderBy(col("cos_centroid").asc, col("vec_id"))
           .limit(20)

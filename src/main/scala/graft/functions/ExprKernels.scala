@@ -91,6 +91,51 @@ object ExprKernels {
     bestId
   }
 
+  /** Unit-normalized copy as double[] — one norm pass then one divide
+    * pass (see [[UnitNorm]]). Replaces the declarative
+    * `transform(a, x -> x / sqrt(dot(a, a)))` composition, whose norm
+    * subtree sits INSIDE the lambda and re-evaluates per ELEMENT:
+    * O(d²) multiplies per row across the whole ANN/dedup family's
+    * corpus normalization. Arithmetic is bit-identical to the
+    * composition (ascending-index square sum = DotProd's order, one
+    * sqrt, per-element divide), including the edges: a null ELEMENT
+    * nulls the norm and with it every output element (x / NULL); a
+    * zero vector reproduces Spark Divide's zero-divisor contract —
+    * the standard divide-by-zero error under ANSI, all-NULL elements
+    * in default mode (Spark's Divide returns NULL on a zero divisor
+    * even for doubles; it never emits IEEE ±Inf).
+    */
+  def unitNorm(a: ArrayData, isFloat: Boolean, ansi: Boolean,
+      qc: QueryContext): ArrayData = {
+    val n = a.numElements()
+    var acc = 0.0
+    var anyNull = false
+    var i = 0
+    while (i < n && !anyNull) {
+      if (a.isNullAt(i)) anyNull = true
+      else {
+        val x = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+        acc += x * x
+      }
+      i += 1
+    }
+    if (anyNull) return new GenericArrayData(new Array[Any](n))
+    val nrm = math.sqrt(acc)
+    if (nrm == 0.0) {
+      if (ansi)
+        throw org.apache.spark.sql.graft.DatasetBridge.divideByZeroError(qc)
+      return new GenericArrayData(new Array[Any](n))
+    }
+    val out = new Array[Double](n)
+    var j = 0
+    while (j < n) {
+      val x = if (isFloat) a.getFloat(j).toDouble else a.getDouble(j)
+      out(j) = x / nrm
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Top-k entry ids by dot product over an array of (id, cvec)
     * structs — [[nearestEntry]]'s k-bounded sibling for multi-probe
     * routing (see [[TopCellsDot]]): one insertion-sorted (score DESC,

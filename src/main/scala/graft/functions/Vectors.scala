@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.DatasetBridge
@@ -25,12 +25,16 @@ object Vectors {
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /** Unit-normalized copy (as array<double>); pre-normalizing a corpus
-    * once turns every later cosine into a bare dot product.
+    * once turns every later cosine into a bare dot product. A native
+    * expression ([[UnitNorm]]) rather than `transform(a, x -> x /
+    * norm(a))`: the declarative form re-evaluates the norm subtree per
+    * ELEMENT (it lives inside the lambda), turning every row's
+    * normalization into O(d²) multiplies — measured as a whole-suite
+    * tax on the ANN family at the sf1 decade. Results are
+    * bit-identical (same square-sum order, same null/zero edges).
     */
-  def normalized(a: Column): Column = {
-    val n = norm(a)
-    transform(a, x => x.cast("double") / n)
-  }
+  def normalized(a: Column): Column =
+    DatasetBridge.column(UnitNorm(DatasetBridge.expression(a)))
 
   /** Id of the max-dot entry in an `array<struct<id, cvec>>` column. */
   def nearestDot(vec: Column, entries: Column): Column =
@@ -49,6 +53,42 @@ object Vectors {
   def topCellsDot(vec: Column, entries: Column, k: Int): Column =
     DatasetBridge.column(TopCellsDot(DatasetBridge.expression(vec),
       DatasetBridge.expression(entries), k))
+}
+
+/** Unit normalization of a float/double array as ONE kernel call per
+  * row (see [[ExprKernels.unitNorm]] for the arithmetic-parity
+  * contract with the `transform`+`norm` composition it replaces).
+  */
+case class UnitNorm(child: Expression) extends UnaryExpression {
+
+  override def prettyName: String = "graft_unit_norm"
+  override def dataType: DataType =
+    ArrayType(DoubleType, containsNull = true)
+
+  private lazy val isFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override protected def nullSafeEval(a: Any): Any =
+    ExprKernels.unitNorm(a.asInstanceOf[ArrayData], isFloat,
+      org.apache.spark.sql.internal.SQLConf.get.ansiEnabled,
+      origin.context)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val qc = ctx.addReferenceObj("qryCtx", origin.context,
+        "org.apache.spark.QueryContext")
+      // ansi captured at codegen time — same capture discipline as
+      // Spark's own arithmetic expressions (see JaccardSim)
+      val ansi = org.apache.spark.sql.internal.SQLConf.get.ansiEnabled
+      s"""
+      ${ev.value} = graft.functions.ExprKernels.unitNorm($c, $isFloat,
+        $ansi, $qc);
+      """
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Expression = copy(child = newChild)
 }
 
 /** Sequential-sum dot product of two float/double arrays. NULL if

@@ -169,6 +169,48 @@ class Round13Spec extends SparkSuite {
     assert(rows.forall(_.getAs[String]("source") == "sA"))
   }
 
+  test("UnitNorm is bit-identical to the transform+norm composition it replaces") {
+    import org.apache.spark.sql.functions._
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.01/embeddings.parquet")
+    // the old declarative form, verbatim
+    def composed(a: org.apache.spark.sql.Column) = {
+      val n = sqrt(graft.functions.Vectors.dot(a, a))
+      transform(a, x => x.cast("double") / n)
+    }
+    val both = emb.select(
+      graft.functions.Vectors.normalized(col("embedding")).as("fast"),
+      composed(col("embedding")).as("slow"))
+    assert(both.filter(not(col("fast") <=> col("slow"))).count() == 0,
+      "kernel diverged from the composition")
+    // edges: null element nulls every output element; null array stays
+    // null — the composition's exact semantics
+    val edges = spark.sql("""SELECT * FROM VALUES
+        (array(CAST(3.0 AS FLOAT), CAST(NULL AS FLOAT))),
+        (CAST(NULL AS ARRAY<FLOAT>)) AS t(v)""")
+      .select(graft.functions.Vectors.normalized(col("v")).as("fast"),
+        composed(col("v")).as("slow"))
+    assert(edges.filter(not(col("fast") <=> col("slow"))).count() == 0)
+    // zero vector = Divide's zero-divisor contract: ANSI error (like
+    // the composition — Spark Divide raises even for doubles), NULL
+    // elements in non-ANSI mode
+    val zero = spark.sql(
+      "SELECT array(CAST(0.0 AS FLOAT), CAST(0.0 AS FLOAT)) AS v")
+    val err = intercept[Exception] {
+      zero.select(graft.functions.Vectors.normalized(col("v"))).collect()
+    }
+    assert(err.getMessage.contains("DIVIDE_BY_ZERO"), err.getMessage)
+    val prev = spark.conf.get("spark.sql.ansi.enabled")
+    try {
+      spark.conf.set("spark.sql.ansi.enabled", "false")
+      val both = zero.select(
+        graft.functions.Vectors.normalized(col("v")).as("fast"),
+        composed(col("v")).as("slow"))
+      assert(both.filter(not(col("fast") <=> col("slow"))).count() == 0)
+      assert(both.head().getSeq[Any](0) == Seq(null, null))
+    } finally spark.conf.set("spark.sql.ansi.enabled", prev)
+  }
+
   test("sample_reservoir: exact deterministic sample, TakeOrdered plan") {
     val dir = "/root/testdata/sf0.01"
     val got = q("sample_reservoir", dir)
