@@ -577,7 +577,15 @@ object SimilarityOps {
           .select(col("i"), col("j"),
             (col("sq").cast("double") / lit(1e9)).as("cij"))
           .collect()
+        // loud-failure guards (ADVICE r13): an empty 10% sample would
+        // throw an opaque empty-max, and the DuckDB oracle hard-codes
+        // range(0, 64) — a non-64-dim corpus must fail HERE, on both
+        // engines' behalf, not silently hash-mismatch downstream
+        require(cells.nonEmpty,
+          "emb_pca_power: the vec_id % 10 == 0 sample selected no vectors")
         val d = cells.map(_.getInt(0)).max + 1
+        require(d == 64,
+          s"emb_pca_power: corpus has $d dims; the oracle contract is 64")
         val m = Array.ofDim[Double](d, d)
         cells.foreach(r => m(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
         def matvec(v: Array[Double]): Array[Double] =

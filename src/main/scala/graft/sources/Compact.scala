@@ -40,14 +40,28 @@ object Compact {
     * records batch N before batch N+1 ever writes a file), so compacting
     * them is always safe — making Compact safe to run at ANY point,
     * including between a crash and the recovering restart.
+    *
+    * Only namespaces that can still REPLAY need this exemption: a
+    * retired checkpoint (deleted, or drained-and-abandoned) will never
+    * replay its newest batch, so preserving it forever just accretes
+    * one permanently-uncompactable batch per historical lifetime
+    * (ADVICE r13). Callers that know the live set pass it via
+    * `liveNamespaces`; `None` preserves every namespace (the safe
+    * default when the caller cannot enumerate live checkpoints). The
+    * legacy pre-r13 "" namespace is only preserved when explicitly
+    * listed — `Spool.migrateLegacyBatches` retires it on upgrade.
     */
-  private def preservedBatchFiles(names: Seq[String]): Set[String] = {
+  private def preservedBatchFiles(names: Seq[String],
+      liveNamespaces: Option[Set[String]]): Set[String] = {
     val batches = names.flatMap {
       case n @ BatchFile(ns, id) =>
         Some((if (ns == null) "" else ns, id.toLong, n))
       case _ => None
     }
-    batches.groupBy(_._1).values.flatMap { g =>
+    val live = batches.groupBy(_._1).filter { case (ns, _) =>
+      liveNamespaces.forall(_.contains(ns))
+    }
+    live.values.flatMap { g =>
       val newest = g.map(_._2).max
       g.collect { case (_, id, n) if id == newest => n }
     }.toSet
@@ -59,10 +73,14 @@ object Compact {
     * not an error — a multi-spool maintenance run must not abort).
     * `rows` counts the rewritten rows only — the preserved newest
     * ingest batches (see [[preservedBatchFiles]]) are carried over
-    * byte-for-byte, not re-read.
+    * byte-for-byte, not re-read. `liveNamespaces`: the checkpoint
+    * namespaces (`Spool.checkpointNamespace` values) that may still
+    * replay into this directory — only THEIR newest batches are
+    * preserved; `None` (default) preserves every namespace's.
     */
   def compactParquet(spark: SparkSession, dir: String,
-      targetBytes: Long = 128L << 20): (Int, Int, Long) = {
+      targetBytes: Long = 128L << 20,
+      liveNamespaces: Option[Set[String]] = None): (Int, Int, Long) = {
     val path = new Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new Path(dir + ".compact.tmp")
@@ -90,7 +108,7 @@ object Compact {
     val before = dataFiles()
     if (before.isEmpty) return (0, 0, 0L)
     val preserved = preservedBatchFiles(
-      before.map(_.getPath.getName).toSeq)
+      before.map(_.getPath.getName).toSeq, liveNamespaces)
     val compactable = before.filterNot(st => preserved(st.getPath.getName))
     if (compactable.isEmpty) return (before.length, before.length, 0L)
 

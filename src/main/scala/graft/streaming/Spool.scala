@@ -67,6 +67,7 @@ object Spool {
   def ingestOnce(spark: SparkSession, dirs: Seq[String], prefix: String,
       sensor: String, sigMapPath: String, genMapPath: String,
       classMapPath: String, outPath: String, checkpoint: String): Unit = {
+    migrateLegacyBatches(spark, outPath, checkpoint)
     val q = streamRecords(spark, dirs, prefix, sensor)
       .writeStream
       .foreachBatch(enrichAndAppend(spark, sigMapPath, genMapPath,
@@ -88,6 +89,7 @@ object Spool {
       classMapPath: String, outPath: String, checkpoint: String,
       availableNow: Boolean = false)
       : org.apache.spark.sql.streaming.StreamingQuery = {
+    migrateLegacyBatches(spark, outPath, checkpoint)
     val w = SpoolTail.streamRecords(spark, dirs, prefix, sensor)
       .writeStream
       .foreachBatch(enrichAndAppend(spark, sigMapPath, genMapPath,
@@ -187,21 +189,84 @@ object Spool {
     * an outPath an older run populated (ADVICE r12): its batch 0 would
     * silently DELETE the previous run's batch_0 files. Keying on
     * (queryId, batchId) makes the overwrite exact — a replay only ever
-    * touches its own prior attempt. Read per batch (one ~100-byte file;
-    * guaranteed present, Spark writes it before batch 0 runs).
+    * touches its own prior attempt. The query id is immutable for a
+    * checkpoint's lifetime, so the parse is memoized per checkpoint
+    * path (ADVICE r13) — the metadata file is read once per JVM, not
+    * once per micro-batch.
     */
-  private def checkpointNamespace(spark: SparkSession,
-      checkpoint: String): String = {
+  private val nsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def checkpointNamespace(spark: SparkSession,
+      checkpoint: String): String =
+    nsCache.computeIfAbsent(checkpoint, { cp =>
+      import org.apache.hadoop.fs.Path
+      val meta = new Path(cp, "metadata")
+      val fs = meta.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val in = fs.open(meta)
+      val txt =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      "\"id\"\\s*:\\s*\"([0-9a-fA-F-]+)\"".r.findFirstMatchIn(txt) match {
+        case Some(m) => m.group(1).replace("-", "").toLowerCase
+        case None => sys.error(s"ingest: no query id in $meta")
+      }
+    })
+
+  /** Pre-r13 ingest batches were promoted WITHOUT a checkpoint
+    * namespace (`batch_<id>_<i>.parquet`); [[idempotentAppend]]'s
+    * replay-delete only matches `batch_<ns>_<id>_*`, so an upgraded
+    * restart replaying a legacy UNCOMMITTED batch would re-promote its
+    * rows beside the surviving legacy files — duplication (ADVICE
+    * r13). One-time migration, run before every ingest start:
+    *  - a legacy batch the checkpoint's commit log records as
+    *    COMMITTED can never be replayed — fold it into a plain
+    *    `legacy_<id>_<i>.parquet` data file (readers still see it,
+    *    and [[graft.sources.Compact]] may now rewrite it, which also
+    *    stops the "" namespace pinning one uncompactable batch
+    *    forever);
+    *  - a legacy batch NEWER than the last commit is exactly the
+    *    replayable one — ADOPT it into this checkpoint's namespace so
+    *    the replay's delete-then-promote dedups it.
+    * No-op when outPath has no legacy batch files or the checkpoint
+    * has not started yet (then no legacy file can be this lifetime's).
+    * Assumes outPath's legacy files were written by THIS checkpoint —
+    * pre-r13 code had no namespaces, so multiple checkpoints sharing
+    * one outPath were already unsound (the r12 finding that motivated
+    * namespacing). Pre-r13 sequencing guarantees at most ONE legacy
+    * batch id can be uncommitted: batch N+1 never runs before batch N
+    * commits.
+    */
+  private val LegacyBatchFile = "^batch_([0-9]+)_([0-9]+)\\.parquet$".r
+
+  private[graft] def migrateLegacyBatches(spark: SparkSession,
+      outPath: String, checkpoint: String): Unit = {
     import org.apache.hadoop.fs.Path
-    val meta = new Path(checkpoint, "metadata")
-    val fs = meta.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val in = fs.open(meta)
-    val txt =
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
-    "\"id\"\\s*:\\s*\"([0-9a-fA-F-]+)\"".r.findFirstMatchIn(txt) match {
-      case Some(m) => m.group(1).replace("-", "").toLowerCase
-      case None => sys.error(s"ingest: no query id in $meta")
+    val out = new Path(outPath)
+    val fs = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(out)) return
+    val legacy = fs.listStatus(out).toSeq.filter(_.isFile).flatMap { st =>
+      st.getPath.getName match {
+        case LegacyBatchFile(id, i) => Some((id.toLong, i.toInt, st.getPath))
+        case _ => None
+      }
+    }
+    if (legacy.isEmpty) return
+    if (!fs.exists(new Path(checkpoint, "metadata"))) return
+    val ns = checkpointNamespace(spark, checkpoint)
+    val commitsDir = new Path(checkpoint, "commits")
+    val committed: Set[Long] =
+      if (!fs.exists(commitsDir)) Set.empty
+      else fs.listStatus(commitsDir).toSeq.map(_.getPath.getName)
+        .filter(n => n.nonEmpty && n.forall(c => c >= '0' && c <= '9'))
+        .map(_.toLong).toSet
+    legacy.foreach { case (id, i, p) =>
+      val dstName =
+        if (committed(id)) s"legacy_${id}_$i.parquet"
+        else s"batch_${ns}_${id}_$i.parquet"
+      val dst = new Path(out, dstName)
+      if (!fs.rename(p, dst))
+        sys.error(s"ingest migrate: rename $p -> $dst failed")
     }
   }
 

@@ -72,4 +72,56 @@ class CompactSpec extends SparkSuite {
     assert(r3 == 1L)
     assert(spark.read.parquet(s"$root/u").count() == 1)
   }
+
+  test("liveNamespaces releases retired checkpoints' newest batches") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_compact3").toString + "/t"
+    val nsLive = "a" * 32
+    val nsDead = "b" * 32
+    // one ingest batch per (namespace, id): live has 0..1, dead has 0
+    def writeBatch(ns: String, id: Long, v: Long): Unit = {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_compact3_b").toString
+      Seq((v, s"ns-$ns-$id")).toDF("id", "v").coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
+      val src =
+        try scala.jdk.CollectionConverters.IteratorHasAsScala(
+            part.iterator()).asScala
+          .find(_.getFileName.toString.endsWith(".parquet")).get
+        finally part.close()
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+      java.nio.file.Files.move(src,
+        java.nio.file.Paths.get(dir, s"batch_${ns}_${id}_0.parquet"))
+    }
+    writeBatch(nsLive, 0, 1L); writeBatch(nsLive, 1, 2L)
+    writeBatch(nsDead, 0, 3L)
+
+    def names(): Set[String] = {
+      val s = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      try scala.jdk.CollectionConverters.IteratorHasAsScala(s.iterator())
+        .asScala.map(_.getFileName.toString)
+        .filter(_.endsWith(".parquet")).toSet
+      finally s.close()
+    }
+
+    // default (None): every namespace's newest batch survives verbatim
+    val (_, _, r1) = Compact.compactParquet(spark, dir, 1L << 20)
+    assert(r1 == 1L) // only live batch 0 was compactable
+    assert(names().contains(s"batch_${nsLive}_1_0.parquet"))
+    assert(names().contains(s"batch_${nsDead}_0_0.parquet"))
+
+    // dead checkpoint retired: only the live namespace keeps its
+    // newest-batch exemption; the dead one's batch folds into part-*
+    val (_, _, r2) =
+      Compact.compactParquet(spark, dir, 1L << 20, Some(Set(nsLive)))
+    assert(r2 == 2L) // dead newest + the prior part-* rewrite
+    assert(names().contains(s"batch_${nsLive}_1_0.parquet"),
+      "live namespace's replayable batch must survive")
+    assert(!names().exists(_.startsWith(s"batch_${nsDead}_")),
+      "retired namespace's batch must be compacted")
+    assert(spark.read.parquet(dir).as[(Long, String)]
+      .collect().map(_._1).sorted.toSeq == Seq(1L, 2L, 3L))
+  }
 }

@@ -189,6 +189,75 @@ class CrashRecoverySpec extends SparkSuite {
       s"fresh checkpoint destroyed or duplicated data: $ids")
   }
 
+  test("pre-r13 legacy batch files migrate on upgrade: committed fold, uncommitted dedup") {
+    val dir = Files.createTempDirectory("graft_crashm").toString
+    val file = Paths.get(dir, "snort.log.1800000000")
+    Files.write(file, alert(1) ++ alert(2))
+    val (sid, gen, cls) = Unified2Fixture.writeMaps(
+      Files.createTempDirectory("graft_crashm_maps").toString)
+    val out = Files.createTempDirectory("graft_crashm_out").toString
+    val ckpt = Files.createTempDirectory("graft_crashm_ckpt").toString
+
+    def drain(): Unit = graft.streaming.Spool.tailIngest(spark, Seq(dir),
+      "snort.log", "sM", sid, gen, cls, out, ckpt, availableNow = true)
+    def ids(): Seq[Long] = spark.read.parquet(out)
+      .select(col("event_id")).collect().map(_.getLong(0)).sorted.toSeq
+    def listNames(): Seq[String] = {
+      val s = Files.list(Paths.get(out))
+      try scala.jdk.CollectionConverters.IteratorHasAsScala(s.iterator())
+        .asScala.map(_.getFileName.toString)
+        .filter(_.endsWith(".parquet")).toSeq
+      finally s.close()
+    }
+
+    drain() // batch 0: events 1, 2 (committed)
+    Files.write(file, alert(3), StandardOpenOption.APPEND)
+    drain() // batch 1: event 3
+    assert(ids() == Seq(1L, 2L, 3L))
+
+    // Reconstruct the ADVICE-r13 upgrade state byte-for-byte: the
+    // files were promoted by PRE-namespacing code (strip the query-id
+    // segment back out of every batch file name) and the JVM died
+    // before batch 1's commit landed.
+    val nsRe = "^batch_[0-9a-f]{32}_".r
+    listNames().foreach { n =>
+      if (nsRe.findFirstIn(n).isDefined)
+        Files.move(Paths.get(out, n),
+          Paths.get(out, nsRe.replaceFirstIn(n, "batch_")))
+    }
+    truncateNewestCommit(ckpt)
+    assert(listNames().forall(n => nsRe.findFirstIn(n).isEmpty))
+
+    // Restart under the namespacing code. Without migration the
+    // replay of batch 1 re-promotes event 3 beside the surviving
+    // legacy batch_1_* files → 4 rows; with it, exactly-once holds.
+    drain()
+    assert(ids() == Seq(1L, 2L, 3L),
+      s"legacy-batch replay duplicated rows: ${ids()}")
+
+    val after = listNames()
+    assert(after.exists(_.startsWith("legacy_0_")),
+      s"committed legacy batch was not folded: $after")
+    val legacyRe = "^batch_[0-9]+_[0-9]+\\.parquet$".r
+    assert(!after.exists(n => legacyRe.findFirstIn(n).isDefined),
+      s"no bare legacy batch_<id>_* file may survive the migration: $after")
+    assert(after.exists(n => nsRe.findFirstIn(n).isDefined &&
+        n.contains("_1_")),
+      s"replayed batch 1 must land under the checkpoint namespace: $after")
+
+    // folded legacy files are now plain data files: compactable
+    val (_, _, rows) = graft.sources.Compact.compactParquet(
+      spark, out, liveNamespaces =
+        Some(Set(graft.streaming.Spool.checkpointNamespace(spark, ckpt))))
+    assert(rows >= 2, "folded legacy batch should be rewritten")
+    assert(ids() == Seq(1L, 2L, 3L))
+
+    // and the stream still makes progress
+    Files.write(file, alert(4), StandardOpenOption.APPEND)
+    drain()
+    assert(ids() == Seq(1L, 2L, 3L, 4L))
+  }
+
   test("a torn staging dir from a crash mid-write is invisible and cleaned up") {
     val dir = Files.createTempDirectory("graft_crash2").toString
     val file = Paths.get(dir, "snort.log.1800000000")
