@@ -63,20 +63,29 @@ object TextOps {
   // run over a batch frame or a stream-static join) ----
 
   /** (doc_id, w1, w2) bigrams with a BOS context for the first word —
-    * built inside the row (transform + posexplode) so the exploded
-    * rows never carry the whole token array. Stateless: works on
-    * batch and streaming frames alike.
+    * built inside the row so the exploded rows never carry the whole
+    * token array. Stateless: works on batch and streaming frames
+    * alike.
+    *
+    * The context array is built ONCE per row (`<s>` ++ all-but-last)
+    * and zipped against the tokens — deliberately NO lambda that
+    * references the token array: CollapseProject counts only the
+    * references OUTSIDE lambda bodies when deciding whether an alias
+    * is safe to inline, so a `transform(w, (x, i) ->
+    * element_at(w, i))` form gets `w`'s defining `split` inlined and
+    * re-tokenizes the document once per ELEMENT — O(tokens²) per doc,
+    * measured 24 s -> 1.4 s at the sf1 decade (round 14; same
+    * pathology class as the r13 UnitNorm fix).
     */
   private[graft] def lmBigrams(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), words(lower(col("text"))).as("w"))
       .filter(size(col("w")) > 0)
-      .withColumn("bi", expr(
-        """transform(w, (x, i) -> struct(
-          CASE WHEN i = 0 THEN '<s>' ELSE element_at(w, i) END AS w1,
-          x AS w2))"""))
+      .withColumn("ctx", concat(array(lit("<s>")),
+        slice(col("w"), lit(1), greatest(size(col("w")) - 1, lit(0)))))
+      .withColumn("bi", arrays_zip(col("ctx"), col("w")))
       .select(col("doc_id"), posexplode(col("bi")).as(Seq("pos", "b")))
-      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .select(col("doc_id"), col("b.ctx").as("w1"), col("b.w").as("w2"))
 
   // one training run per (session, corpus), like the IVF/PQ index
   // caches: the LM is an offline-trained artifact every scoring call

@@ -262,6 +262,27 @@ class PlanAuditSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"), p.take(1000))
   }
 
+  test("no tokenizing entry re-evaluates split inside a lambda (O(tokens²) guard)") {
+    // CollapseProject counts only references outside lambda bodies, so
+    // an alias used (almost) exclusively inside a higher-order
+    // function's lambda gets its defining split() inlined and the doc
+    // re-tokenizes once per element — the r14 lm-bigram pathology
+    // (25 s -> 1.5 s at sf1). Guard every entry family that tokenizes.
+    // bpe_* is exempt: its merge fold re-splits one WORD's char-seq
+    // string (a lambda variable) per level by design — bounded by word
+    // length, not document length.
+    spark.conf.set("spark.sql.debug.maxToStringFields", "10000")
+    val families = Seq("text_", "dedup_", "corpus_", "mix_", "pipeline_",
+      "sample_", "pack_", "dq_")
+    val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => families.exists(n.startsWith))
+    val bad = names.filter { n =>
+      val plan = q(n, sfDir).queryExecution.optimizedPlan.toString
+      graft.plans.PlanHygiene.lambdaReevaluatesSplit(plan)
+    }
+    assert(bad.isEmpty, s"per-element re-tokenization in: $bad")
+  }
+
   test("u2_bulk_ingest: assembly is map-only — correlation adds no shuffle") {
     // single-pass per-file assembly: the only exchanges allowed are the
     // cid windows' per-(sensor, file) partitioning and the tiny
