@@ -178,14 +178,19 @@ object Analytics4 {
           .select(col("c_custkey").as("key"),
             xxhash64(col("c_nationkey"), col("c_mktsegment"), col("v"))
               .as("bk"))
-        // merge hint: the planner sizes this self-join from the
-        // customer FILE bytes, not the ~137× variant explode, so it
-        // "broadcasts" a 100 M-row side and dies on
+        // shuffle_hash hint: the planner sizes this self-join from
+        // the customer FILE bytes, not the ~137× variant explode, so
+        // unhinted it "broadcasts" a 100 M-row side and dies on
         // driver.maxResultSize once the corpus outgrows the estimate
-        // (measured at sf10). A sort-merge join on bk is the plan that
-        // holds at any scale: both sides shuffle-sorted on the slim
-        // (hash, key) pairs.
-        val cand = keyed.toDF("a_key", "bk").hint("merge")
+        // (measured at sf10). Both partitioned-join hints hold at any
+        // scale (slim 16-byte rows, shuffled on bk); shuffle-hash
+        // skips the two 100 M-row sorts a merge join pays — measured
+        // 101 -> 61 s at the sf10 decade, identical pairs. Per-
+        // partition build side is total/partitions (~50 MB at the
+        // sf10 decade's 32 partitions; smaller on a real cluster with
+        // more shuffle partitions), and AQE's skew split handles a
+        // hot variant bucket.
+        val cand = keyed.toDF("a_key", "bk").hint("shuffle_hash")
           .join(keyed.toDF("b_key", "bk"), "bk")
           .filter(col("a_key") < col("b_key"))
           .select(col("a_key"), col("b_key")).distinct()

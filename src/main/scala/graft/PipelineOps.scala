@@ -916,8 +916,14 @@ object PipelineOps {
       // SHINGLE — bounded by the source count, never the corpus — so
       // candidate volume is O(shingles × sources²/2) worst case with
       // tiny constants, one shuffle on the shingle key. n/n Jaccard is
-      // exact int division (identical double both engines). At 100 TB
-      // the same plan runs with xxhash64 shingle keys.
+      // exact int division (identical double both engines). The
+      // shingle key IS xxhash64 (round 14) — no output column carries
+      // shingle text, so the distinct, the per-source size count and
+      // the self-join all shuffle 8-byte longs instead of ~40-byte
+      // strings (A/B'd min-of-3 solo at the sf10 decade: 52.3 s
+      // strings -> 45.4 s hashed); a 64-bit collision would nudge one
+      // n/Jaccard count and the DuckDB gate (string keys) would
+      // surface it.
       (s, dir) => {
         val sh = t(s, dir, "documents")
           .withColumn("tk",
@@ -929,7 +935,8 @@ object PipelineOps {
             explode(expr("array_distinct(CASE WHEN size(tk) >= 3 THEN " +
               "transform(sequence(0, size(tk) - 3), " +
               "i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2])) " +
-              "ELSE CAST(array() AS array<string>) END)")).as("sh"))
+              "ELSE CAST(array() AS array<string>) END)")).as("sh_s"))
+          .select(col("source"), xxhash64(col("sh_s")).as("sh"))
           .distinct()
         val sizes = sh.groupBy(col("source"))
           .agg(count(lit(1)).as("n"))

@@ -999,6 +999,14 @@ object TextOps {
       // path never broadcasts the gram table) + one doc_id re-agg.
       // Integer counts and one correctly-rounded division — fully
       // SQL-oracled, no dump needed.
+      //
+      // Measured, not assumed (round 14): an xxhash64 gram key was
+      // A/B'd at the sf10 decade and LOST (60.7 s strings vs 93.8 s
+      // hashed, min-of-3 solo) — the gram relation feeds two
+      // consumers uncached, so hashing re-pays 27 M string hashes per
+      // consumer while this profile's shuffles weren't byte-bound.
+      // corpus_overlap (single distinct + self-join profile) is the
+      // shape where the hash key wins; see its entry.
       (s, dir) => {
         val grams = t(s, dir, "documents")
           .select(col("doc_id"), words(lower(col("text"))).as("w"))

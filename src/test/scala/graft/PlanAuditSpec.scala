@@ -99,9 +99,10 @@ class PlanAuditSpec extends SparkSuite {
     val p = plan("q71_fuzzy_match")
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), p.take(800))
-    // merge-hinted since the sf10 decade (planner under-sizes the
-    // variant explode and broadcasts a 100 M-row side otherwise) —
-    // accept either equi-join form, never a nested loop
+    // partitioned-join-hinted since the sf10 decade (planner
+    // under-sizes the variant explode and broadcasts a 100 M-row side
+    // otherwise; shuffle_hash since r14 — skips the two 100 M-row
+    // sorts) — accept either equi-join form, never a nested loop
     assert("(SortMergeJoin|HashJoin) \\[bk".r.findAllIn(p).nonEmpty,
       p.take(1200))
   }
