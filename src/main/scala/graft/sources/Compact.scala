@@ -48,8 +48,14 @@ object Compact {
     * (ADVICE r13). Callers that know the live set pass it via
     * `liveNamespaces`; `None` preserves every namespace (the safe
     * default when the caller cannot enumerate live checkpoints). The
-    * legacy pre-r13 "" namespace is only preserved when explicitly
-    * listed — `Spool.migrateLegacyBatches` retires it on upgrade.
+    * legacy pre-r13 "" namespace's newest batch is ALWAYS preserved,
+    * listed or not: before `Spool.migrateLegacyBatches` has run on a
+    * just-upgraded deployment (e.g. a Compact in the crash→restart
+    * window), that batch is still replayable under its legacy name, and
+    * folding it into `part-*` would turn the replay into row
+    * duplication (ADVICE r14). Migration retires the "" namespace on
+    * the first post-upgrade ingest, after which nothing matches it and
+    * the exemption is moot — so the cost of always keeping it is zero.
     */
   private def preservedBatchFiles(names: Seq[String],
       liveNamespaces: Option[Set[String]]): Set[String] = {
@@ -59,7 +65,7 @@ object Compact {
       case _ => None
     }
     val live = batches.groupBy(_._1).filter { case (ns, _) =>
-      liveNamespaces.forall(_.contains(ns))
+      ns == "" || liveNamespaces.forall(_.contains(ns))
     }
     live.values.flatMap { g =>
       val newest = g.map(_._2).max

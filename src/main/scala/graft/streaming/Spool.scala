@@ -67,6 +67,7 @@ object Spool {
   def ingestOnce(spark: SparkSession, dirs: Seq[String], prefix: String,
       sensor: String, sigMapPath: String, genMapPath: String,
       classMapPath: String, outPath: String, checkpoint: String): Unit = {
+    invalidateNamespace(checkpoint)
     migrateLegacyBatches(spark, outPath, checkpoint)
     val q = streamRecords(spark, dirs, prefix, sensor)
       .writeStream
@@ -89,6 +90,7 @@ object Spool {
       classMapPath: String, outPath: String, checkpoint: String,
       availableNow: Boolean = false)
       : org.apache.spark.sql.streaming.StreamingQuery = {
+    invalidateNamespace(checkpoint)
     migrateLegacyBatches(spark, outPath, checkpoint)
     val w = SpoolTail.streamRecords(spark, dirs, prefix, sensor)
       .writeStream
@@ -192,10 +194,26 @@ object Spool {
     * touches its own prior attempt. The query id is immutable for a
     * checkpoint's lifetime, so the parse is memoized per checkpoint
     * path (ADVICE r13) — the metadata file is read once per JVM, not
-    * once per micro-batch.
+    * once per micro-batch. But a PATH is not a LIFETIME: delete and
+    * recreate a checkpoint dir at the same path within one JVM and the
+    * stale cached id would make the new lifetime's batch-0 replay-delete
+    * target the PREVIOUS lifetime's files — the exact data loss the
+    * namespacing exists to prevent (ADVICE r14). So every ingest start
+    * ([[ingestOnce]]/[[tailIngest]]) drops the entry via
+    * [[invalidateNamespace]] and the first batch re-reads `metadata`,
+    * which by then holds the new lifetime's uuid.
     */
   private val nsCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Drop the memoized query id for `checkpoint` — called at every
+    * stream start so a deleted-and-recreated checkpoint at the same
+    * path mints its OWN namespace instead of inheriting (and then
+    * replay-deleting) the previous lifetime's (ADVICE r14).
+    */
+  private[graft] def invalidateNamespace(checkpoint: String): Unit = {
+    nsCache.remove(checkpoint); ()
+  }
 
   private[graft] def checkpointNamespace(spark: SparkSession,
       checkpoint: String): String =
@@ -255,14 +273,21 @@ object Spool {
     if (!fs.exists(new Path(checkpoint, "metadata"))) return
     val ns = checkpointNamespace(spark, checkpoint)
     val commitsDir = new Path(checkpoint, "commits")
-    val committed: Set[Long] =
-      if (!fs.exists(commitsDir)) Set.empty
+    // Spark PURGES commit-log entries past minBatchesToRetain (default
+    // 100), so membership in the listed set undercounts: a legacy id
+    // older than the retention window has no commit file yet IS
+    // committed. Pre-r13 sequencing guarantees batch N+1 never ran
+    // before N committed, so anything <= the max retained commit id is
+    // committed; only an id ABOVE the newest commit is the (at most
+    // one) replayable batch to adopt (ADVICE r14).
+    val maxCommitted: Option[Long] =
+      if (!fs.exists(commitsDir)) None
       else fs.listStatus(commitsDir).toSeq.map(_.getPath.getName)
         .filter(n => n.nonEmpty && n.forall(c => c >= '0' && c <= '9'))
-        .map(_.toLong).toSet
+        .map(_.toLong).maxOption
     legacy.foreach { case (id, i, p) =>
       val dstName =
-        if (committed(id)) s"legacy_${id}_$i.parquet"
+        if (maxCommitted.exists(id <= _)) s"legacy_${id}_$i.parquet"
         else s"batch_${ns}_${id}_$i.parquet"
       val dst = new Path(out, dstName)
       if (!fs.rename(p, dst))

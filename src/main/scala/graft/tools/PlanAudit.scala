@@ -33,7 +33,9 @@ object PlanAudit {
           }
         }
       } catch { case e: Throwable =>
-        println(s"[audit] ERROR $n: ${e.getMessage.take(100)}")
+        // e.getMessage is null for many throwables (e.g. NPE) — a null
+        // here would NPE the handler itself and abort the audit loop
+        println(s"[audit] ERROR $n: ${e.toString.take(140)}")
       }
     }
     println("[audit] done")

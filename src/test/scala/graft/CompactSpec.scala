@@ -124,4 +124,50 @@ class CompactSpec extends SparkSuite {
     assert(spark.read.parquet(dir).as[(Long, String)]
       .collect().map(_._1).sorted.toSeq == Seq(1L, 2L, 3L))
   }
+
+  test("legacy \"\" namespace keeps its newest-batch exemption even when liveNamespaces excludes it") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_compact4").toString + "/t"
+    def writeBatch(name: String, v: Long): Unit = {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_compact4_b").toString
+      Seq((v, name)).toDF("id", "v").coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
+      val src =
+        try scala.jdk.CollectionConverters.IteratorHasAsScala(
+            part.iterator()).asScala
+          .find(_.getFileName.toString.endsWith(".parquet")).get
+        finally part.close()
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+      java.nio.file.Files.move(src,
+        java.nio.file.Paths.get(dir, name))
+    }
+    // a just-upgraded deployment in the crash→restart window: pre-r13
+    // legacy batches, migrateLegacyBatches has NOT run yet, and batch 1
+    // (the newest legacy id) is still replayable under its legacy name
+    writeBatch("batch_0_0.parquet", 1L)
+    writeBatch("batch_1_0.parquet", 2L)
+
+    def names(): Set[String] = {
+      val s = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      try scala.jdk.CollectionConverters.IteratorHasAsScala(s.iterator())
+        .asScala.map(_.getFileName.toString)
+        .filter(_.endsWith(".parquet")).toSet
+      finally s.close()
+    }
+
+    // liveNamespaces deliberately does NOT list "" — the fix under test
+    // (ADVICE r14) is that the legacy namespace is preserved regardless
+    val (_, _, r) = Compact.compactParquet(spark, dir, 1L << 20,
+      Some(Set("c" * 32)))
+    assert(r == 1L, "only legacy batch 0 (provably committed) compacts")
+    assert(names().contains("batch_1_0.parquet"),
+      "the replayable newest legacy batch must survive verbatim")
+    assert(!names().contains("batch_0_0.parquet"),
+      "the committed older legacy batch should fold into part-*")
+    assert(spark.read.parquet(dir).as[(Long, String)]
+      .collect().map(_._1).sorted.toSeq == Seq(1L, 2L))
+  }
 }

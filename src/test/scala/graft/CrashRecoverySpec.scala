@@ -189,6 +189,92 @@ class CrashRecoverySpec extends SparkSuite {
       s"fresh checkpoint destroyed or duplicated data: $ids")
   }
 
+  test("a deleted-and-recreated checkpoint at the SAME path mints its own namespace") {
+    // ADVICE r14 (medium): the per-path namespace memo outlived the
+    // checkpoint LIFETIME — recreate a checkpoint at the same path
+    // within one JVM and the stale cached query id made the new
+    // lifetime's batch-0 replay-delete target (and destroy) the
+    // previous lifetime's files. The stream-start invalidation must
+    // make this behave exactly like the fresh-path case above.
+    val (sid, gen, cls) = Unified2Fixture.writeMaps(
+      Files.createTempDirectory("graft_crashr_maps").toString)
+    val out = Files.createTempDirectory("graft_crashr_out").toString
+    val ckpt = Files.createTempDirectory("graft_crashr_ckpt").toString
+
+    // lifetime A ingests event 1 (its batch 0), then the checkpoint
+    // dir is deleted and recreated at the SAME path (a long-lived
+    // ingest service resetting a stream)
+    val dirA = Files.createTempDirectory("graft_crashr_a").toString
+    Files.write(Paths.get(dirA, "snort.log.1800000000"), alert(1))
+    graft.streaming.Spool.tailIngest(spark, Seq(dirA), "snort.log", "sRa",
+      sid, gen, cls, out, ckpt, availableNow = true)
+    assert(batchFiles(out, 0L).nonEmpty)
+
+    def rmTree(p: Path): Unit = {
+      val s = Files.walk(p)
+      try scala.jdk.CollectionConverters.IteratorHasAsScala(s.iterator())
+        .asScala.toSeq.reverse.foreach(Files.delete)
+      finally s.close()
+    }
+    rmTree(Paths.get(ckpt))
+    Files.createDirectories(Paths.get(ckpt))
+
+    // lifetime B, same checkpoint path, also writes its batch 0
+    val dirB = Files.createTempDirectory("graft_crashr_b").toString
+    Files.write(Paths.get(dirB, "snort.log.1800000000"), alert(9))
+    graft.streaming.Spool.tailIngest(spark, Seq(dirB), "snort.log", "sRb",
+      sid, gen, cls, out, ckpt, availableNow = true)
+
+    val ids = spark.read.parquet(out)
+      .select(col("event_id")).collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(1L, 9L),
+      s"recreated checkpoint reused the stale namespace and destroyed data: $ids")
+    // and the two lifetimes really did land under distinct namespaces
+    assert(batchFiles(out, 0L).size >= 2,
+      "both lifetimes' batch-0 files must coexist under distinct namespaces")
+  }
+
+  test("legacy ids below the max retained commit fold as committed even when their commit files were purged") {
+    // ADVICE r14: Spark purges commit-log entries past
+    // minBatchesToRetain, so classifying committed-vs-replayable by
+    // commit-file MEMBERSHIP misclassifies old legacy batches as
+    // uncommitted and adopts them all — breaking the at-most-ONE-
+    // adopted-batch invariant. Sequencing means anything <= the max
+    // retained commit id is committed; only an id above it is adopted.
+    val out = Files.createTempDirectory("graft_crashp_out").toString
+    val ckpt = Files.createTempDirectory("graft_crashp_ckpt").toString
+    // migrateLegacyBatches only RENAMES by name — content is never read
+    Seq(0, 1, 2).foreach { id =>
+      Files.write(Paths.get(out, s"batch_${id}_0.parquet"),
+        Array[Byte](80, 65, 82, 49))
+    }
+    // checkpoint state: batches 0..1 committed, but batch 0's commit
+    // entry was purged by retention; batch 2's commit never landed
+    Files.write(Paths.get(ckpt, "metadata"),
+      """{"id":"aaaaaaaa-bbbb-cccc-dddd-eeeeeeeeeeee"}"""
+        .getBytes("UTF-8"))
+    Files.createDirectories(Paths.get(ckpt, "commits"))
+    Files.write(Paths.get(ckpt, "commits", "1"), "v1\n{}".getBytes("UTF-8"))
+
+    graft.streaming.Spool.migrateLegacyBatches(spark, out, ckpt)
+
+    val names = {
+      val s = Files.list(Paths.get(out))
+      try scala.jdk.CollectionConverters.IteratorHasAsScala(s.iterator())
+        .asScala.map(_.getFileName.toString).toSet
+      finally s.close()
+    }
+    val ns = "aaaaaaaabbbbccccddddeeeeeeeeeeee"
+    assert(names.contains("legacy_0_0.parquet"),
+      s"purged-commit batch 0 must fold as committed: $names")
+    assert(names.contains("legacy_1_0.parquet"),
+      s"retained-commit batch 1 must fold as committed: $names")
+    assert(names.contains(s"batch_${ns}_2_0.parquet"),
+      s"only the single above-newest-commit batch is adopted: $names")
+    assert(names.count(_.startsWith("batch_")) == 1,
+      s"at most ONE adopted batch: $names")
+  }
+
   test("pre-r13 legacy batch files migrate on upgrade: committed fold, uncommitted dedup") {
     val dir = Files.createTempDirectory("graft_crashm").toString
     val file = Paths.get(dir, "snort.log.1800000000")
