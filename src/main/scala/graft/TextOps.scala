@@ -306,6 +306,158 @@ object TextOps {
         col("score"), col("pred_hq"))
   }
 
+  /** Recommended `spark.graft.boiler.cmsMaxPairs` value when enabling
+    * the CMS prefilter. A CMS est-df ≥ 3 prefilter can only
+    * discriminate df < 3 from df ≥ 3 when its width is ~the number of
+    * distinct (doc, gram) pairs (noise per counter ≈ pairs/width must
+    * stay ≲ 1 — an absolute threshold of 3 is NOT a classic
+    * heavy-hitter cut, which is relative to N). 2^21 pairs → width
+    * 2^22 × depth 4 × 8 B = 128 MB of long counters at the limit, the
+    * broadcast ceiling we accept; beyond it the sketch either stops
+    * filtering (too narrow) or stops broadcasting (too wide), so
+    * [[boilerNgrams]] falls back to the partitioned exact
+    * aggregation, whose hash state is spillable and distributed
+    * across executors — the honest 100 TB path for an
+    * absolute-threshold df cut.
+    */
+  private[graft] val BoilerCmsMaxPairs = 1L << 21
+
+  /** text_boiler_ngrams plan (shared with Round15Spec, which forces
+    * both CMS settings and asserts identical output).
+    *
+    * Plan shape, r15 (in-row dedup + df≥3 head-set join + optional CMS
+    * prefilter; the pre-r15 form shuffled every gram OCCURRENCE twice —
+    * once for the (doc, gram) distinct, once for the full-df-table
+    * equi-join):
+    *  - df aggregation input is deduped IN-ROW (`array_distinct` per
+    *    document before the explode), so the exact df count needs no
+    *    distinct shuffle and its map-side partial agg sees one row per
+    *    (doc, gram type);
+    *  - `n_grams` is `size(grams)` per document — a pure projection,
+    *    no join, no shuffle;
+    *  - only the df ≥ 3 HEAD SET of grams (the boilerplate types —
+    *    0.3-1.2% of types on singleton-dominated real corpora, though
+    *    ~99% on the head-heavy synthetic gate corpus) joins back
+    *    against occurrences, and that join is left to AQE: it
+    *    broadcasts when the head set fits (bench scales) and degrades
+    *    to a partitioned equi-join when it doesn't (100 TB) — never a
+    *    hand-forced broadcast of an unbounded table;
+    *  - CMS prefilter (q43's kernel: estimate ≥ truth, so est < 3
+    *    provably implies df < 3 — one-sided, no false negatives):
+    *    opt-in via `spark.graft.boiler.cmsMaxPairs`
+    *    (= [[BoilerCmsMaxPairs]] recommended). When enabled and the
+    *    distinct-pair count allows a discriminating width, candidate
+    *    grams are CMS-filtered before the exact count, bounding the
+    *    exact agg's hash state to CMS-heavy types. The pair count that
+    *    sizes/gates the sketch is measured exactly by a one-scan
+    *    no-shuffle aggregate (itself gated behind a column-pruned
+    *    sum(n_chars) proxy so huge corpora never pay a tokenize pass
+    *    just to learn "too big"), not guessed.
+    *
+    * Measured, not assumed:
+    *  - round 14: an xxhash64 gram key was A/B'd at the sf10 decade
+    *    and LOST (60.7 s strings vs 93.8 s hashed, min-of-3 solo) —
+    *    the gram relation feeds two consumers uncached, so hashing
+    *    re-pays 27 M string hashes per consumer while this profile's
+    *    shuffles weren't byte-bound. corpus_overlap (single distinct +
+    *    self-join profile) is the shape where the hash key wins.
+    *  - round 15 restructure (solo min-of-3): sf0.1 1.671 → 0.303 s,
+    *    sf1 12.7 → 5.4 s, sf10 63.2 → 4.1 s (in-suite r14 baselines;
+    *    decade factor now sub-linear because the only remaining
+    *    occurrence-wide work is scan + broadcast-join + partial agg).
+    *  - round 15 CMS A/B at sf0.1 (solo min-of-3): 1.991 s enabled vs
+    *    0.303 s disabled — REJECTED as default. The gate corpus is
+    *    head-heavy (98.8 % of gram types have df ≥ 3, measured), so
+    *    the sketch filters < 2 % of types while paying a sizing scan,
+    *    a sketch build and a per-type probe. On singleton-dominated
+    *    real web text (typically ≳ half of gram types are hapax) the
+    *    same pass cuts the exact-agg state several-fold — enable it
+    *    there; Round15Spec keeps both settings bit-identical forever.
+    */
+  private[graft] def boilerNgrams(s: SparkSession, dir: String,
+      forceCms: Option[Boolean] = None): DataFrame = {
+    // the gram expression is TOTAL (when-guarded like text_dup_frac's)
+    // even though the row filter already excludes short docs:
+    // InferFiltersFromGenerate clones it into IsNotNull/size>0
+    // predicates that FilterExec evaluates BEFORE the size guard, and
+    // an unguarded sequence(1, size-2) goes descending for size < 3,
+    // feeding slice a 0 start — a runtime error on any <3-word doc
+    val docGrams = t(s, dir, "documents")
+      .select(col("doc_id"), words(lower(col("text"))).as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"),
+        when(size(col("w")) >= 3,
+          transform(sequence(lit(1), size(col("w")) - 2),
+            i => concat_ws(" ", slice(col("w"), i, lit(3)))))
+          .otherwise(array().cast("array<string>")).as("g"))
+    // one row per (doc, gram TYPE) with no shuffle: the dedup happens
+    // inside the row
+    val types = docGrams.select(col("doc_id"),
+      explode(array_distinct(col("g"))).as("gram"))
+    // exact distinct-pair count in one scan, no shuffle; lazy so it is
+    // only ever paid on corpora the cheap proxy below says are small
+    lazy val nPairs = math.max(1L, docGrams
+      .agg(coalesce(sum(size(array_distinct(col("g")))), lit(0L)))
+      .head().getLong(0))
+    // deployment knob, default DISABLED on measured evidence (see the
+    // method scaladoc's A/B): set to [[BoilerCmsMaxPairs]] to enable
+    // on singleton-dominated corpora; corpora whose distinct-pair
+    // count exceeds the value skip the sketch regardless
+    val maxPairs = s.conf.getOption("spark.graft.boiler.cmsMaxPairs")
+      .map(_.toLong).getOrElse(0L)
+    val useCms = forceCms.getOrElse {
+      // cheap gate first: a column-pruned sum(n_chars) scan bounds the
+      // pair count within a small factor (pairs <= grams < words ~
+      // chars/6) WITHOUT tokenizing — so a 100 TB corpus decides
+      // "too big for a discriminating sketch" from column stats, and
+      // only corpora inside the proxy pay the exact tokenize-and-count
+      // sizing scan. A proxy miss is an optimization miss, never a
+      // correctness risk (both CMS settings are exact; Round15Spec).
+      maxPairs > 0 && {
+        val charBound = t(s, dir, "documents")
+          .agg(coalesce(sum(col("n_chars")), lit(0L))).head().getLong(0) / 6
+        charBound <= 4 * maxPairs && nPairs <= maxPairs
+      }
+    }
+    val candidates = if (!useCms) types else {
+      // width = 2×pairs (noise λ ≈ 0.5/counter), depth 4: a singleton
+      // gram survives all four rows with P ≈ 7e-5 — the filter is
+      // sharp exactly because the width tracks the measured input
+      val eps = 2.0 / math.max(1 << 17, 2L * nPairs).toDouble
+      val cms = types.stat.countMinSketch(col("gram"), eps, 0.9375, 42)
+      val cmsB = s.sparkContext.broadcast(cms)
+      val mightBeBoiler =
+        udf((g: String) => cmsB.value.estimateCount(g) >= 3L)
+      types.filter(mightBeBoiler(col("gram")))
+    }
+    // exact df over (CMS-candidate) types; the head set is what joins
+    val boiler = candidates.groupBy(col("gram"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 3)
+      .select(col("gram"))
+    val perDocBoiler = docGrams
+      .select(col("doc_id"), explode(col("g")).as("gram"))
+      .join(boiler, Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_boiler"))
+    // n_grams = size(w) - 2 directly: the total needs the token COUNT,
+    // not the built gram strings — this branch never pays concat_ws
+    t(s, dir, "documents")
+      .select(col("doc_id"), words(lower(col("text"))).as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"),
+        (size(col("w")) - 2).cast("long").as("n_grams"))
+      .join(perDocBoiler, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_boiler"), lit(0L)).as("n_boiler"))
+      .withColumn("boiler_frac",
+        col("n_boiler").cast("double") / col("n_grams").cast("double"))
+      .withColumn("keep", col("boiler_frac") <= 0.5)
+      .select(col("doc_id"), col("n_grams"), col("n_boiler"),
+        col("boiler_frac"), col("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   val entries: Seq[Entry] = Seq(
     Entry(
       "text_classify",
@@ -990,44 +1142,11 @@ object TextOps {
       // the signal is document frequency of short word n-grams, not
       // within-doc repetition). Per doc: total 3-gram occurrences,
       // occurrences of "boilerplate" grams (df ≥ 3 docs), their
-      // fraction, and the keep verdict at the 50% gate. Scale shape:
-      // gram df is one map-side-combined count shuffle over gram
-      // TYPES (sub-linear, the lm/bpe topology — at 100 TB a df-band
-      // or CMS heavy-hitters pass bounds the type table like
-      // dedup_ngram_jaccard's banding); the per-doc recount is one
-      // equi-join on the gram key (both sides partition — the hot
-      // path never broadcasts the gram table) + one doc_id re-agg.
-      // Integer counts and one correctly-rounded division — fully
-      // SQL-oracled, no dump needed.
-      //
-      // Measured, not assumed (round 14): an xxhash64 gram key was
-      // A/B'd at the sf10 decade and LOST (60.7 s strings vs 93.8 s
-      // hashed, min-of-3 solo) — the gram relation feeds two
-      // consumers uncached, so hashing re-pays 27 M string hashes per
-      // consumer while this profile's shuffles weren't byte-bound.
-      // corpus_overlap (single distinct + self-join profile) is the
-      // shape where the hash key wins; see its entry.
-      (s, dir) => {
-        val grams = t(s, dir, "documents")
-          .select(col("doc_id"), words(lower(col("text"))).as("w"))
-          .filter(size(col("w")) >= 3)
-          .select(col("doc_id"),
-            explode(transform(sequence(lit(1), size(col("w")) - 2),
-              i => concat_ws(" ", slice(col("w"), i, lit(3))))).as("gram"))
-        val df = grams.select(col("doc_id"), col("gram")).distinct()
-          .groupBy(col("gram"))
-          .agg(countDistinct(col("doc_id")).as("df"))
-        grams.join(df, Seq("gram"))
-          .groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_grams"),
-            sum(when(col("df") >= 3, 1L).otherwise(0L)).as("n_boiler"))
-          .withColumn("boiler_frac",
-            col("n_boiler").cast("double") / col("n_grams").cast("double"))
-          .withColumn("keep", col("boiler_frac") <= 0.5)
-          .select(col("doc_id"), col("n_grams"), col("n_boiler"),
-            col("boiler_frac"), col("keep"))
-          .orderBy(col("doc_id"))
-      },
+      // fraction, and the keep verdict at the 50% gate.
+      // See [[boilerNgrams]] for the plan shape and the measured A/B
+      // history (r14 hash-key rejection, r15 CMS prefilter + in-row
+      // dedup restructure).
+      (s, dir) => boilerNgrams(s, dir),
       Some("""WITH w AS (SELECT doc_id,
             list_filter(string_split(lower(text), ' '),
               x -> len(x) > 0) AS w
