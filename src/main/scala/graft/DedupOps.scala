@@ -157,6 +157,113 @@ object DedupOps {
       .select(col("doc_id"), expr("graft_simhash(tokens)").as("sig"))
   }
 
+  /** Distinct-signature count at which the simhash pigeonhole key
+    * escalates from depth 2 to depth 3 ([[simhashKeyDepth]]): expected
+    * random sig-pair candidates at depth 2 are 16·C(D,2)/2^28 ≈
+    * D²/2^25 — still ≤ 32 candidates per signature at D = 2^30/…
+    * concretely ≤ D·2^-1 at D = 2^24, where the extra 4× key volume
+    * of depth 3 starts paying for its ~2^9 further collision cut.
+    */
+  private[graft] val SimhashDepth3Sigs = 1L << 24
+
+  /** Pigeonhole recursion depth for the distinct-signature bucket key,
+    * by distinct-signature count D (the dedup_embedding log₂(n/16)
+    * pattern applied to hamming blocking). The SUB-CHUNK WIDTH cannot
+    * grow — 4 chunks must cover the 48 non-block bits for the ≤3-error
+    * pigeonhole to hold, capping each at 12 bits — so the scaling
+    * dimension is recursion DEPTH: each level re-applies the
+    * pigeonhole to the bits the previous level left over (16-bit
+    * block → 12-bit sub-chunk of the other 48 → 9-bit sub-sub-chunk
+    * of the remaining 36), multiplying keys per sig by 4 and widening
+    * the keyspace: depth 2 = 16 keys over 2^28, depth 3 = 64 keys
+    * over 2^37. Expected random candidates: D²/2^25 (d2) vs D²/2^32
+    * (d3) — the d2 form passes 2⁹ more random pairs, quadratically
+    * in D, while d3 only ever costs 4× keyed rows (linear in D).
+    * Recall stays EXACT at every depth (each level is a pigeonhole
+    * argument, not a probabilistic one); Round15Spec pins d2 ≡ d3
+    * output and the occupancy bound that chooses the switch point.
+    */
+  private[graft] def simhashKeyDepth(distinctSigs: Long): Int =
+    if (distinctSigs < SimhashDepth3Sigs) 2 else 3
+
+  /** The depth-d pigeonhole key array for one 64-bit `sig` column —
+    * a transform() over i = (block b, sub j[, sub-sub k]) combos.
+    * rest48 = the three non-b blocks concatenated (rotated so every
+    * shift stays < 64 — a `<< 64` would wrap under Java shift
+    * semantics); rest36 = rest48 with sub-chunk j spliced out.
+    */
+  private[graft] def simhashKeyExpr(depth: Int): String = depth match {
+    case 2 =>
+      """transform(sequence(0, 15), i ->
+          (i * 268435456L)
+          + (((sig >> ((i div 4) * 16)) & 65535) * 4096)
+          + ((( ((sig >> ((((i div 4) + 1) % 4) * 16)) & 65535)
+              | (((sig >> ((((i div 4) + 2) % 4) * 16)) & 65535) << 16)
+              | (((sig >> ((((i div 4) + 3) % 4) * 16)) & 65535) << 32)
+            ) >> ((i % 4) * 12)) & 4095))"""
+    case 3 =>
+      val b = "(i div 16)"
+      val j = "((i div 4) % 4)"
+      val k = "(i % 4)"
+      val rest48 = s"""( ((sig >> ((($b + 1) % 4) * 16)) & 65535)
+          | (((sig >> ((($b + 2) % 4) * 16)) & 65535) << 16)
+          | (((sig >> ((($b + 3) % 4) * 16)) & 65535) << 32))"""
+      val block = s"((sig >> ($b * 16)) & 65535)"
+      val sub = s"(($rest48 >> ($j * 12)) & 4095)"
+      val rest36 = s"(($rest48 & ((1L << ($j * 12)) - 1L)) " +
+        s"| (($rest48 >> (($j + 1) * 12)) << ($j * 12)))"
+      val subsub = s"(($rest36 >> ($k * 9)) & 511)"
+      // key layout: i(6b) · 2^37 | block(16b) · 2^21 | sub(12b) · 2^9
+      // | subsub(9b) — 43 bits, collision-free packing
+      s"""transform(sequence(0, 63), i ->
+          (i * 137438953472L) + ($block * 2097152L)
+          + ($sub * 512L) + $subsub)"""
+    case d => sys.error(s"simhash key depth $d unsupported")
+  }
+
+  /** dedup_simhash plan (shared with Round15Spec, which forces both
+    * key depths and asserts identical output). See the entry scaladoc
+    * for the r14 distinct-sig collapse; `forceDepth` overrides the
+    * corpus-size auto choice ([[simhashKeyDepth]]), whose input D is
+    * bounded CHEAPLY: distinct sigs ≤ documents, and the doc count is
+    * a metadata-only parquet count-star — the exact distinct-sig
+    * count (a full signature pass) is only ever paid on corpora the
+    * doc count says might actually need depth 3.
+    */
+  private[graft] def dedupSimhash(s: SparkSession, dir: String,
+      forceDepth: Option[Int] = None): DataFrame = {
+    dumpOracleBase(s, dir)
+    val sig = simhashSigs(s, dir)
+    val depth = forceDepth.getOrElse {
+      val nDocs = t(s, dir, "documents").count()
+      if (nDocs < SimhashDepth3Sigs) 2
+      else simhashKeyDepth(
+        sig.select(col("sig")).distinct().count())
+    }
+    val keyed = sig.select(col("sig")).distinct()
+      .select(col("sig"), explode(expr(simhashKeyExpr(depth))).as("bkey"))
+    val sigPairs = keyed.select(col("bkey"), col("sig").as("sig_a"))
+      .join(keyed.select(col("bkey"), col("sig").as("sig_b")), "bkey")
+      .filter(col("sig_a") <= col("sig_b"))
+      .select(col("sig_a"), col("sig_b")).distinct()
+      .withColumn("hamming",
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .filter(col("hamming") <= 3)
+    // expand to doc pairs: both orientations for distinct sigs
+    // (a < b does not imply sig(a) <= sig(b)), the diagonal once
+    val ordered = sigPairs.filter(col("sig_a") =!= col("sig_b"))
+      .select(col("sig_b").as("s1"), col("sig_a").as("s2"),
+        col("hamming"))
+      .union(sigPairs.select(col("sig_a").as("s1"),
+        col("sig_b").as("s2"), col("hamming")))
+    ordered
+      .join(sig.select(col("sig").as("s1"), col("doc_id").as("a")), "s1")
+      .join(sig.select(col("sig").as("s2"), col("doc_id").as("b")), "s2")
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"), col("hamming"))
+      .orderBy(col("a"), col("b"))
+  }
+
   /** Random-hyperplane LSH bucket keys per embedding (shared by the
     * dedup_embedding entry and the oracle dump): 4 tables of
     * deterministic (seed 42) hyperplanes; a vector's key per table is
@@ -698,41 +805,14 @@ object DedupOps {
       //    exact) -> key on (b, j, block_b, sub_j) packed into one
       //    long: 16 keys per sig, 2^28-per-(b,j) keyspace, random
       //    collisions shrink by ~2^12.
-      (s, dir) => {
-        dumpOracleBase(s, dir)
-        val sig = simhashSigs(s, dir)
-        // rest = the three non-b blocks concatenated (48 bits; block
-        // order rotated so every shift stays < 64 — a `<< 64` would
-        // wrap under Java shift semantics)
-        val keyed = sig.select(col("sig")).distinct()
-          .select(col("sig"), explode(expr("""transform(sequence(0, 15), i ->
-              (i * 268435456L)
-              + (((sig >> ((i div 4) * 16)) & 65535) * 4096)
-              + ((( ((sig >> ((((i div 4) + 1) % 4) * 16)) & 65535)
-                  | (((sig >> ((((i div 4) + 2) % 4) * 16)) & 65535) << 16)
-                  | (((sig >> ((((i div 4) + 3) % 4) * 16)) & 65535) << 32)
-                ) >> ((i % 4) * 12)) & 4095))""")).as("bkey"))
-        val sigPairs = keyed.select(col("bkey"), col("sig").as("sig_a"))
-          .join(keyed.select(col("bkey"), col("sig").as("sig_b")), "bkey")
-          .filter(col("sig_a") <= col("sig_b"))
-          .select(col("sig_a"), col("sig_b")).distinct()
-          .withColumn("hamming",
-            bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
-          .filter(col("hamming") <= 3)
-        // expand to doc pairs: both orientations for distinct sigs
-        // (a < b does not imply sig(a) <= sig(b)), the diagonal once
-        val ordered = sigPairs.filter(col("sig_a") =!= col("sig_b"))
-          .select(col("sig_b").as("s1"), col("sig_a").as("s2"),
-            col("hamming"))
-          .union(sigPairs.select(col("sig_a").as("s1"),
-            col("sig_b").as("s2"), col("hamming")))
-        ordered
-          .join(sig.select(col("sig").as("s1"), col("doc_id").as("a")), "s1")
-          .join(sig.select(col("sig").as("s2"), col("doc_id").as("b")), "s2")
-          .filter(col("a") < col("b"))
-          .select(col("a"), col("b"), col("hamming"))
-          .orderBy(col("a"), col("b"))
-      },
+      //
+      // Round 15: the pigeonhole key depth AUTO-SCALES with the
+      // distinct-signature count (see [[simhashKeyDepth]]) — beyond
+      // 2^24 distinct sigs a third level (9-bit sub-sub-chunks of the
+      // remaining 36 bits) widens the keyspace to 2^37, keeping
+      // random-collision candidates sub-quadratic while recall stays
+      // exact at every depth. Round15Spec pins depth-2 ≡ depth-3.
+      (s, dir) => dedupSimhash(s, dir),
       // Blocking + hamming verify re-derived in SQL from the dumped
       // 64-bit signatures: the four 16-bit block keys via the same
       // shift/mask arithmetic, hamming via bit_count∘xor.

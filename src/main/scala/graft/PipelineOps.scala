@@ -921,9 +921,19 @@ object PipelineOps {
       // shingle text, so the distinct, the per-source size count and
       // the self-join all shuffle 8-byte longs instead of ~40-byte
       // strings (A/B'd min-of-3 solo at the sf10 decade: 52.3 s
-      // strings -> 45.4 s hashed); a 64-bit collision would nudge one
-      // n/Jaccard count and the DuckDB gate (string keys) would
-      // surface it.
+      // strings -> 45.4 s hashed).
+      //
+      // 64-bit collision bound (ADVICE r14 — the honest production
+      // argument, since the string-keyed DuckDB gate only audits gate
+      // scales, not 100 TB): a collision merges two shingle TYPES and
+      // nudges one n/Jaccard count by ±1. Birthday bound over T
+      // distinct types: P(any collision) ≈ T²/2^65 — ~2e-5 at the
+      // T≈27M sf10 decade, ~3% at T=1e9, and even odds only at
+      // T ≈ 2^32.5 ≈ 6e9 types. Past ~2^31 types (where a merged pair
+      // becomes plausible AND the ±1 nudge is far below the counts it
+      // lands in anyway), either accept the bound or swap the key to
+      // the 128-bit sha2 prefix / raw strings — the plan shape is
+      // identical, only the key width changes.
       (s, dir) => {
         val sh = t(s, dir, "documents")
           .withColumn("tk",

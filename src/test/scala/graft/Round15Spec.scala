@@ -51,6 +51,35 @@ class Round15Spec extends SparkSuite {
       s"queries entries missing from SURVEY §2: ${missing.mkString(", ")}")
   }
 
+  test("dedup_simhash: depth-2 and depth-3 pigeonhole keys yield identical pairs") {
+    // the third pigeonhole level is pure keyspace widening — recall is
+    // exact at every depth, so the pair set must be bit-identical
+    val d2 = rows(DedupOps.dedupSimhash(spark, sfDir, Some(2)))
+    val d3 = rows(DedupOps.dedupSimhash(spark, sfDir, Some(3)))
+    assert(d2.nonEmpty, "fixture corpus must surface simhash pairs")
+    assert(d2 == d3, "key depth changed the pair set")
+  }
+
+  test("dedup_simhash occupancy: auto depth bounds expected random candidates") {
+    // VERDICT r14 #6: a FIXED 2^28 keyspace lets random sig-pair
+    // candidates grow ~D²/2^25 — quadratic occupancy. The auto depth
+    // must keep expected random candidates ≤ 32·D (linear) across the
+    // whole D range: keys(d)·D²/2 / keyspace(d) with keys 16/64 and
+    // keyspace 2^28/2^37 for depths 2/3.
+    def expectedCandidates(d: Long, depth: Int): Double = depth match {
+      case 2 => 16.0 * d * d / 2 / (1L << 28).toDouble
+      case 3 => 64.0 * d * d / 2 / (1L << 37).toDouble
+    }
+    (10 to 30).map(1L << _).foreach { d =>
+      val depth = DedupOps.simhashKeyDepth(d)
+      assert(expectedCandidates(d, depth) <= 32.0 * d,
+        s"D=$d depth=$depth occupancy unbounded")
+    }
+    // and the switch point is where depth 2 stops being linear
+    assert(DedupOps.simhashKeyDepth(DedupOps.SimhashDepth3Sigs - 1) == 2)
+    assert(DedupOps.simhashKeyDepth(DedupOps.SimhashDepth3Sigs) == 3)
+  }
+
   test("boilerNgrams: boiler set is the df>=3 head, n_grams counts repeats") {
     import spark.implicits._
     val dir = java.nio.file.Files
