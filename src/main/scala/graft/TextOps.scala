@@ -361,12 +361,13 @@ object TextOps {
     *    re-pays 27 M string hashes per consumer while this profile's
     *    shuffles weren't byte-bound. corpus_overlap (single distinct +
     *    self-join profile) is the shape where the hash key wins.
-    *  - round 15 restructure (solo min-of-3): sf0.1 1.671 → 0.303 s,
-    *    sf1 12.7 → 5.4 s, sf10 63.2 → 4.1 s (in-suite r14 baselines;
-    *    decade factor now sub-linear because the only remaining
-    *    occurrence-wide work is scan + broadcast-join + partial agg).
-    *  - round 15 CMS A/B at sf0.1 (solo min-of-3): 1.991 s enabled vs
-    *    0.303 s disabled — REJECTED as default. The gate corpus is
+    *  - round 15 restructure (solo min-of-3): sf0.1 1.671 → 0.305 s,
+    *    sf1 12.7 → 0.66 s, sf10 63.2 → 3.98 s (vs in-suite r14
+    *    baselines; decade factor now sub-linear because the only
+    *    remaining occurrence-wide work is scan + broadcast-join +
+    *    partial agg).
+    *  - round 15 CMS A/B at sf0.1 (solo min-of-3): 1.586 s enabled vs
+    *    0.305 s disabled — REJECTED as default. The gate corpus is
     *    head-heavy (98.8 % of gram types have df ≥ 3, measured), so
     *    the sketch filters < 2 % of types while paying a sizing scan,
     *    a sketch build and a per-type probe. On singleton-dominated
@@ -376,20 +377,34 @@ object TextOps {
     */
   private[graft] def boilerNgrams(s: SparkSession, dir: String,
       forceCms: Option[Boolean] = None): DataFrame = {
-    // the gram expression is TOTAL (when-guarded like text_dup_frac's)
-    // even though the row filter already excludes short docs:
-    // InferFiltersFromGenerate clones it into IsNotNull/size>0
-    // predicates that FilterExec evaluates BEFORE the size guard, and
-    // an unguarded sequence(1, size-2) goes descending for size < 3,
-    // feeding slice a 0 start — a runtime error on any <3-word doc
+    // Gram build = three shifted slices zipped, concat per ELEMENT
+    // (the lmBigrams trick): the lambda touches only its own zip
+    // element, never `w`. Both halves of that matter here, because
+    // InferFiltersFromGenerate clones this expression into
+    // IsNotNull/size>0 predicates that predicate pushdown rewrites in
+    // terms of the raw `split(lower(text))` and FilterExec evaluates
+    // BEFORE the size>=3 row guard:
+    //  - a lambda that referenced `w` (e.g. slice(w, i, 3) over
+    //    sequence(1, size-2)) gets the split substituted INSIDE the
+    //    lambda body — re-tokenizing the doc once per gram, the exact
+    //    O(tokens²) CollapseProject pathology PlanAuditSpec guards
+    //    (it caught this form in CI);
+    //  - and the expression must be TOTAL: sequence(1, size-2) goes
+    //    descending for size < 3 and feeds slice a 0 start — a
+    //    runtime error on any <3-word doc once the inferred predicate
+    //    runs ahead of the guard. greatest(n3, 0) + slice's
+    //    empty-beyond-end semantics make every piece safe unguarded.
+    val n3 = greatest(size(col("w")) - 2, lit(0))
     val docGrams = t(s, dir, "documents")
       .select(col("doc_id"), words(lower(col("text"))).as("w"))
       .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), arrays_zip(
+        slice(col("w"), lit(1), n3).as("a"),
+        slice(col("w"), lit(2), n3).as("b"),
+        slice(col("w"), lit(3), n3).as("c")).as("z"))
       .select(col("doc_id"),
-        when(size(col("w")) >= 3,
-          transform(sequence(lit(1), size(col("w")) - 2),
-            i => concat_ws(" ", slice(col("w"), i, lit(3)))))
-          .otherwise(array().cast("array<string>")).as("g"))
+        transform(col("z"), e => concat_ws(" ", e.getField("a"),
+          e.getField("b"), e.getField("c"))).as("g"))
     // one row per (doc, gram TYPE) with no shuffle: the dedup happens
     // inside the row
     val types = docGrams.select(col("doc_id"),
