@@ -114,6 +114,19 @@ class BenchLineSpec extends AnyFunSuite {
     assert(Bench.loadPins("/root/testdata/sf77").isEmpty)
   }
 
+  test("the committed sf10 pins resource loads and covers the suite") {
+    // VERDICT r14 #3: decade adjudication of "in-suite memory
+    // pressure" entries becomes a mechanical median_pin_ratio read —
+    // loadPins already keys on the sfN segment, so an sf10 bench run
+    // (SPARK_GRAFT_SF_DIR=target/sf10) emits the ratio automatically
+    // once this resource exists.
+    val pins = Bench.loadPins("target/sf10")
+    assert(pins.size >= 200, s"only ${pins.size} sf10 pins")
+    assert(pins.values.forall(v => v > 0 && v < 120), "pin sanity")
+    val missing = SparkEntry.queries.keySet -- pins.keySet
+    assert(missing.isEmpty, s"unpinned entries at sf10: $missing")
+  }
+
   test("empty run still emits a parseable zero line") {
     val line = Bench.jsonLine("/root/testdata/sf0.01", Map.empty)
     assert(line == """{"metric":"total","value":0.000,"unit":"sec","sf":0.01,"errors":0,"queries":{}}""")
