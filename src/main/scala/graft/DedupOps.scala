@@ -1039,6 +1039,19 @@ object DedupOps {
       // MATCH, so its cost is bounded by the contamination volume, not
       // the corpus — at 100 TB this is the same one-shuffle (on
       // doc_id) plan.
+      //
+      // Measured and REJECTED (round 15): replacing the 13-word gram
+      // strings with rotate-XOR combinations of per-token xxhash64
+      // (zip of 13 shifted slices of a once-hashed token array — no
+      // string ever built, 8-byte join keys) lost its A/B decisively:
+      // 4.16 s vs the committed 0.91 s at sf0.1 solo min-of-3, and
+      // did not finish 3 reps in 10 min at sf10 (strings: 56 s/rep).
+      // The 13-column arrays_zip materializes an ng×13-long struct
+      // array per row, and InferFiltersFromGenerate clones the whole
+      // construction into scan-side predicates where pushdown inlines
+      // the token-hash transform into each slice — a ~40× constant on
+      // per-token work that dwarfs what the ~90 B/gram string build
+      // costs. Strings stay; the broadcast join never shuffles them.
       (s, dir) => {
         val toks = t(s, dir, "documents")
           .select(col("doc_id"),
