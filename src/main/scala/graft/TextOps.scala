@@ -1102,6 +1102,20 @@ object TextOps {
       // order-free exact BIGINT with ONE final IEEE division. Scale:
       // one (doc, token) count shuffle + one doc_id re-agg; the lnq
       // joins are broadcast-tiny.
+      //
+      // Measured and REJECTED (round 15): replacing the (doc, token)
+      // count shuffle with IN-ROW run-length counting over the sorted
+      // token array lost both ways it can be written. A fold
+      // (aggregate() with an array-carrying struct state) re-copies
+      // the accumulator array per ELEMENT — 76.5 s vs 26.4 s at the
+      // sf10 decade. Bulk array HOFs (sort → shifted zip → indexed
+      // boundary transform → filter → lag zip_with) allocate ~6
+      // intermediate arrays per row, and with CollapseProject/
+      // pushdown cloning the chain into the Generate's inferred
+      // predicates the allocation pressure compounds: 131 s at sf10.
+      // Tungsten's hash aggregate over the exploded pairs IS the fast
+      // path — a (doc, token) exchange of slim rows with map-side
+      // partial combine beats per-row array choreography by 3-5x.
       (s, dir) => {
         val toks = t(s, dir, "documents")
           .select(col("doc_id"), explode(words(lower(col("text"))))
