@@ -137,8 +137,8 @@ object DedupOps {
     perSession.getOrElseUpdate(s"$dir#histgrams", {
       OracleDumps.housekeep(s)
       val store = "target/graft_scratch/histgram_store_" +
-        (dir + "_" + s.sparkContext.applicationId)
-          .replaceAll("[^a-zA-Z0-9]", "_")
+        OracleDumps.scratchSlug(dir) + "_" +
+        s.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "_")
       grams6(s, dir).filter(col("doc_id") % 10 =!= 0)
         .select(col("doc_id").as("hist_doc"), col("gram"))
         .write.mode("overwrite").parquet(store)
@@ -264,13 +264,22 @@ object DedupOps {
       forceDepth: Option[Int] = None): DataFrame = {
     dumpOracleBase(s, dir)
     val sig = simhashSigs(s, dir)
+    val distinctSig = sig.select(col("sig")).distinct()
     val depth = forceDepth.getOrElse {
       val nDocs = t(s, dir, "documents").count()
       if (nDocs < SimhashDepth3Sigs) 2
-      else simhashKeyDepth(
-        sig.select(col("sig")).distinct().count())
+      else {
+        // the exact distinct count is a full signature shuffle — on
+        // corpora past the depth-3 gate, persist it so the keying
+        // below reuses the SAME materialization instead of paying the
+        // shuffle twice (ADVICE r15); MEMORY_AND_DISK + executor LRU
+        // bounds the residency, and this path only triggers past
+        // 2^24 docs where the double shuffle it saves dominates
+        distinctSig.persist()
+        simhashKeyDepth(distinctSig.count())
+      }
     }
-    val keyed = sig.select(col("sig")).distinct()
+    val keyed = distinctSig
       .select(col("sig"), explode(expr(simhashKeyExpr(depth))).as("bkey"))
     val sigPairs = keyed.select(col("bkey"), col("sig").as("sig_a"))
       .join(keyed.select(col("bkey"), col("sig").as("sig_b")), "bkey")
@@ -388,8 +397,8 @@ object DedupOps {
     perSession.getOrElseUpdate(s"$dir#store", {
       OracleDumps.housekeep(s)
       val store = "target/graft_scratch/minhash_store_" +
-        (dir + "_" + s.sparkContext.applicationId)
-          .replaceAll("[^a-zA-Z0-9]", "_")
+        OracleDumps.scratchSlug(dir) + "_" +
+        s.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "_")
       bandedSigs(s, dir).filter(!(col("doc_id") % 10 === 0))
         .repartition(col("band"))
         .write.mode("overwrite").partitionBy("band").parquet(store)

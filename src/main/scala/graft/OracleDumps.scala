@@ -20,6 +20,17 @@ object OracleDumps {
   val Placeholder = "__GRAFT_SF_SLUG__"
   val AppIdPlaceholder = "__GRAFT_APP_ID__"
   def slug(dir: String): String = dir.replaceAll("[^a-zA-Z0-9]", "_")
+  /** Collision-free scratch-store slug (ADVICE r15): the sanitized dir
+    * plus a hex hash of the RAW string, so two distinct corpus dirs
+    * that sanitize identically (`target/sf1` vs `target_sf1`) can
+    * never share a standing-index store. Used by the per-corpus
+    * parquet stores (minhash / histgram / ivf); stale copies are
+    * pruned by [[housekeep]] via the trailing `local_<millis>` appId
+    * stamp those store names keep LAST in the path.
+    */
+  def scratchSlug(dir: String): String =
+    slug(dir) + "_h" +
+      Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(dir))
   /** Runtime dump root for entries writing against `dir` from session
     * `s` — unique per (corpus, JVM).
     */

@@ -929,42 +929,10 @@ object PipelineOps {
       // nudges one n/Jaccard count by ±1. Birthday bound over T
       // distinct types: P(any collision) ≈ T²/2^65 — ~2e-5 at the
       // T≈27M sf10 decade, ~3% at T=1e9, and even odds only at
-      // T ≈ 2^32.5 ≈ 6e9 types. Past ~2^31 types (where a merged pair
-      // becomes plausible AND the ±1 nudge is far below the counts it
-      // lands in anyway), either accept the bound or swap the key to
-      // the 128-bit sha2 prefix / raw strings — the plan shape is
+      // T ≈ 2^32.5 ≈ 6e9 types. Past ~2^31 types the key AUTO-WIDENS
+      // to 128 bits (see [[corpusOverlap]]) — the plan shape is
       // identical, only the key width changes.
-      (s, dir) => {
-        val sh = t(s, dir, "documents")
-          .withColumn("tk",
-            filter(split(col("text"), " "), x => length(x) > lit(0)))
-          .select(col("source"),
-            // docs under 3 tokens yield NO shingles (matching the
-            // oracle's empty range) — an unguarded sequence would emit
-            // a partial shingle via null-skipping concat_ws (ADVICE r12)
-            explode(expr("array_distinct(CASE WHEN size(tk) >= 3 THEN " +
-              "transform(sequence(0, size(tk) - 3), " +
-              "i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2])) " +
-              "ELSE CAST(array() AS array<string>) END)")).as("sh_s"))
-          .select(col("source"), xxhash64(col("sh_s")).as("sh"))
-          .distinct()
-        val sizes = sh.groupBy(col("source"))
-          .agg(count(lit(1)).as("n"))
-        val inter = sh.toDF("source_a", "sh")
-          .join(sh.toDF("source_b", "sh2"),
-            col("sh") === col("sh2") && col("source_a") < col("source_b"))
-          .groupBy(col("source_a"), col("source_b"))
-          .agg(count(lit(1)).as("n_shared"))
-        inter
-          .join(sizes.toDF("source_a", "n_a"), "source_a")
-          .join(sizes.toDF("source_b", "n_b"), "source_b")
-          .select(col("source_a"), col("source_b"), col("n_a"),
-            col("n_b"), col("n_shared"),
-            (col("n_shared").cast("double") /
-              (col("n_a") + col("n_b") - col("n_shared")).cast("double"))
-              .as("jaccard"))
-          .orderBy(col("source_a"), col("source_b"))
-      },
+      (s, dir) => corpusOverlap(s, dir),
       Some("""WITH d AS (SELECT source,
             list_filter(string_split(text, ' '), x -> len(x) > 0) AS tk
           FROM documents),
@@ -1078,6 +1046,80 @@ object PipelineOps {
         SELECT pick, doc_id, source, n_chars FROM r
         WHERE pick <= 100 ORDER BY pick"""))
   )
+
+  /** Distinct shingle types above which corpus_overlap's join key
+    * auto-widens from one xxhash64 long to a 128-bit two-long struct:
+    * at T = 2^31 types the 64-bit birthday bound P(any collision) ≈
+    * T²/2^65 reaches ~6%, the point where a merged type pair becomes
+    * plausible within a single run (VERDICT r15 #1).
+    */
+  private[graft] val OverlapWideKeyTypes = 1L << 31
+
+  /** The cheap key-width gate: decide from sum(n_chars) — a
+    * column-pruned stats scan, no tokenize — whether the corpus COULD
+    * hold ≥ [[OverlapWideKeyTypes]] distinct shingles. types ≤ shingle
+    * instances ≤ tokens ≈ chars/6, so a corpus whose char bound stays
+    * under the threshold provably cannot cross it. The proxy
+    * over-triggering (instances far above types) costs only the wide
+    * key's extra 8 bytes/row on the distinct+self-join shuffles —
+    * an optimization miss, never a correctness event — so no exact
+    * distinct-type count (a full shuffle of the very relation being
+    * built) is ever paid.
+    */
+  private[graft] def overlapKeyWide(sumChars: Long): Boolean =
+    sumChars / 6 >= OverlapWideKeyTypes
+
+  /** corpus_overlap body (shared with Round16Spec, which forces both
+    * key widths and asserts identical output — the simhash
+    * depth-auto-scaling pattern, DedupOps.simhashKeyDepth). The
+    * narrow key is xxhash64 (8-byte shuffles, A/B-adopted r14); past
+    * ~2^31 types ([[overlapKeyWide]]) the key becomes
+    * struct(xxhash64(sh), xxhash64(1L, sh)) — two independently
+    * seeded 64-bit hashes = a 128-bit key (collision bound T²/2^129,
+    * negligible at any corpus size) that shuffles 16 fixed bytes
+    * instead of ~40-byte shingle strings. Every downstream op
+    * (distinct, per-source size, self-join) is key-width agnostic.
+    */
+  private[graft] def corpusOverlap(s: org.apache.spark.sql.SparkSession,
+      dir: String, forceWide: Option[Boolean] = None)
+      : org.apache.spark.sql.DataFrame = {
+    val wide = forceWide.getOrElse(overlapKeyWide(
+      t(s, dir, "documents")
+        .agg(coalesce(sum(col("n_chars")), lit(0L))).head().getLong(0)))
+    val shStr = t(s, dir, "documents")
+      .withColumn("tk",
+        filter(split(col("text"), " "), x => length(x) > lit(0)))
+      .select(col("source"),
+        // docs under 3 tokens yield NO shingles (matching the
+        // oracle's empty range) — an unguarded sequence would emit
+        // a partial shingle via null-skipping concat_ws (ADVICE r12)
+        explode(expr("array_distinct(CASE WHEN size(tk) >= 3 THEN " +
+          "transform(sequence(0, size(tk) - 3), " +
+          "i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2])) " +
+          "ELSE CAST(array() AS array<string>) END)")).as("sh_s"))
+    val sh = shStr
+      .select(col("source"),
+        (if (wide) struct(xxhash64(col("sh_s")).as("h1"),
+          xxhash64(lit(1L), col("sh_s")).as("h2"))
+        else xxhash64(col("sh_s"))).as("sh"))
+      .distinct()
+    val sizes = sh.groupBy(col("source"))
+      .agg(count(lit(1)).as("n"))
+    val inter = sh.toDF("source_a", "sh")
+      .join(sh.toDF("source_b", "sh2"),
+        col("sh") === col("sh2") && col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    inter
+      .join(sizes.toDF("source_a", "n_a"), "source_a")
+      .join(sizes.toDF("source_b", "n_b"), "source_b")
+      .select(col("source_a"), col("source_b"), col("n_a"),
+        col("n_b"), col("n_shared"),
+        (col("n_shared").cast("double") /
+          (col("n_a") + col("n_b") - col("n_shared")).cast("double"))
+          .as("jaccard"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
 
   /** Deterministic training-order shuffle: assigns every row a
     * pseudo-random total order keyed only by (`idCol`, `seed`) and

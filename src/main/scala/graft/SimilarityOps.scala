@@ -456,8 +456,8 @@ object SimilarityOps {
   private def ivfStorePath(s: SparkSession, dir: String): String = {
     OracleDumps.housekeep(s)
     "target/graft_scratch/ivf_" +
-      (dir + "_" + s.sparkContext.applicationId)
-        .replaceAll("[^a-zA-Z0-9]", "_")
+      OracleDumps.scratchSlug(dir) + "_" +
+      s.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "_")
   }
 
   /** Probe a persisted IVF index: nearest `nProbe` cells per query,

@@ -88,10 +88,13 @@ object SketchOps {
           countDistinct(col("l_suppkey")).as("nsupp")).head()
         val (total, nsupp) = (tot.getLong(0), tot.getLong(1))
         val cms = li.stat.countMinSketch(col("l_suppkey"), 0.0001, 0.999, 42)
-        val cmsB = s.sparkContext.broadcast(cms)
-        val mightBeHeavy = udf((k: Long) =>
-          20L * cmsB.value.estimateCount(k) * nsupp >= 21L * total)
-        li.filter(mightBeHeavy(col("l_suppkey"))) // coarse candidate rows
+        // native probe (graft.functions.Sketches): the prefilter
+        // compiles into the scan's codegen span instead of a UDF row
+        // boundary; the sketch rides the broadcast task binary
+        val mightBeHeavy = lit(20L) *
+          graft.functions.Sketches.cmsEstimate(cms, col("l_suppkey")) *
+          lit(nsupp) >= lit(21L) * lit(total)
+        li.filter(mightBeHeavy) // coarse candidate rows
           .groupBy(col("l_suppkey")).agg(count(lit(1)).as("cnt"))
           .filter(lit(20L) * col("cnt") * nsupp >= lit(21L) * total)
           .orderBy(col("l_suppkey"))

@@ -418,8 +418,11 @@ object TextOps {
     // method scaladoc's A/B): set to [[BoilerCmsMaxPairs]] to enable
     // on singleton-dominated corpora; corpora whose distinct-pair
     // count exceeds the value skip the sketch regardless
+    // malformed conf value = knob disabled (exact path), not a failed
+    // entry — an operator must not crash on a typo'd tuning setting
+    // (ADVICE r15)
     val maxPairs = s.conf.getOption("spark.graft.boiler.cmsMaxPairs")
-      .map(_.toLong).getOrElse(0L)
+      .flatMap(v => scala.util.Try(v.toLong).toOption).getOrElse(0L)
     val useCms = forceCms.getOrElse {
       // cheap gate first: a column-pruned sum(n_chars) scan bounds the
       // pair count within a small factor (pairs <= grams < words ~
@@ -440,10 +443,11 @@ object TextOps {
       // sharp exactly because the width tracks the measured input
       val eps = 2.0 / math.max(1 << 17, 2L * nPairs).toDouble
       val cms = types.stat.countMinSketch(col("gram"), eps, 0.9375, 42)
-      val cmsB = s.sparkContext.broadcast(cms)
-      val mightBeBoiler =
-        udf((g: String) => cmsB.value.estimateCount(g) >= 3L)
-      types.filter(mightBeBoiler(col("gram")))
+      // native probe (graft.functions.Sketches) — codegen'd, no UDF
+      // row boundary; probes the gram's UTF-8 bytes, byte-identical
+      // to the String path the UDF form used
+      types.filter(
+        graft.functions.Sketches.cmsEstimate(cms, col("gram")) >= lit(3L))
     }
     // exact df over (CMS-candidate) types; the head set is what joins
     val boiler = candidates.groupBy(col("gram"))
