@@ -902,8 +902,16 @@ object SnortOps {
       // event fact table. This is the reference's entire job measured
       // end-to-end; parse parallelism is one task per file.
       (s, _) => {
+        // alert-volume knob for solo scale probes (r16: the README's
+        // 600 k ingest-MB/s number); the driver's gate and suite runs
+        // keep the 60 k default. Dir is keyed by the count so a scale
+        // probe can never poison the default fixture's marker cache.
+        val nAlerts = s.conf.getOption("spark.graft.u2.bulkAlerts")
+          .flatMap(v => scala.util.Try(v.toInt).toOption)
+          .filter(_ > 0).getOrElse(60000)
         val spool = Unified2Fixture.writeBulkSpool(
-          s"${Unified2Fixture.defaultRoot()}/bulk", 60000, 16)
+          s"${Unified2Fixture.defaultRoot()}/bulk" +
+            (if (nAlerts == 60000) "" else s"_$nAlerts"), nAlerts, 16)
         val (sid, gen, cls) = Unified2Fixture.writeMaps(
           s"${Unified2Fixture.defaultRoot()}/maps")
         // single-pass parse+assembly per spool file (map-only stage;
