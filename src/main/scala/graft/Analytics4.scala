@@ -148,76 +148,7 @@ object Analytics4 {
       // in data: the old (nation, mktsegment) attribute blocking had a
       // FIXED ~125 blocks, so 10× data meant 100× pairs (measured
       // super-linear at the sf1 scaling decade).
-      (s, dir) => {
-        import org.apache.spark.sql.graft.DatasetBridge
-        val c = t(s, dir, "customer").select(col("c_nationkey"),
-          col("c_mktsegment"), col("c_custkey"), col("c_name"))
-        // SLIM candidate relation: the ~170×-fanout self-join carries
-        // only (custkey, 64-bit hash of (nation, segment, variant)) —
-        // names/segments rejoin AFTER the distinct pair set shrinks
-        // (measured 74 s → the wide-row join shuffled ~2 GB/side at
-        // the sf1 decade). A 64-bit hash collision could smuggle a
-        // cross-block candidate in, so the verify re-checks the block
-        // columns before the distance.
-        // window 16 (last 16 chars): variant count per row is a
-        // CONSTANT 137 instead of O(len²) — the sf1 decade's 15.8×
-        // outlier was exactly the variant count growing with name
-        // length. Suffix window because c_name's entropy is its
-        // trailing digits; recall-1 for dist ≤ 2 is preserved (proof
-        // at ExprKernels.delVariants, property-tested in Round6Spec).
-        // 16 not 12: the window must reach PAST shared trailing
-        // decorations into distinguishing content, or variant buckets
-        // merge across near-but-not-matching tails — measured at the
-        // sf10 decade (names carrying stacked per-round suffixes):
-        // w=12 emitted 279 M candidate pairs, w=16 emits 23 M for
-        // only 1.74× more keyed rows.
-        val keyed = c
-          .withColumn("v", explode(DatasetBridge.column(
-            graft.functions.DeletionVariants(
-              DatasetBridge.expression(col("c_name")), 2, 16))))
-          .select(col("c_custkey").as("key"),
-            xxhash64(col("c_nationkey"), col("c_mktsegment"), col("v"))
-              .as("bk"))
-        // shuffle_hash hint: the planner sizes this self-join from
-        // the customer FILE bytes, not the ~137× variant explode, so
-        // unhinted it "broadcasts" a 100 M-row side and dies on
-        // driver.maxResultSize once the corpus outgrows the estimate
-        // (measured at sf10). Both partitioned-join hints hold at any
-        // scale (slim 16-byte rows, shuffled on bk); shuffle-hash
-        // skips the two 100 M-row sorts a merge join pays — measured
-        // 101 -> 61 s at the sf10 decade, identical pairs. Per-
-        // partition build side is total/partitions (~50 MB at the
-        // sf10 decade's 32 partitions; smaller on a real cluster with
-        // more shuffle partitions), and AQE's skew split handles a
-        // hot variant bucket.
-        val cand = keyed.toDF("a_key", "bk").hint("shuffle_hash")
-          .join(keyed.toDF("b_key", "bk"), "bk")
-          .filter(col("a_key") < col("b_key"))
-          .select(col("a_key"), col("b_key")).distinct()
-        // name lookups: NO forced broadcast — the lookup side is the
-        // whole customer relation, which stops fitting the driver as
-        // the corpus grows (a forced broadcast() died on
-        // spark.driver.maxResultSize at the sf10 decade). AQE
-        // broadcasts it while it is genuinely small and shuffle-joins
-        // on the key — still linear — once it is not.
-        val an = c.select(col("c_custkey").as("a_key"),
-          col("c_name").as("a_name"), col("c_nationkey").as("a_nat"),
-          col("c_mktsegment").as("a_seg"))
-        val bn = c.select(col("c_custkey").as("b_key"),
-          col("c_name").as("b_name"), col("c_nationkey").as("b_nat"),
-          col("c_mktsegment").as("b_seg"))
-        cand.join(an, "a_key").join(bn, "b_key")
-          .filter(col("a_nat") === col("b_nat") &&
-            col("a_seg") === col("b_seg"))
-          .withColumn("dist", DatasetBridge.column(
-            graft.functions.LevenshteinBand(
-              DatasetBridge.expression(col("a_name")),
-              DatasetBridge.expression(col("b_name")), 2)).cast("long"))
-          .filter(col("dist") <= 2)
-          .select(col("a_key"), col("a_name"), col("b_key"), col("b_name"),
-            col("dist"))
-          .orderBy(col("a_key"), col("b_key"))
-      },
+      (s, dir) => q71FuzzyMatch(s, dir),
       Some("""SELECT a.c_custkey AS a_key, a.c_name AS a_name,
           b.c_custkey AS b_key, b.c_name AS b_name,
           CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
@@ -582,4 +513,104 @@ object Analytics4 {
         FROM r WHERE cum * 2 >= tot
         GROUP BY l_returnflag ORDER BY l_returnflag"""))
   )
+
+  /** q71_fuzzy_match body (entry scaladoc above documents the FastSS
+    * blocking design; factored out so Round16Spec can pin the scaled
+    * partitioning against a forced value).
+    *
+    * SLIM candidate relation: the ~170x-fanout self-join carries only
+    * (custkey, 64-bit hash of (nation, segment, variant)) — names /
+    * segments rejoin AFTER the distinct pair set shrinks (measured
+    * 74 s → the wide-row join shuffled ~2 GB/side at the sf1 decade).
+    * A 64-bit hash collision could smuggle a cross-block candidate in,
+    * so the verify re-checks the block columns before the distance.
+    *
+    * window 16 (last 16 chars): variant count per row is a CONSTANT
+    * 137 instead of O(len^2) — the sf1 decade's 15.8x outlier was
+    * exactly the variant count growing with name length. Suffix window
+    * because c_name's entropy is its trailing digits; recall-1 for
+    * dist <= 2 is preserved (proof at ExprKernels.delVariants,
+    * property-tested in Round6Spec). 16 not 12: the window must reach
+    * PAST shared trailing decorations into distinguishing content, or
+    * variant buckets merge across near-but-not-matching tails —
+    * measured at the sf10 decade (names carrying stacked per-round
+    * suffixes): w=12 emitted 279 M candidate pairs, w=16 emits 23 M
+    * for only 1.74x more keyed rows.
+    *
+    * DATA-SCALED self-join partitioning (r16): the shuffle-hash build
+    * side is one partition's slice of the ~137x-exploded variant
+    * relation, so a FIXED partition count stops fitting as the corpus
+    * grows — at the sf30 probe, 617 M keyed rows over the session's 32
+    * partitions needed ~460 MB of build per task and 32 concurrent
+    * builds could no longer acquire pages ("Can't acquire 536870912
+    * bytes to build hash relation"). The join key is therefore
+    * repartition()'d to ceil(rows * 24 B / 100 MB) partitions (24 B =
+    * measured hash-relation bytes/row, 100 MB = build budget per task;
+    * floor = the session default so gate scales keep today's plan,
+    * cap 2048). Both join sides derive from the SAME repartitioned
+    * relation, so the explicit exchange replaces — not adds to — the
+    * join's implicit one, and AQE never coalesces a user-specified
+    * count back up into the failure mode. This is exactly "size
+    * shuffle partitions so partitions fit in executor memory": on a
+    * real cluster the same arithmetic lands near the executor-count
+    * defaults; only single-JVM local mode needs it computed.
+    */
+  private[graft] def q71FuzzyMatch(s: org.apache.spark.sql.SparkSession,
+      dir: String, forceParts: Option[Int] = None)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.graft.DatasetBridge
+    val c = t(s, dir, "customer").select(col("c_nationkey"),
+      col("c_mktsegment"), col("c_custkey"), col("c_name"))
+    val parts = forceParts.getOrElse {
+      val sessionParts = s.conf.get("spark.sql.shuffle.partitions").toInt
+      // metadata-only count (parquet row-group stats); 137 variants/row
+      val buildBytes = c.count() * 137L * 24L
+      math.max(sessionParts,
+        math.min(2048L, (buildBytes + (100L << 20) - 1) / (100L << 20)).toInt)
+    }
+    val keyed = c
+      .withColumn("v", explode(DatasetBridge.column(
+        graft.functions.DeletionVariants(
+          DatasetBridge.expression(col("c_name")), 2, 16))))
+      .select(col("c_custkey").as("key"),
+        xxhash64(col("c_nationkey"), col("c_mktsegment"), col("v"))
+          .as("bk"))
+      .repartition(parts, col("bk"))
+    // shuffle_hash hint: the planner sizes this self-join from the
+    // customer FILE bytes, not the ~137x variant explode, so unhinted
+    // it "broadcasts" a 100 M-row side and dies on
+    // driver.maxResultSize once the corpus outgrows the estimate
+    // (measured at sf10). Both partitioned-join hints hold at any
+    // scale (slim 16-byte rows, shuffled on bk); shuffle-hash skips
+    // the two 100 M-row sorts a merge join pays — measured 101 -> 61 s
+    // at the sf10 decade, identical pairs. AQE's skew split handles a
+    // hot variant bucket.
+    val cand = keyed.toDF("a_key", "bk").hint("shuffle_hash")
+      .join(keyed.toDF("b_key", "bk"), "bk")
+      .filter(col("a_key") < col("b_key"))
+      .select(col("a_key"), col("b_key")).distinct()
+    // name lookups: NO forced broadcast — the lookup side is the whole
+    // customer relation, which stops fitting the driver as the corpus
+    // grows (a forced broadcast() died on spark.driver.maxResultSize
+    // at the sf10 decade). AQE broadcasts it while it is genuinely
+    // small and shuffle-joins on the key — still linear — once it is
+    // not.
+    val an = c.select(col("c_custkey").as("a_key"),
+      col("c_name").as("a_name"), col("c_nationkey").as("a_nat"),
+      col("c_mktsegment").as("a_seg"))
+    val bn = c.select(col("c_custkey").as("b_key"),
+      col("c_name").as("b_name"), col("c_nationkey").as("b_nat"),
+      col("c_mktsegment").as("b_seg"))
+    cand.join(an, "a_key").join(bn, "b_key")
+      .filter(col("a_nat") === col("b_nat") &&
+        col("a_seg") === col("b_seg"))
+      .withColumn("dist", DatasetBridge.column(
+        graft.functions.LevenshteinBand(
+          DatasetBridge.expression(col("a_name")),
+          DatasetBridge.expression(col("b_name")), 2)).cast("long"))
+      .filter(col("dist") <= 2)
+      .select(col("a_key"), col("a_name"), col("b_key"), col("b_name"),
+        col("dist"))
+      .orderBy(col("a_key"), col("b_key"))
+  }
 }

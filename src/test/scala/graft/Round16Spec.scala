@@ -104,4 +104,16 @@ class Round16Spec extends SparkSuite {
       case None => spark.conf.unset(provKey)
     }
   }
+
+  test("q71_fuzzy_match: data-scaled self-join partitioning is an invisible optimization") {
+    // the r16 sf30 probe showed a FIXED partition count stops fitting
+    // the shuffle-hash build side as the corpus grows; the scaled
+    // repartition must change only the partition count, never the
+    // matched pairs. Force a count well off the session default and
+    // off the auto-computed one.
+    val auto = rows(Analytics4.q71FuzzyMatch(spark, sfDir))
+    val forced = rows(Analytics4.q71FuzzyMatch(spark, sfDir, Some(7)))
+    assert(auto.nonEmpty, "gate corpus must surface fuzzy pairs")
+    assert(auto == forced, "partition count changed the matched pairs")
+  }
 }

@@ -19,7 +19,14 @@ ISOLATED = {
     "sample_importance": 10.698, # r15
     "dedup_decontam_frac": 56.376, # r15 (isolated is the REAL time)
     "knn_ivf_refresh": 15.263,  # r15
-    # r16 adds (filled by this round's solo runs):
+    # r16 solo min-of-3 (target/solo_r16.log) — every in-suite flag in
+    # the r16 full run adjudicated as late-suite pressure:
+    "q55_groups_frame": 1.568,   # in-suite 24.0 s was pressure
+    "q03_join_agg": 3.351,       # in-suite 20.1 s was pressure
+    "q29_asof_join": 1.782,      # in-suite 5.8 s was pressure
+    "q11_having": 6.955,         # r15's 9.43 s was pressure too
+    "q82_bom_closure": 6.159,    # r15's 9.22 s was pressure too
+    "stream_session": 34.573,    # in-suite 63.2 s was pressure
 }
 
 PINS = "src/main/resources/graft/bench_pins_sf10.tsv"
