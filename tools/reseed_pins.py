@@ -27,6 +27,10 @@ ISOLATED = {
     "q11_having": 6.955,         # r15's 9.43 s was pressure too
     "q82_bom_closure": 6.159,    # r15's 9.22 s was pressure too
     "stream_session": 34.573,    # in-suite 63.2 s was pressure
+    # r16 decade-exponent solos (target/solo_r16b.log):
+    "q71_fuzzy_match": 55.547,   # post scaled-parts plan, solo sf10
+    "corpus_overlap": 43.184,
+    "knn_graph": 21.010,         # in-suite 44 s is ~2x pressure
 }
 
 PINS = "src/main/resources/graft/bench_pins_sf10.tsv"
