@@ -31,6 +31,14 @@ ISOLATED = {
     "q71_fuzzy_match": 55.547,   # post scaled-parts plan, solo sf10
     "corpus_overlap": 43.184,
     "knn_graph": 21.010,         # in-suite 44 s is ~2x pressure
+    # r16 second wave (target/solo_r16c.log) — the remaining top
+    # in-suite entries, so every >20 s pin is isolation-backed:
+    "knn_hybrid": 46.938,
+    "stream_timer_sessions": 39.158,
+    "dedup_decontaminate": 36.982,
+    "emb_pca_power": 27.653,
+    "q07_window_rank": 10.531,
+    "text_entropy": 23.283,
 }
 
 PINS = "src/main/resources/graft/bench_pins_sf10.tsv"
