@@ -54,6 +54,60 @@ object SimilarityOps {
     * Identical output to the window form: (qid, rank, vec_id, simCol)
     * ranked by (sim DESC, vec_id ASC).
     */
+  /** knn_graph body (entry scaladoc documents the route / candidate /
+    * topk / mutualize stage shape). Factored out so Round16Spec can
+    * pin the scaled cell-join partitioning against a forced value.
+    *
+    * DATA-SCALED cell-join partitioning (r16): the per-stage split at
+    * the sf30 decade localized knn_graph's wall-clock super-linearity
+    * to the map-side partial TopKAgg, not to flops — candidate volume
+    * and routing both measured exactly n^1.5 (index_stats arithmetic,
+    * SURVEY §18), yet the entry ran ~n^2.0. Cause: each cell-join task
+    * holds a hash-agg map over the DISTINCT qids probing its cells
+    * (~4n/P entries); at a fixed P=32 the map outgrows per-core cache
+    * as n grows, so every candidate row pays a DRAM-latency probe.
+    * Measured at sf30: scan+topk 127.4 s at P=32 vs 67.6 s at P=128,
+    * identical output. P therefore scales as ceil(4n / 20k) — ~20k
+    * entries ≈ 1 MB of TopK state per task stays cache-resident —
+    * with floor = session default (gate plans unchanged) and cap
+    * 2048. On a real cluster the executor count supplies the same
+    * headroom; only single-JVM local mode needs it computed.
+    */
+  private[graft] def knnGraph(s: SparkSession, dir: String,
+      forceParts: Option[Int] = None): DataFrame = {
+    dumpOracleBase(s, dir)
+    val asg = assignedCached(s, dir)
+    val parts = forceParts.getOrElse {
+      val sessionParts = s.conf.get("spark.sql.shuffle.partitions").toInt
+      // asg is persisted: the count is a cached-relation metadata read
+      math.max(sessionParts,
+        math.min(2048L, (4L * asg.count() + 19999L) / 20000L).toInt)
+    }
+    val cenArr = centroids(s, dir).agg(array_sort(collect_list(
+      struct(col("cell"), col("cvec")))).as("cen_arr"))
+    val probes = asg
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      .crossJoin(broadcast(cenArr))
+      .select(col("qid"), col("qvec"),
+        explode(Vectors.topCellsDot(col("qvec"), col("cen_arr"), 4))
+          .as("cell"))
+      .repartition(parts, col("cell"))
+    val scored = asg.repartition(parts, col("cell")).join(probes, "cell")
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("sim", Vectors.dot(col("embedding"), col("qvec")))
+      .select(col("qid"), col("vec_id"), col("sim"))
+    val top = topkPerQuery(scored, "sim", 3)
+      .select(col("qid"), col("vec_id"), col("sim"))
+    val rev = top.select(col("qid").as("r_src"),
+      col("vec_id").as("r_dst"))
+    top.join(rev,
+        col("qid") === col("r_dst") && col("vec_id") === col("r_src"))
+      .filter(col("qid") < col("vec_id"))
+      .select(col("qid").as("src"), col("vec_id").as("dst"),
+        col("sim"))
+      .orderBy(col("src"), col("dst"))
+  }
+
   private def topkPerQuery(scored: DataFrame, simCol: String,
       k: Int): DataFrame = {
     val topk = DatasetBridge.column(graft.functions.TopKAgg(
@@ -520,32 +574,7 @@ object SimilarityOps {
       // the full route-probe-rank-reciprocate path in SQL over the
       // dumped index; sims hash-match because dot(a,b) and dot(b,a)
       // are the identical index-ordered product sum.
-      (s, dir) => {
-        dumpOracleBase(s, dir)
-        val asg = assignedCached(s, dir)
-        val cenArr = centroids(s, dir).agg(array_sort(collect_list(
-          struct(col("cell"), col("cvec")))).as("cen_arr"))
-        val probes = asg
-          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-          .crossJoin(broadcast(cenArr))
-          .select(col("qid"), col("qvec"),
-            explode(Vectors.topCellsDot(col("qvec"), col("cen_arr"), 4))
-              .as("cell"))
-        val scored = asg.join(probes, "cell")
-          .filter(col("vec_id") =!= col("qid"))
-          .withColumn("sim", Vectors.dot(col("embedding"), col("qvec")))
-          .select(col("qid"), col("vec_id"), col("sim"))
-        val top = topkPerQuery(scored, "sim", 3)
-          .select(col("qid"), col("vec_id"), col("sim"))
-        val rev = top.select(col("qid").as("r_src"),
-          col("vec_id").as("r_dst"))
-        top.join(rev,
-            col("qid") === col("r_dst") && col("vec_id") === col("r_src"))
-          .filter(col("qid") < col("vec_id"))
-          .select(col("qid").as("src"), col("vec_id").as("dst"),
-            col("sim"))
-          .orderBy(col("src"), col("dst"))
-      },
+      (s, dir) => knnGraph(s, dir),
       Some(knnGraphSql)),
 
     Entry(

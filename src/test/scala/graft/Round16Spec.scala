@@ -116,4 +116,15 @@ class Round16Spec extends SparkSuite {
     assert(auto.nonEmpty, "gate corpus must surface fuzzy pairs")
     assert(auto == forced, "partition count changed the matched pairs")
   }
+
+  test("knn_graph: data-scaled cell-join partitioning is an invisible optimization") {
+    // the sf30 per-stage split localized the entry's super-linear wall
+    // growth to the partial TopKAgg map outgrowing cache at a fixed
+    // partition count; the scaled repartition must change only task
+    // granularity, never the mutual-kNN edges.
+    val auto = rows(SimilarityOps.knnGraph(spark, sfDir))
+    val forced = rows(SimilarityOps.knnGraph(spark, sfDir, Some(7)))
+    assert(auto.nonEmpty, "gate corpus must surface mutual edges")
+    assert(auto == forced, "partition count changed the kNN graph")
+  }
 }
