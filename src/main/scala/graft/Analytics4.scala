@@ -563,7 +563,11 @@ object Analytics4 {
       col("c_mktsegment"), col("c_custkey"), col("c_name"))
     val parts = forceParts.getOrElse {
       val sessionParts = s.conf.get("spark.sql.shuffle.partitions").toInt
-      // metadata-only count (parquet row-group stats); 137 variants/row
+      // zero-column count scan: parquet serves count(*) from footers
+      // and page headers without decoding values — cheap (one short
+      // job per invocation), but NOT a pure metadata read unless
+      // aggregate pushdown is enabled (ADVICE r16 corrected the
+      // prior "metadata-only" label); 137 variants/row
       val buildBytes = c.count() * 137L * 24L
       math.max(sessionParts,
         math.min(2048L, (buildBytes + (100L << 20) - 1) / (100L << 20)).toInt)

@@ -53,6 +53,12 @@ object DedupOps {
     new java.util.WeakHashMap[SparkSession,
       scala.collection.concurrent.TrieMap[String, DataFrame]]()
 
+  // single scratch slot for the simhash depth-probe's persisted
+  // distinct-sig set (see dedupSimhash): weak session key, swapped —
+  // with the previous occupant unpersisted — on each gate entry
+  private val simhashScratch =
+    new java.util.WeakHashMap[SparkSession, DataFrame]()
+
   private def shingledCached(s: SparkSession, dir: String): DataFrame = {
     val perSession = shingleCache.synchronized {
       shingleCache.computeIfAbsent(s,
@@ -256,7 +262,8 @@ object DedupOps {
     * for the r14 distinct-sig collapse; `forceDepth` overrides the
     * corpus-size auto choice ([[simhashKeyDepth]]), whose input D is
     * bounded CHEAPLY: distinct sigs ≤ documents, and the doc count is
-    * a metadata-only parquet count-star — the exact distinct-sig
+    * a zero-column parquet count-star (footers + page headers, no
+    * value decode) — the exact distinct-sig
     * count (a full signature pass) is only ever paid on corpora the
     * doc count says might actually need depth 3.
     */
@@ -272,9 +279,15 @@ object DedupOps {
         // the exact distinct count is a full signature shuffle — on
         // corpora past the depth-3 gate, persist it so the keying
         // below reuses the SAME materialization instead of paying the
-        // shuffle twice (ADVICE r15); MEMORY_AND_DISK + executor LRU
-        // bounds the residency, and this path only triggers past
-        // 2^24 docs where the double shuffle it saves dominates
+        // shuffle twice (ADVICE r15). Residency is BOUNDED to one
+        // corpus, not left to executor LRU (ADVICE r16): entering the
+        // gate swaps the session's single scratch slot, unpersisting
+        // the previous corpus's distinct-sig set, so multi-corpus
+        // suite runs never accumulate these.
+        simhashScratch.synchronized {
+          Option(simhashScratch.put(s, distinctSig))
+            .foreach(_.unpersist(blocking = false))
+        }
         distinctSig.persist()
         simhashKeyDepth(distinctSig.count())
       }

@@ -1057,17 +1057,22 @@ object PipelineOps {
 
   /** The cheap key-width gate: decide from sum(n_chars) — a
     * column-pruned stats scan, no tokenize — whether the corpus COULD
-    * hold ≥ [[OverlapWideKeyTypes]] distinct shingles. types ≤ shingle
-    * instances ≤ tokens ≈ chars/6, so a corpus whose char bound stays
-    * under the threshold provably cannot cross it. The proxy
-    * over-triggering (instances far above types) costs only the wide
-    * key's extra 8 bytes/row on the distinct+self-join shuffles —
-    * an optimization miss, never a correctness event — so no exact
+    * hold ≥ [[OverlapWideKeyTypes]] distinct shingles. The bound
+    * chain is types ≤ shingle instances ≤ tokens ≤ chars/2: a token
+    * plus its separating space occupies AT LEAST 2 chars whatever the
+    * token length, so chars/2 is a true upper bound on tokens for any
+    * corpus — including short-token corpora of IDs/numerics, which
+    * the previous /6 divisor (avg token length ≥ 5 assumed, ADVICE
+    * r16) did not cover. A corpus whose chars/2 bound stays under the
+    * threshold therefore provably cannot cross it. The tighter proxy
+    * over-triggers ~3× earlier on prose, which costs only the wide
+    * key's extra 8 bytes/row on the distinct+self-join shuffles — an
+    * optimization miss, never a correctness event — so no exact
     * distinct-type count (a full shuffle of the very relation being
     * built) is ever paid.
     */
   private[graft] def overlapKeyWide(sumChars: Long): Boolean =
-    sumChars / 6 >= OverlapWideKeyTypes
+    sumChars / 2 >= OverlapWideKeyTypes
 
   /** corpus_overlap body (shared with Round16Spec, which forces both
     * key widths and asserts identical output — the simhash

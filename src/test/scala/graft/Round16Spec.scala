@@ -26,9 +26,11 @@ class Round16Spec extends SparkSuite {
   }
 
   test("corpus_overlap key-width gate: boundary arithmetic and the auto path") {
-    // wide iff sum(n_chars)/6 >= 2^31 distinct-type bound
-    assert(!PipelineOps.overlapKeyWide(6L * (1L << 31) - 6))
-    assert(PipelineOps.overlapKeyWide(6L * (1L << 31)))
+    // wide iff sum(n_chars)/2 >= 2^31 distinct-type bound — /2 is the
+    // TRUE per-token floor (token + separator >= 2 chars), valid for
+    // short-token corpora the prior /6 divisor missed (ADVICE r16)
+    assert(!PipelineOps.overlapKeyWide(2L * (1L << 31) - 2))
+    assert(PipelineOps.overlapKeyWide(2L * (1L << 31)))
     assert(!PipelineOps.overlapKeyWide(0L))
     // the gate corpus is far below the bound: the auto path must pick
     // the narrow key and match the forced-narrow run exactly

@@ -2,14 +2,25 @@
 """Re-seed src/main/resources/graft/bench_pins_sf10.tsv from a full
 sf10 bench log (the BENCHQ lines graft.Bench prints per entry).
 
-Usage: python3 tools/reseed_pins.py <bench_log> [--apply]
+Usage: python3 tools/reseed_pins.py <bench_log> [--apply] [--pins PATH]
 
 Pin = min(in-suite min-of-2, isolated solo min-of-3) for entries with
 an isolated override in ISOLATED below — the same convention the r15
 pins documented. Without --apply, prints the would-be file to stdout
 plus a diff summary vs the committed pins.
+
+REGRESSION-LAUNDERING GUARD (VERDICT r16 #3): a pin may only RISE
+more than RAISE_CAP (1.25x) over its committed value if the entry has
+an isolated-override row in ISOLATED — i.e. someone actually solo-
+adjudicated the slower number. Otherwise the tool refuses (exit 1)
+and lists the unadjudicated raises: a regressed entry's new slower
+in-suite time must be adjudicated, not silently absorbed into the
+baseline (as happened to q42_bloom_semijoin 6.0 -> 8.2 s in r16).
+ALL raises are printed, not just >1.5x moves.
 """
 import re, sys
+
+RAISE_CAP = 1.25
 
 # isolated solo min-of-3 numbers (seconds) that override in-suite
 # times when SMALLER — late-suite memory pressure inflates these;
@@ -43,7 +54,9 @@ ISOLATED = {
 
 PINS = "src/main/resources/graft/bench_pins_sf10.tsv"
 
-def main(log_path, apply_it):
+def main(log_path, apply_it, pins_path=PINS, isolated=None):
+    if isolated is None:
+        isolated = ISOLATED
     text = open(log_path).read()
     q = {}
     for m in re.finditer(r"BENCHQ (\S+)\s+([0-9.]+) s", text):
@@ -52,7 +65,7 @@ def main(log_path, apply_it):
         sys.exit("no BENCHQ lines found")
     total = sum(q.values())
     old = {}
-    for line in open(PINS):
+    for line in open(pins_path):
         if line.startswith("#") or not line.strip():
             continue
         k, v = line.split("\t")
@@ -69,29 +82,79 @@ def main(log_path, apply_it):
         "# Isolated solo min-of-3 (pin = min(in-suite, isolated)):\n"
     )
     iso_lines = "#   " + ", ".join(
-        f"{k} {v:.3f}" for k, v in sorted(ISOLATED.items())) + "\n"
+        f"{k} {v:.3f}" for k, v in sorted(isolated.items())) + "\n"
     rows = []
     for k in sorted(q):
-        pin = min(q[k], ISOLATED.get(k, float("inf")))
+        pin = min(q[k], isolated.get(k, float("inf")))
         rows.append(f"{k}\t{pin:.3f}")
     out = header + iso_lines + "\n".join(rows) + "\n"
-    # diff summary
-    big = []
+    # diff summary: every raise is printed (not just >1.5x moves,
+    # ADVICE r16); raises past RAISE_CAP without an isolated override
+    # are refused below
+    raises, drops, laundered = [], [], []
     for k in sorted(q):
         if k in old and old[k] > 0:
-            r = min(q[k], ISOLATED.get(k, float("inf"))) / old[k]
-            if r > 1.5 or r < 0.5:
-                big.append(f"  {k}: {old[k]:.2f} -> {q[k]:.2f} ({r:.2f}x)")
+            new = min(q[k], isolated.get(k, float("inf")))
+            r = new / old[k]
+            if r > 1.0:
+                raises.append(f"  {k}: {old[k]:.2f} -> {new:.2f} ({r:.2f}x)"
+                              + ("  [isolated override]" if k in isolated else ""))
+                if r > RAISE_CAP and k not in isolated:
+                    laundered.append(k)
+            elif r < 0.5:
+                drops.append(f"  {k}: {old[k]:.2f} -> {new:.2f} ({r:.2f}x)")
     print(f"entries: {len(q)}  total: {total:.1f} s")
-    print("pins moving >1.5x either way vs committed:")
-    print("\n".join(big) if big else "  (none)")
+    print("ALL pins rising vs committed:")
+    print("\n".join(raises) if raises else "  (none)")
+    print("pins dropping >2x vs committed:")
+    print("\n".join(drops) if drops else "  (none)")
     missing = sorted(set(old) - set(q))
     if missing:
         print("WARNING committed pins missing from log:", missing)
+    if laundered:
+        print(f"REFUSED: {len(laundered)} pin(s) would rise >{RAISE_CAP}x "
+              "without an isolated-override entry (solo-adjudicate them "
+              "and add the solo min-of-3 to ISOLATED first):")
+        for k in laundered:
+            print(f"  {k}: {old[k]:.3f} -> "
+                  f"{min(q[k], isolated.get(k, float('inf'))):.3f}")
+        return 1
     if apply_it:
-        with open(PINS, "w") as f:
+        with open(pins_path, "w") as f:
             f.write(out)
-        print(f"wrote {PINS}")
+        print(f"wrote {pins_path}")
+    return 0
+
+def selftest():
+    """Guard self-test: a regressed entry (2x over its committed pin,
+    no isolated override) must be refused; with an override it must
+    pass. Run: python3 tools/reseed_pins.py --selftest"""
+    import tempfile, os
+    d = tempfile.mkdtemp()
+    log = os.path.join(d, "bench.log")
+    pins = os.path.join(d, "pins.tsv")
+    with open(log, "w") as f:
+        f.write("BENCHQ q_ok 1.00 s\nBENCHQ q_reg 8.20 s\n")
+    with open(pins, "w") as f:
+        f.write("q_ok\t1.050\nq_reg\t6.000\n")
+    rc = main(log, False, pins_path=pins, isolated={})
+    assert rc == 1, f"unadjudicated 1.37x raise must be refused, got rc={rc}"
+    rc = main(log, False, pins_path=pins, isolated={"q_reg": 8.2})
+    assert rc == 0, f"isolated-override raise must pass, got rc={rc}"
+    # small raises under the cap pass without an override
+    with open(log, "w") as f:
+        f.write("BENCHQ q_ok 1.20 s\nBENCHQ q_reg 6.10 s\n")
+    rc = main(log, False, pins_path=pins, isolated={})
+    assert rc == 0, f"sub-cap raises must pass, got rc={rc}"
+    print("selftest OK")
 
 if __name__ == "__main__":
-    main(sys.argv[1], "--apply" in sys.argv)
+    if "--selftest" in sys.argv:
+        selftest()
+        sys.exit(0)
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    pins = PINS
+    if "--pins" in sys.argv:
+        pins = sys.argv[sys.argv.index("--pins") + 1]
+        args = [a for a in args if a != pins]
+    sys.exit(main(args[0], "--apply" in sys.argv, pins_path=pins))
