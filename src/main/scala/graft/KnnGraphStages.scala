@@ -35,7 +35,10 @@ object KnnGraphStages {
     }
     val reps = args.sliding(2).collectFirst {
       case Array("--reps", n) => n.toInt }.getOrElse(3)
+    val forceParts = args.sliding(2).collectFirst {
+      case Array("--parts", n) => n.toInt }
     val sortAb = args.contains("--sortagg")
+    val selfJoin = args.contains("--selfjoin")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -53,14 +56,16 @@ object KnnGraphStages {
     for (dir <- dirs) {
       // index build is untimed deployment setup, as in Bench
       SimilarityOps.warmCaches(spark, dir)
-      val p = SimilarityOps.knnGraphPlan(spark, dir)
+      val p = SimilarityOps.knnGraphPlan(spark, dir, forceParts,
+        selfJoinMutual = selfJoin)
       // one untimed full pass first: JIT + shuffle-file page cache
       p.mutual.count()
       val route = best(p.probes.count())
       val scan = best(p.scored.agg(sum(col("sim"))).collect())
       val topk = best(p.top.count())
       val mutual = best(p.mutual.count())
-      println(f"STAGES $dir reps=$reps route=$route%.2f " +
+      println(f"STAGES $dir parts=${forceParts.getOrElse(0)} " +
+        f"selfjoin=$selfJoin reps=$reps route=$route%.2f " +
         f"scan=$scan%.2f topk=$topk%.2f mutual=$mutual%.2f " +
         f"(d_scan=${scan - route}%.2f d_topk=${topk - scan}%.2f " +
         f"d_mutual=${mutual - topk}%.2f)")

@@ -89,13 +89,16 @@ object SimilarityOps {
     * split diagnostic ([[KnnGraphStages]]) can time route / cell-join
     * scan / partial top-k / mutualize independently (VERDICT r16 #1).
     * `mutual` is exactly the entry's result; the intermediate fields
-    * share its plan prefixes.
+    * share its plan prefixes. `selfJoinMutual` forces the pre-r17
+    * reciprocation self-join, kept only so the spec can pin the two
+    * mutualize formulations to identical output.
     */
   private[graft] case class KnnGraphStagePlans(probes: DataFrame,
       scored: DataFrame, top: DataFrame, mutual: DataFrame)
 
   private[graft] def knnGraphPlan(s: SparkSession, dir: String,
-      forceParts: Option[Int] = None): KnnGraphStagePlans = {
+      forceParts: Option[Int] = None,
+      selfJoinMutual: Boolean = false): KnnGraphStagePlans = {
     dumpOracleBase(s, dir)
     val asg = assignedCached(s, dir)
     val sessionParts = s.conf.get("spark.sql.shuffle.partitions").toInt
@@ -122,14 +125,37 @@ object SimilarityOps {
       .select(col("qid"), col("vec_id"), col("sim"))
     val top = topkPerQuery(scored, "sim", 3)
       .select(col("qid"), col("vec_id"), col("sim"))
-    val rev = top.select(col("qid").as("r_src"),
-      col("vec_id").as("r_dst"))
-    val mutual = top.join(rev,
-        col("qid") === col("r_dst") && col("vec_id") === col("r_src"))
-      .filter(col("qid") < col("vec_id"))
-      .select(col("qid").as("src"), col("vec_id").as("dst"),
-        col("sim"))
-      .orderBy(col("src"), col("dst"))
+    // Mutualize WITHOUT a self-join (r17, found by the stage split):
+    // the reciprocation self-join consumed `top` twice — only the
+    // qid-shuffle exchange below it was reused, so the post-shuffle
+    // TopKAgg merge + explode re-ran per join side (measured: 9.5 s
+    // of the 21 s entry at sf10, 18 s of 101 s at sf30 — and the
+    // reuse itself is fragile, r16 measured 183 s at sf30 when it
+    // didn't hold). A directed edge list needs no join to find
+    // reciprocal pairs: key each edge by its UNORDERED pair —
+    // (qid, vec_id) appears at most once per direction since every
+    // vector lives in exactly one cell — and a pair is mutual iff
+    // both orientations arrive, i.e. count == 2. One map-side-
+    // combined shuffle of ≤3n 24-byte rows replaces the join's two
+    // exchanges AND halves the dominant scan+topk work; output
+    // (src < dst, sim of the src→dst direction) is pinned identical
+    // to the self-join form by Round17Spec.
+    val mutual = (if (selfJoinMutual) {
+      val rev = top.select(col("qid").as("r_src"),
+        col("vec_id").as("r_dst"))
+      top.join(rev,
+          col("qid") === col("r_dst") && col("vec_id") === col("r_src"))
+        .filter(col("qid") < col("vec_id"))
+        .select(col("qid").as("src"), col("vec_id").as("dst"),
+          col("sim"))
+    } else {
+      top.groupBy(least(col("qid"), col("vec_id")).as("src"),
+          greatest(col("qid"), col("vec_id")).as("dst"))
+        .agg(count(lit(1)).as("deg"),
+          max(when(col("qid") < col("vec_id"), col("sim"))).as("sim"))
+        .filter(col("deg") === 2)
+        .select(col("src"), col("dst"), col("sim"))
+    }).orderBy(col("src"), col("dst"))
     KnnGraphStagePlans(probes, scored, top, mutual)
   }
 
@@ -177,7 +203,7 @@ object SimilarityOps {
     * entry tax at the sf1 decade (knn_ivf 17 s, of which ~7 s was
     * re-assignment); a real deployment assigns once at index time.
     */
-  private def assignedCached(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def assignedCached(s: SparkSession, dir: String): DataFrame = {
     val perSession = centroidCache.synchronized {
       centroidCache.computeIfAbsent(s,
         _ => scala.collection.concurrent.TrieMap.empty[String, DataFrame])
@@ -613,8 +639,12 @@ object SimilarityOps {
       // is ONE shuffle join on the cell key, fan-out bounded by
       // nProbe × cell occupancy per vector — never n²; (3) per-vector
       // top-3 via the k-bounded TopKAgg (map-side partials, ≤ tasks·k
-      // rows per vector shuffle); (4) mutualization self-joins the
-      // k-bounded edge list (≤ 3n rows) on the reversed pair. Oracle:
+      // rows per vector shuffle); (4) mutualization groups the
+      // k-bounded edge list (≤ 3n rows) by its UNORDERED pair key and
+      // keeps pairs seen from both directions (count == 2) — one
+      // map-side-combined shuffle, no self-join, `top` consumed once
+      // (the r17 stage split measured the former self-join re-running
+      // the whole scan+topk pipeline for its second side). Oracle:
       // the full route-probe-rank-reciprocate path in SQL over the
       // dumped index; sims hash-match because dot(a,b) and dot(b,a)
       // are the identical index-ordered product sum.

@@ -114,6 +114,37 @@ class Round17Spec extends SparkSuite {
       forced.collect().map(_.toSeq).toSeq)
   }
 
+  test("knn_graph: pair-keyed mutualize is an invisible optimization") {
+    // r17 stage-split finding: the reciprocation self-join re-ran the
+    // scan+topk pipeline for its second input. The groupBy-unordered-
+    // pair formulation must produce the bit-identical mutual graph.
+    val pair = SimilarityOps.knnGraphPlan(spark, sfDir).mutual
+    val selfJoin = SimilarityOps
+      .knnGraphPlan(spark, sfDir, selfJoinMutual = true).mutual
+    val p = pair.collect().map(_.toSeq).toSeq
+    assert(p.nonEmpty, "fixture graph must have mutual edges")
+    assert(p == selfJoin.collect().map(_.toSeq).toSeq,
+      "mutualize formulation changed the graph")
+  }
+
+  test("knn_graph: candidate volume equals the index arithmetic") {
+    // The cluster-relevant scale metric behind SURVEY §18/§19's
+    // n^1.5 claim: the cell join's shuffled candidate rows are
+    // EXACTLY Σ_cells occ(c)·probes(c) − n (every vector's own cell
+    // is its top-1 probe, so n self-pairs are filtered). index_stats
+    // extrapolates this arithmetic across decades; this pins the
+    // extrapolation to the physical row count at fixture scale.
+    val p = SimilarityOps.knnGraphPlan(spark, sfDir)
+    val occ = SimilarityOps.assignedCached(spark, sfDir)
+      .groupBy(col("cell")).agg(count(lit(1)).as("occ"))
+    val pr = p.probes.groupBy(col("cell")).agg(count(lit(1)).as("np"))
+    val crossTotal = occ.join(pr, "cell")
+      .agg(sum(col("occ") * col("np"))).head().getLong(0)
+    val n = SimilarityOps.corpusCount(spark, sfDir)
+    assert(p.scored.count() == crossTotal - n,
+      s"candidates != Σ occ·probes − n ($crossTotal - $n)")
+  }
+
   test("reseed_pins.py refuses unadjudicated pin raises (self-test)") {
     // VERDICT r16 #3: the guard's own scenario matrix (raise>cap
     // without override = exit 1; with override = pass; sub-cap = pass)

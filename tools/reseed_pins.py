@@ -41,10 +41,13 @@ ISOLATED = {
     # r16 decade-exponent solos (target/solo_r16b.log):
     "q71_fuzzy_match": 55.547,   # post scaled-parts plan, solo sf10
     "corpus_overlap": 43.184,
-    "knn_graph": 21.010,         # in-suite 44 s is ~2x pressure
+    "knn_graph": 14.313,         # r17 pair-agg mutualize (was 21.010)
     # r16 second wave (target/solo_r16c.log) — the remaining top
     # in-suite entries, so every >20 s pin is isolation-backed:
-    "knn_hybrid": 46.938,
+    "knn_hybrid": 46.938,      # r17 re-check: 47.864/51.500 — stable
+    # r17 solo min-of-3 (VERDICT r16 #2): the 6.0->8.2 s r16 in-suite
+    # move was late-suite pressure, not a regression
+    "q42_bloom_semijoin": 5.722,
     "stream_timer_sessions": 39.158,
     "dedup_decontaminate": 36.982,
     "emb_pca_power": 27.653,
