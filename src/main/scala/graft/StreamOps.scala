@@ -925,23 +925,30 @@ object StreamOps {
     Entry(
       "stream_topk",
       // Streaming daily top-k: watermarked daily (user, day) counts
-      // drain in Complete mode, then TopKAgg (q57's map-side-combine
+      // drain in Complete mode; TopKAgg (q57's map-side-combine
       // aggregate) picks the 3 most active users per day from the
       // windowed state — the "trending entities" pattern without a
-      // global sort. Oracle: the batch ranked-window equivalent.
+      // global sort. The rank reduction runs INSIDE foreachBatch, so
+      // each trigger's complete state collapses to days×3 rows ON THE
+      // EXECUTORS and only that sliver is ever written out: the first
+      // full-suite sf30 probe (r17) killed the previous memory-sink
+      // form on spark.driver.maxResultSize — Complete mode was
+      // shipping the whole ~30 M-row (day, user) state to the driver
+      // every trigger, the exact driver-bound anti-pattern a 100 TB
+      // deployment cannot contain. Oracle: the batch ranked-window
+      // equivalent.
       (s, dir) => {
         import org.apache.spark.sql.graft.DatasetBridge
+        val root = tempRoot("graft_stream_topk")
         val perUser = eventStream(s, dir)
           .withWatermark("ts", "1 hour")
           .groupBy(window(col("ts"), "1 day"), col("user_id"))
           .agg(count(lit(1)).as("n"))
-        val res = withShufflePartitions(s, 8)(
-          runOnce(s, perUser, OutputMode.Complete()))
         val topk = DatasetBridge.column(graft.functions.TopKAgg(
           DatasetBridge.expression(col("n").cast("double")),
           DatasetBridge.expression(col("user_id")), 3)
           .toAggregateExpression())
-        res.select(
+        def reduce(df: DataFrame): DataFrame = df.select(
             date_format(col("window.start"), "yyyy-MM-dd").as("day"),
             col("user_id"), col("n"))
           .groupBy(col("day"))
@@ -949,7 +956,20 @@ object StreamOps {
           .select(col("day"), posexplode(col("top")).as(Seq("pos", "e")))
           .select(col("day"), (col("pos") + 1).cast("bigint").as("rnk"),
             col("e.key").as("user_id"), col("e.ord").cast("bigint").as("n"))
-          .orderBy(col("day"), col("rnk"))
+        val q = withShufflePartitions(s, 8)(perUser.writeStream
+          .outputMode(OutputMode.Complete())
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
+              _: Long) =>
+            // Complete mode re-emits the FULL state each trigger, so
+            // overwriting with the latest reduction is exactly-once
+            // correct however the drain splits into micro-batches
+            reduce(batch.toDF()).coalesce(1)
+              .write.mode("overwrite").parquet(root)
+            ()
+          }.start())
+        q.awaitTermination()
+        s.read.parquet(root).orderBy(col("day"), col("rnk"))
       },
       Some("""SELECT day, rnk, user_id, n FROM (
           SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
