@@ -87,6 +87,12 @@ object Bench {
         if (!threw) { ok = true; if (dt < best) best = dt }
         r += 1
       }
+      // release the entry's registered scratch caches AFTER its reps
+      // (min-of-k still measures scratch-warm serving): without this,
+      // every entry's scratch stayed resident for the rest of the
+      // suite — the accumulation that OOM'd the 48 g sf10 run at
+      // entry 218/221 (r17; see Scratch's scaladoc)
+      Scratch.drain(spark)
       if (ok) Some(name -> best) else { errors += 1; None }
     }
     // Full per-query detail on separate lines (human/log readability);

@@ -902,11 +902,10 @@ object DedupOps {
           exprs => graft.functions.NgramHashes(exprs.head, 4), "scala_udf")
         // native one-pass hashed grams: same Jaccard, no per-gram
         // String allocation (see NgramHashes)
-        val grams = t(s, dir, "documents")
+        val grams = Scratch.reg(t(s, dir, "documents")
           .withColumn("grams", expr("graft_ngrams(text)"))
           .select(col("doc_id"), col("grams"),
-            xxhash64(substring(col("text"), 1, 16)).as("blk"))
-          .persist()
+            xxhash64(substring(col("text"), 1, 16)).as("blk")))
         val blocked = grams
           .withColumn("rn", row_number().over(
             org.apache.spark.sql.expressions.Window.partitionBy(col("blk"))
@@ -958,7 +957,7 @@ object DedupOps {
       // recall while the candidate join stays one hash-shuffle.
       (s, dir) => {
         dumpOracleBase(s, dir)
-        val keyed = embeddingBuckets(s, dir).persist()
+        val keyed = Scratch.reg(embeddingBuckets(s, dir))
         val l = keyed.select(col("bucket"), col("vec_id").as("a"),
           col("nv").as("e_a"))
         val r = keyed.select(col("bucket"), col("vec_id").as("b"),
@@ -1385,11 +1384,11 @@ object DedupOps {
     // re-executes per branch. Single-pass native winnowing
     // (graft.functions.WinnowFingerprints): no per-position String
     // gram allocation, no intermediate arrays.
-    val fp = winnowFp(docs).persist()
+    val fp = Scratch.reg(winnowFp(docs))
     val rare = fp.groupBy(col("fp")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDf && col("df") <= maxDf)
       .select(col("fp"))
-    val keyed = fp.join(broadcast(rare), "fp").persist()
+    val keyed = Scratch.reg(fp.join(broadcast(rare), "fp"))
     keyed.select(col("fp"), col("doc_id").as("a"))
       .join(keyed.select(col("fp"), col("doc_id").as("b")), "fp")
       .filter(col("a") < col("b"))

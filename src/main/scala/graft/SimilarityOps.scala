@@ -2615,10 +2615,9 @@ object MultimodalOps {
       // corpus scan, no corpus shuffle; the encode step pipelines into
       // the similarity projection.
       (s, dir) => {
-        val vecs = mmSource(s, dir).as(Encoders.product[MMIn])
+        val vecs = Scratch.reg(mmSource(s, dir).as(Encoders.product[MMIn])
           .mapPartitions(embedBatch)(Encoders.product[MMVec])
-          .toDF()
-          .persist()
+          .toDF())
         // dump the encoded unit vectors (the wrapping-hash stub encoder
         // is the one inexpressible step; KnnSpec pins its determinism)
         // so the oracle re-runs the whole ANN in SQL

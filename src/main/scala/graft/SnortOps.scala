@@ -917,11 +917,11 @@ object SnortOps {
         // single-pass parse+assembly per spool file (map-only stage;
         // see Unified2.alertsAssembled) — the join-based alerts() path
         // re-read every byte 3× and shuffled 4× for file-local keys
-        val alerts = Maps.enrichClassifications(
+        val alerts = Scratch.reg(Maps.enrichClassifications(
           Maps.enrichSignatures(
             Unified2.alertsAssembled(s, Seq(spool), "snort.log", "bulk1"),
             Maps.combinedSigMap(s, sid, gen)),
-          Maps.classMap(s, cls)).persist()
+          Maps.classMap(s, cls)))
         // dump the enriched pre-normalize base (parse+assembly output)
         // so the oracle independently re-derives the star cid windows
         // and dim keys at bulk scale; the persist keeps the ingest a

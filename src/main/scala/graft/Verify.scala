@@ -29,6 +29,9 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // release the query's registered scratch caches (see Scratch):
+      // a 221-query dump run otherwise accretes every entry's scratch
+      Scratch.drain(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

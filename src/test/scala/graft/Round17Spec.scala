@@ -145,6 +145,28 @@ class Round17Spec extends SparkSuite {
       s"candidates != Σ occ·probes − n ($crossTotal - $n)")
   }
 
+  test("Scratch: entry scratch caches drain back to baseline") {
+    // r17 suite-hygiene wave: per-entry scratch persists (ngram gram
+    // blocks, substring winnow fingerprints, ...) must be RELEASED by
+    // the harness drain, not pinned for the rest of a 221-entry run
+    // (the 48 g sf10 OOM at entry 218). Memoized per-session INDEX
+    // caches stay — the first run below materializes them, so the
+    // post-drain set must return exactly to that baseline.
+    for (name <- Seq("dedup_ngram_jaccard", "dedup_substring")) {
+      SparkEntry.queries(name)(spark, sfDir).count()
+      Scratch.drain(spark)
+      val baseline = spark.sparkContext.getPersistentRDDs.keySet
+      SparkEntry.queries(name)(spark, sfDir).count()
+      val during = spark.sparkContext.getPersistentRDDs.keySet
+      assert((during -- baseline).nonEmpty,
+        s"$name registered no scratch — did a site lose Scratch.reg?")
+      Scratch.drain(spark)
+      val after = spark.sparkContext.getPersistentRDDs.keySet
+      assert(after == baseline,
+        s"$name leaked scratch caches: ids ${after -- baseline}")
+    }
+  }
+
   test("reseed_pins.py refuses unadjudicated pin raises (self-test)") {
     // VERDICT r16 #3: the guard's own scenario matrix (raise>cap
     // without override = exit 1; with override = pass; sub-cap = pass)
