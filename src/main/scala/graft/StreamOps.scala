@@ -22,7 +22,6 @@ import graft.streaming.Spool
   */
 object StreamOps {
 
-  private val counter = new AtomicInteger(0)
 
   /** Temp root (checkpoint / per-epoch output) registered for recursive
     * deletion at JVM exit. The entries hand back LAZY reads over these
@@ -52,28 +51,56 @@ object StreamOps {
     p.toString
   }
 
-  /** Run a bounded streaming DataFrame to completion, return result. */
+  /** Run a bounded streaming DataFrame to completion, return result.
+    *
+    * The drain sink is foreachBatch → parquet ON THE EXECUTORS, not
+    * the memory sink: the memory sink collect()s every batch to the
+    * driver, which caps the whole streaming surface at
+    * spark.driver.maxResultSize — the sf30 full-suite probe (second
+    * r17 wave) killed stream_session there (1.17 GiB of closed
+    * sessions > the 1 GiB default), the same driver-bound
+    * anti-pattern the first r17 wave fixed inside stream_topk. A
+    * 100 TB deployment's drained output must stay distributed.
+    *
+    * Batch-dir layout makes the drain idempotent however the retry
+    * falls: Complete mode overwrites ONE snapshot dir per trigger
+    * (last trigger wins — exactly the memory-sink Complete
+    * semantics); Append/Update write each micro-batch to its own
+    * `b<batchId>` dir with overwrite, so a retried batch replaces
+    * itself and never duplicates (the memory sink appends batches in
+    * both modes). Read-back carries the pre-drain schema explicitly,
+    * so an all-empty drain still returns a typed empty relation.
+    */
   private def runOnce(s: SparkSession, df: DataFrame,
-      mode: OutputMode): DataFrame = {
-    val name = s"graft_stream_${counter.incrementAndGet()}"
-    val query = df.writeStream.format("memory").queryName(name)
-      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
-    query.awaitTermination()
-    s.table(name)
-  }
+      mode: OutputMode): DataFrame =
+    drainToParquet(s, df, mode, ckpt = None)
 
   /** As [[runOnce]] but with a checkpoint, so the final state-store
     * contents can be read back afterwards (state data source).
     */
   private def runOnceCheckpointed(s: SparkSession, df: DataFrame,
       mode: OutputMode): (DataFrame, String) = {
-    val name = s"graft_stream_${counter.incrementAndGet()}"
-    val ckpt = tempRoot(s"graft_ckpt_$name")
-    val query = df.writeStream.format("memory").queryName(name)
-      .option("checkpointLocation", ckpt)
-      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
-    query.awaitTermination()
-    (s.table(name), ckpt)
+    val ckpt = tempRoot("graft_ckpt")
+    (drainToParquet(s, df, mode, Some(ckpt)), ckpt)
+  }
+
+  private def drainToParquet(s: SparkSession, df: DataFrame,
+      mode: OutputMode, ckpt: Option[String]): DataFrame = {
+    val root = tempRoot("graft_drain")
+    val schema = df.schema
+    val isComplete = mode == OutputMode.Complete()
+    val w0 = df.writeStream
+      .outputMode(mode).trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
+          id: Long) =>
+        val dst = if (isComplete) s"$root/snap" else s"$root/b$id"
+        batch.toDF().write.mode("overwrite").parquet(dst)
+        ()
+      }
+    val w = ckpt.fold(w0)(c => w0.option("checkpointLocation", c))
+    w.start().awaitTermination()
+    s.read.schema(schema).option("recursiveFileLookup", "true")
+      .parquet(root)
   }
 
   /** Bounded drains over the small verify tables don't need 32 state
