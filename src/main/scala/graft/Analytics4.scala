@@ -556,7 +556,8 @@ object Analytics4 {
     * defaults; only single-JVM local mode needs it computed.
     */
   private[graft] def q71FuzzyMatch(s: org.apache.spark.sql.SparkSession,
-      dir: String, forceParts: Option[Int] = None)
+      dir: String, forceParts: Option[Int] = None,
+      lenBucket: Boolean = false)
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.graft.DatasetBridge
     val c = t(s, dir, "customer").select(col("c_nationkey"),
@@ -572,13 +573,23 @@ object Analytics4 {
       math.max(sessionParts,
         math.min(2048L, (buildBytes + (100L << 20) - 1) / (100L << 20)).toInt)
     }
+    // lenBucket (A/B only, VERDICT r17 #6): append floor(len/4) to
+    // the bucket key to split hot variant buckets by name length.
+    // UNSOUND in general — a dist-≤2 pair may straddle a div-4
+    // boundary (len 19 vs 20) and lose its shared bucket — and
+    // structurally inert on the fixtures (lengths are exactly
+    // {18, 24}, gap 6 > 2, and the variant HASH already separates
+    // every distinct variant string, so a function of the window
+    // cannot split a same-variant hot bucket). Measured + ledgered in
+    // SURVEY §20; the shipped entry keeps lenBucket=false.
+    val bkCols = Seq(col("c_nationkey"), col("c_mktsegment"), col("v")) ++
+      (if (lenBucket) Seq(floor(length(col("c_name")) / lit(4))) else Nil)
     val keyed = c
       .withColumn("v", explode(DatasetBridge.column(
         graft.functions.DeletionVariants(
           DatasetBridge.expression(col("c_name")), 2, 16))))
       .select(col("c_custkey").as("key"),
-        xxhash64(col("c_nationkey"), col("c_mktsegment"), col("v"))
-          .as("bk"))
+        xxhash64(bkCols: _*).as("bk"))
       .repartition(parts, col("bk"))
     // shuffle_hash hint: the planner sizes this self-join from the
     // customer FILE bytes, not the ~137x variant explode, so unhinted

@@ -100,6 +100,11 @@ object Bench {
     results.toSeq.sortBy(-_._2).foreach { case (k, v) =>
       println(f"BENCHQ $k%-28s $v%8.3f s")
     }
+    // standing-index cache footprint (VERDICT r17 #5): the tracked
+    // materialized bytes of every IndexCache artifact this run warmed
+    // — the number a long-lived host watches (and bounds via
+    // graft.index.cacheBudgetBytes). Diagnostic line, not the metric.
+    println(s"BENCHCACHE index_cache_bytes=${IndexCache.sizeBytes(spark)}")
     // stop() BEFORE the metric line: any logging Spark emits during
     // shutdown must not land after it (the driver parses the last
     // stdout line; build.sbt suppresses sbt's [success] footer too).

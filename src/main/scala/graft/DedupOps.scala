@@ -48,10 +48,9 @@ object DedupOps {
 
   // shingles feed both dedup_minhash and dedup_clusters: share ONE
   // persisted copy per (session, dir) instead of leaking a new persist
-  // per entry invocation (weak session keys, as in SimilarityOps)
-  private val shingleCache =
-    new java.util.WeakHashMap[SparkSession,
-      scala.collection.concurrent.TrieMap[String, DataFrame]]()
+  // per entry invocation. All standing signature/store artifacts live
+  // in graft.IndexCache (weak session keys + size accounting +
+  // optional LRU corpus eviction — VERDICT r17 #5).
 
   // single scratch slot for the simhash depth-probe's persisted
   // distinct-sig set (see dedupSimhash): weak session key, swapped —
@@ -59,13 +58,8 @@ object DedupOps {
   private val simhashScratch =
     new java.util.WeakHashMap[SparkSession, DataFrame]()
 
-  private def shingledCached(s: SparkSession, dir: String): DataFrame = {
-    val perSession = shingleCache.synchronized {
-      shingleCache.computeIfAbsent(s,
-        _ => scala.collection.concurrent.TrieMap.empty[String, DataFrame])
-    }
-    perSession.getOrElseUpdate(dir, shingled(s, dir).persist())
-  }
+  private def shingledCached(s: SparkSession, dir: String): DataFrame =
+    IndexCache.getOrBuild(s, dir, "shingles")(shingled(s, dir).persist())
 
   /** MinHash-LSH verified near-dup pairs `(a, b, jaccard)` — the body
     * of `dedup_minhash`, shared with `dedup_clusters`.
@@ -82,10 +76,7 @@ object DedupOps {
       "graft_minhash", exprs => graft.functions.MinHashSig(exprs.head),
       "scala_udf")
     val sh = shingledCached(s, dir)
-    shingleCache.synchronized {
-      shingleCache.computeIfAbsent(s,
-        _ => scala.collection.concurrent.TrieMap.empty[String, DataFrame])
-    }.getOrElseUpdate(s"$dir#banded", {
+    IndexCache.getOrBuild(s, dir, "banded") {
       val sig = sh.withColumn("sig", expr("graft_minhash(shingles)"))
       sig.select(col("doc_id"),
           posexplode(expr(
@@ -93,7 +84,7 @@ object DedupOps {
             .as(Seq("band", "bkey")))
         .select(col("band"), col("bkey"), col("doc_id"))
         .persist()
-    })
+    }
   }
 
   /** Word 6-grams per document — dedup_incremental_bloom's unit,
@@ -135,12 +126,8 @@ object DedupOps {
     * codegen'd Bloom probe is the per-batch cost bound now; measured
     * at the sf10 decade solo min-of-3: 47.6 → see SURVEY §17.
     */
-  private def histGramStore(s: SparkSession, dir: String): DataFrame = {
-    val perSession = shingleCache.synchronized {
-      shingleCache.computeIfAbsent(s,
-        _ => scala.collection.concurrent.TrieMap.empty[String, DataFrame])
-    }
-    perSession.getOrElseUpdate(s"$dir#histgrams", {
+  private def histGramStore(s: SparkSession, dir: String): DataFrame =
+    IndexCache.getOrBuild(s, dir, "histgrams") {
       OracleDumps.housekeep(s)
       val store = "target/graft_scratch/histgram_store_" +
         OracleDumps.scratchSlug(dir) + "_" +
@@ -149,8 +136,7 @@ object DedupOps {
         .select(col("doc_id").as("hist_doc"), col("gram"))
         .write.mode("overwrite").parquet(store)
       s.read.parquet(store)
-    })
-  }
+    }
 
   /** The STANDING corpus's 6-gram Bloom — the ~MB index artifact the
     * incremental gate probes. Built once per (session, corpus) from
@@ -159,15 +145,10 @@ object DedupOps {
     * batches); the entry's timing then measures the per-batch serving
     * cost, which is the recurring one.
     */
-  private def histGramBloom(s: SparkSession, dir: String): DataFrame = {
-    val perSession = shingleCache.synchronized {
-      shingleCache.computeIfAbsent(s,
-        _ => scala.collection.concurrent.TrieMap.empty[String, DataFrame])
-    }
-    perSession.getOrElseUpdate(s"$dir#histbloom",
+  private def histGramBloom(s: SparkSession, dir: String): DataFrame =
+    IndexCache.getOrBuild(s, dir, "histbloom")(
       gramBloom(histGramStore(s, dir).select(col("gram")), 1000000L)
         .persist())
-  }
 
   /** Pre-materialize the session signature caches (shingles + banded
     * MinHash sigs + the standing-corpus gram Bloom) — signature-store
@@ -402,12 +383,8 @@ object DedupOps {
     * applicationId-unique so concurrent sessions sharing
     * target/graft_scratch never race on one store.
     */
-  private def minhashStoreHist(s: SparkSession, dir: String): DataFrame = {
-    val perSession = shingleCache.synchronized {
-      shingleCache.computeIfAbsent(s,
-        _ => scala.collection.concurrent.TrieMap.empty[String, DataFrame])
-    }
-    perSession.getOrElseUpdate(s"$dir#store", {
+  private def minhashStoreHist(s: SparkSession, dir: String): DataFrame =
+    IndexCache.getOrBuild(s, dir, "minhash_store") {
       OracleDumps.housekeep(s)
       val store = "target/graft_scratch/minhash_store_" +
         OracleDumps.scratchSlug(dir) + "_" +
@@ -416,8 +393,7 @@ object DedupOps {
         .repartition(col("band"))
         .write.mode("overwrite").partitionBy("band").parquet(store)
       s.read.parquet(store)
-    })
-  }
+    }
 
   private def minhashPairs(s: SparkSession, dir: String): DataFrame = {
     withJaccardRewrite(s)

@@ -25,18 +25,54 @@ import org.apache.spark.sql.{Dataset, SparkSession}
   * serving, same as before — and Verify per query) calls [[drain]].
   * Unpersist is idempotent, so re-registration across reps (the
   * CacheManager dedups the plan to one resident copy) is harmless.
-  * A host that never drains behaves exactly as before this class
-  * existed — registration alone changes nothing.
+  * A host that never drains keeps its cached plans resident exactly
+  * as bare `.persist()` would — registration alone changes nothing
+  * about cache lifetime; it only makes release POSSIBLE.
+  *
+  * Scope contract (ADVICE r17): registration is per SESSION, not per
+  * query — [[drain]] releases EVERYTHING registered on the session
+  * since the last drain. A host that runs queries concurrently on one
+  * session (Thrift server, shared notebook) must therefore drain only
+  * at quiesce points (no query in flight), or give each query its own
+  * `spark.newSession()` (scratch and drain then scope to that child
+  * session naturally, since registration keys on the session object).
+  * The in-repo harnesses run entries sequentially, which is the
+  * single-query-at-a-time shape this contract describes.
+  *
+  * Leak note (ADVICE r17): entries hold strong Dataset refs until
+  * drained — a WeakReference value would let the wrapper be GC'd
+  * before drain and leak the CacheManager entry it was supposed to
+  * release. Instead, [[reg]] and [[drain]] purge entries whose
+  * session's SparkContext has stopped (their cached blocks died with
+  * the executors; only the plan graphs linger), so an abandoned
+  * STOPPED session can no longer pin its session + plans for the
+  * JVM's life. An abandoned still-RUNNING session is indistinguishable
+  * from an in-flight query and remains the host's drain
+  * responsibility, per the scope contract above.
   */
 object Scratch {
   private val reg =
     new java.util.WeakHashMap[SparkSession,
       scala.collection.mutable.ListBuffer[Dataset[_]]]()
 
+  /** Drop entries whose SparkContext has stopped: their cached blocks
+    * are already gone (block manager died with the context), so the
+    * registry must not keep the dead session + its plan graphs
+    * strongly reachable. Caller must hold the `reg` lock.
+    */
+  private def purgeStopped(): Unit = {
+    val it = reg.keySet().iterator()
+    while (it.hasNext) {
+      val s = it.next()
+      if (s != null && s.sparkContext.isStopped) it.remove()
+    }
+  }
+
   /** Persist `ds` and register it for the next [[drain]]. */
   def reg[T](ds: Dataset[T]): Dataset[T] = {
     val s = ds.sparkSession
     reg.synchronized {
+      purgeStopped()
       var buf = reg.get(s)
       if (buf == null) {
         buf = scala.collection.mutable.ListBuffer.empty[Dataset[_]]
@@ -52,7 +88,7 @@ object Scratch {
     * through [[reg]].
     */
   def drain(s: SparkSession): Unit = {
-    val buf = reg.synchronized(reg.remove(s))
+    val buf = reg.synchronized { purgeStopped(); reg.remove(s) }
     if (buf != null) buf.foreach { ds =>
       try ds.unpersist(blocking = false)
       catch { case scala.util.control.NonFatal(_) => () }

@@ -159,6 +159,64 @@ object SimilarityOps {
     KnnGraphStagePlans(probes, scored, top, mutual)
   }
 
+  /** knn_hybrid's JOIN-FREE lexical ranking (VERDICT r17 #4): top-50
+    * (qid, vec_id, lex_rank) by idf-weighted term overlap, with the
+    * per-query (term → idf_q) weight maps folded into PLAN LITERALS
+    * (the text_classify zero-exchange trick) so every corpus doc
+    * computes its ≤5 overlap scores in one codegen'd map-side
+    * projection — no posting-list equi-join, no (qid, doc) groupBy
+    * shuffle; the only exchange left is TopKAgg's ≤ tasks·queries·k
+    * partials. Round18Spec pins output ≡ the posting-join
+    * formulation it replaced.
+    */
+  private[graft] def hybridLexTop(docs: DataFrame, tok: DataFrame,
+      idfTbl: DataFrame): DataFrame = {
+    import TextOps.words
+    // query-term weight maps: ≤5 query docs × ≤1024 top-idf terms
+    // each — a BOUNDED driver artifact (same class as text_classify's
+    // ≤4096-bucket collect); the 1024 cap (top idf, term tiebreak) is
+    // never binding on short queries and keeps a pathological
+    // book-length query from bloating the plan
+    val wQ = Window.partitionBy(col("qid"))
+      .orderBy(col("idf_q").desc, col("term"))
+    val qrows = tok.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("qid"), col("term"))
+      .join(idfTbl, Seq("term"))
+      .withColumn("rn", row_number().over(wQ))
+      .filter(col("rn") <= 1024)
+      .select(col("qid"), col("term"), col("idf_q"))
+      .collect()
+    val qmaps = qrows.groupBy(_.getLong(0)).toSeq.sortBy(_._1)
+      .map { case (qid, rows) =>
+        qid -> typedLit(
+          rows.map(r => r.getString(1) -> r.getLong(2)).toMap)
+      }
+    // per-doc map-side scoring: matched = the doc's distinct terms
+    // present in query q's literal map; lexs = Σ idf over matched
+    // (exactly the old posting join's per-(qid, doc) sum — pairs
+    // sharing NO term never surface, matching the inner join, and a
+    // shared all-corpus term with idf 0 still does via cnt > 0).
+    // idf_q sums stay < 2^53 (≤ vocab · ln(N)·1e9) — exact as the
+    // double TopKAgg orders by, cast back losslessly after ranking
+    val perQ = qmaps.map { case (qid, m) =>
+      val matched = filter(col("ts"), tm => map_contains_key(m, tm))
+      struct(lit(qid).as("qid"), size(matched).as("cnt"),
+        aggregate(matched, lit(0L),
+          (acc, tm) => acc + element_at(m, tm)).as("lexs"))
+    }
+    val lex = docs
+      .select(col("doc_id"),
+        array_distinct(words(lower(col("text")))).as("ts"))
+      .select(col("doc_id"), explode(array(perQ: _*)).as("e"))
+      .filter(col("e.cnt") > 0 && col("doc_id") =!= col("e.qid"))
+      .select(col("e.qid").as("qid"), col("doc_id"),
+        col("e.lexs").as("lexs"))
+    topkPerQuery(
+        lex.select(col("qid"), col("doc_id").as("vec_id"),
+          col("lexs").cast("double").as("lexs")), "lexs", 50)
+      .select(col("qid"), col("vec_id"), col("rank").as("lex_rank"))
+  }
+
   private def topkPerQuery(scored: DataFrame, simCol: String,
       k: Int): DataFrame = {
     val topk = DatasetBridge.column(graft.functions.TopKAgg(
@@ -180,21 +238,13 @@ object SimilarityOps {
   // one training run per (session, corpus): knn_ivf and
   // knn_ivf_persist share the trained centroids like a real deployment
   // shares its index, instead of re-running Lloyd per query entry.
-  // WEAK session keys so a stopped/discarded SparkSession doesn't stay
-  // pinned (with its persisted blocks) by this cache; regenerating the
-  // parquet under `dir` in place requires a fresh session (or
-  // restart), the same contract as a versioned on-disk index.
-  private val centroidCache =
-    new java.util.WeakHashMap[SparkSession,
-      scala.collection.concurrent.TrieMap[String, DataFrame]]()
-
-  private def centroids(s: SparkSession, dir: String): DataFrame = {
-    val perSession = centroidCache.synchronized {
-      centroidCache.computeIfAbsent(s,
-        _ => scala.collection.concurrent.TrieMap.empty[String, DataFrame])
-    }
-    perSession.getOrElseUpdate(dir, trainCentroids(s, dir))
-  }
+  // All standing index artifacts live in graft.IndexCache (weak
+  // session keys + size accounting + optional LRU corpus eviction —
+  // VERDICT r17 #5); regenerating the parquet under `dir` in place
+  // needs a fresh session or IndexCache.evictCorpus, the same contract
+  // as a versioned on-disk index.
+  private def centroids(s: SparkSession, dir: String): DataFrame =
+    IndexCache.getOrBuild(s, dir, "ivf_cen")(trainCentroids(s, dir))
 
   /** Cell assignments of the whole corpus — the OTHER half of the IVF
     * index, cached like the centroids. The argmax fold is O(cells ×
@@ -203,12 +253,8 @@ object SimilarityOps {
     * entry tax at the sf1 decade (knn_ivf 17 s, of which ~7 s was
     * re-assignment); a real deployment assigns once at index time.
     */
-  private[graft] def assignedCached(s: SparkSession, dir: String): DataFrame = {
-    val perSession = centroidCache.synchronized {
-      centroidCache.computeIfAbsent(s,
-        _ => scala.collection.concurrent.TrieMap.empty[String, DataFrame])
-    }
-    perSession.getOrElseUpdate(s"$dir#assigned",
+  private[graft] def assignedCached(s: SparkSession, dir: String): DataFrame =
+    IndexCache.getOrBuild(s, dir, "ivf_assigned")(
       // repartition by CPU budget, not input bytes: the argmax kernel
       // is compute-bound (cells × dims per vector), so a 128 MB
       // single-split parquet would otherwise run the whole corpus
@@ -218,7 +264,6 @@ object SimilarityOps {
           col("embedding"), centroids(s, dir))
         .select(col("cell"), col("vec_id"), col("embedding"))
         .persist())
-  }
 
   /** Per-cell angular radius — the third index artifact, alongside the
     * centroids and assignments: `min_cdot` = the smallest dot between a
@@ -229,18 +274,13 @@ object SimilarityOps {
     * contain a τ-match. One map-side-combined groupBy(cell) over the
     * cached assignments, computed once per (session, corpus).
     */
-  private def cellRadii(s: SparkSession, dir: String): DataFrame = {
-    val perSession = centroidCache.synchronized {
-      centroidCache.computeIfAbsent(s,
-        _ => scala.collection.concurrent.TrieMap.empty[String, DataFrame])
-    }
-    perSession.getOrElseUpdate(s"$dir#radii",
+  private def cellRadii(s: SparkSession, dir: String): DataFrame =
+    IndexCache.getOrBuild(s, dir, "ivf_radii")(
       assignedCached(s, dir)
         .join(broadcast(centroids(s, dir)), "cell")
         .withColumn("d", Vectors.dot(col("embedding"), col("cvec")))
         .groupBy(col("cell")).agg(min(col("d")).as("min_cdot"))
         .persist())
-  }
 
   /** Standing BASE index for the incremental-refresh lifecycle
     * (knn_ivf_refresh): centroids trained on the base corpus only
@@ -252,21 +292,17 @@ object SimilarityOps {
     */
   private[graft] def refreshBase(s: SparkSession, dir: String)
       : (DataFrame, DataFrame, DataFrame) = {
-    val perSession = centroidCache.synchronized {
-      centroidCache.computeIfAbsent(s,
-        _ => scala.collection.concurrent.TrieMap.empty[String, DataFrame])
-    }
     // CPU-budget repartition before the compute-bound argmax, as in
     // assignedCached (a single-split parquet would single-core it)
     val base = embeddings(s, dir).filter(col("vec_id") % 7 =!= 3)
       .repartition(s.sparkContext.defaultParallelism)
-    val cen = perSession.getOrElseUpdate(s"$dir#refresh_cen",
+    val cen = IndexCache.getOrBuild(s, dir, "ivf_refresh_cen")(
       trainCentroidsOn(base))
-    val asg = perSession.getOrElseUpdate(s"$dir#refresh_asg",
+    val asg = IndexCache.getOrBuild(s, dir, "ivf_refresh_asg")(
       withNearestCell(base, col("embedding"), cen)
         .select(col("cell"), col("vec_id"), col("embedding"))
         .persist())
-    val radii = perSession.getOrElseUpdate(s"$dir#refresh_radii",
+    val radii = IndexCache.getOrBuild(s, dir, "ivf_refresh_radii")(
       asg.join(broadcast(cen), "cell")
         .withColumn("d", Vectors.dot(col("embedding"), col("cvec")))
         .groupBy(col("cell")).agg(min(col("d")).as("min_cdot"))
@@ -313,17 +349,8 @@ object SimilarityOps {
     * (ADVICE r16: the gate previously ran an unconditional count job
     * per invocation).
     */
-  private val countCache =
-    new java.util.WeakHashMap[SparkSession,
-      scala.collection.concurrent.TrieMap[String, Long]]()
-
-  private[graft] def corpusCount(s: SparkSession, dir: String): Long = {
-    val perSession = countCache.synchronized {
-      countCache.computeIfAbsent(s,
-        _ => scala.collection.concurrent.TrieMap.empty[String, Long])
-    }
-    perSession.getOrElseUpdate(dir, assignedCached(s, dir).count())
-  }
+  private[graft] def corpusCount(s: SparkSession, dir: String): Long =
+    IndexCache.getOrBuild(s, dir, "count")(assignedCached(s, dir).count())
 
   def warmCaches(s: SparkSession, dir: String): Unit = {
     val emb = embeddings(s, dir)
@@ -556,21 +583,12 @@ object SimilarityOps {
     * half of the lifecycle is that entry's point; serving paths use
     * this cached form.
     */
-  private val indexPathCache =
-    new java.util.WeakHashMap[SparkSession,
-      scala.collection.concurrent.TrieMap[String, String]]()
-
-  def ensureIndex(s: SparkSession, dir: String): String = {
-    val perSession = indexPathCache.synchronized {
-      indexPathCache.computeIfAbsent(s,
-        _ => scala.collection.concurrent.TrieMap.empty[String, String])
-    }
-    perSession.getOrElseUpdate(dir, {
+  def ensureIndex(s: SparkSession, dir: String): String =
+    IndexCache.getOrBuild(s, dir, "ivf_path") {
       val idx = ivfStorePath(s, dir)
       writeIndex(s, dir, idx)
       idx
-    })
-  }
+    }
 
   /** Corpus- AND applicationId-scoped store path: concurrent JVMs on
     * the same corpus (test suite + bench) must never overwrite each
@@ -1079,18 +1097,27 @@ object SimilarityOps {
       // fused per query by reciprocal-rank fusion
       // (rrf = Σ 1/(60+rank), Cormack et al., SIGIR'09). Queries are
       // the 5 docs with doc_id < 5 (vec_id aligns 1:1 with doc_id in
-      // the corpus). Scale shape: the lexical side is an inverted-
-      // index probe — corpus (doc, term) postings equi-joined against
-      // the BROADCAST query-term set, so only the query terms'
-      // posting lists are ever touched and the corpus never shuffles
-      // for scoring (production adds a df-band cut for stop-frequency
-      // terms, as dedup_ngram_jaccard does); the dense side is
-      // knn_brute's broadcast-queries scan. Both sides rank through
-      // the k-bounded TopKAgg (shuffles ≤ tasks·queries·k partials),
-      // and fusion is a ≤100-rows-per-query outer join. Ranks are
-      // integers and rrf is two IEEE divisions added in fixed order,
-      // so the fused list hash-matches; ln lives only in idf, which
-      // is dumped (bm25's contract).
+      // the corpus). Scale shape: the lexical side is JOIN-FREE
+      // (VERDICT r17 #4) — the query side is ≤5 short docs, so their
+      // (term → idf) weight maps fold into PLAN LITERALS (the
+      // text_classify zero-exchange trick) and every corpus doc
+      // computes its 5 overlap scores in one codegen'd map-side
+      // projection; no posting-list equi-join, no (qid, doc) groupBy
+      // shuffle — the only exchange left is TopKAgg's ≤
+      // tasks·queries·k partials. (The r17 verdict suggested a
+      // df ∈ [2, cap] stop-term band instead; measured on this corpus
+      // the band is DEGENERATE — the vocab is 31 terms, every one at
+      // df ≈ 0.78·N, so any fractional cap drops either nothing or
+      // the entire lexical signal. The plan-literal rewrite removes
+      // the stop-term JOIN COST bit-identically instead of changing
+      // retrieval semantics; per-query literal maps are capped at
+      // 1024 top-idf terms — never binding on short queries — so a
+      // pathological book-length query cannot bloat the plan.) The
+      // dense side is knn_brute's broadcast-queries scan. Fusion is a
+      // ≤100-rows-per-query outer join. Ranks are integers and rrf is
+      // two IEEE divisions added in fixed order, so the fused list
+      // hash-matches; ln lives only in idf, which is dumped (bm25's
+      // contract).
       (s, dir) => {
         import TextOps.words
         val docs = t(s, dir, "documents")
@@ -1105,20 +1132,7 @@ object SimilarityOps {
           .select(col("term"), col("idf_q"))
         idfTbl.coalesce(1).write.mode("overwrite")
           .parquet(s"${OracleDumps.root(s, dir)}/knn/hybrid_idf")
-        val qtok = tok.filter(col("doc_id") < 5)
-          .select(col("doc_id").as("qid"), col("term"))
-        val lex = tok.join(broadcast(qtok), Seq("term"))
-          .filter(col("doc_id") =!= col("qid"))
-          .join(broadcast(idfTbl), Seq("term"))
-          .groupBy(col("qid"), col("doc_id"))
-          .agg(sum(col("idf_q")).as("lexs"))
-        // idf_q sums stay < 2^53 (≤ vocab · ln(N)·1e9) — exact as the
-        // double TopKAgg orders by, cast back losslessly after ranking
-        val lexTop = topkPerQuery(
-            lex.select(col("qid"), col("doc_id").as("vec_id"),
-              col("lexs").cast("double").as("lexs")), "lexs", 50)
-          .select(col("qid"), col("vec_id"),
-            col("rank").as("lex_rank"))
+        val lexTop = hybridLexTop(docs, tok, idfTbl)
         val emb = embeddings(s, dir)
         val qv = emb.filter(col("vec_id") < 5)
           .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
@@ -2154,21 +2168,12 @@ object SimilarityOps {
   /** Codebook size per subspace. */
   private val PqK = 16
 
-  private val pqIndexCache =
-    new java.util.WeakHashMap[SparkSession,
-      scala.collection.concurrent.TrieMap[String, (DataFrame, DataFrame)]]()
-
   /** Train-or-reuse the PQ index for the session corpus (same caching
     * contract as the IVF centroids).
     */
   private def pqIndex(s: SparkSession, dir: String,
-      emb: DataFrame): (DataFrame, DataFrame) = {
-    val perSession = pqIndexCache.synchronized {
-      pqIndexCache.computeIfAbsent(s,
-        _ => scala.collection.concurrent.TrieMap.empty[String, (DataFrame, DataFrame)])
-    }
-    perSession.getOrElseUpdate(dir, trainPq(emb))
-  }
+      emb: DataFrame): (DataFrame, DataFrame) =
+    IndexCache.getOrBuild(s, dir, "pq")(trainPq(emb))
 
   /** Standing BASE PQ index for the incremental-refresh lifecycle
     * (knn_pq_refresh): codebooks + codes trained on the base corpus
@@ -2176,14 +2181,9 @@ object SimilarityOps {
     * refresh), cached per (session, corpus) like pqIndex.
     */
   private[graft] def pqRefreshBase(s: SparkSession, dir: String)
-      : (DataFrame, DataFrame) = {
-    val perSession = pqIndexCache.synchronized {
-      pqIndexCache.computeIfAbsent(s,
-        _ => scala.collection.concurrent.TrieMap.empty[String, (DataFrame, DataFrame)])
-    }
-    perSession.getOrElseUpdate(s"$dir#refresh",
+      : (DataFrame, DataFrame) =
+    IndexCache.getOrBuild(s, dir, "pq_refresh")(
       trainPq(embeddings(s, dir).filter(col("vec_id") % 7 =!= 3)))
-  }
 
   /** Encode a NEW vector batch with the EXISTING codebooks — no
     * codebook retrain, O(batch) work (one broadcast of the ~128-row

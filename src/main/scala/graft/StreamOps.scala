@@ -12,9 +12,11 @@ import graft.streaming.Spool
 
 /** Structured Streaming operators (SURVEY.md §2.D). Each `queries`
   * entry drives a real streaming query to completion with
-  * Trigger.AvailableNow into a memory sink, so the driver's batch
-  * harness can verify streaming semantics; the batch-equivalent oracle
-  * SQL checks the result against DuckDB where expressible.
+  * Trigger.AvailableNow through an executor-side parquet drain
+  * ([[drainToParquet]] — never the driver-collecting memory sink), so
+  * the driver's batch harness can verify streaming semantics; the
+  * batch-equivalent oracle SQL checks the result against DuckDB where
+  * expressible.
   *
   * Scale: these are the same plans you'd run unbounded — watermarked
   * window aggregation state, keyed dedup state and per-key session
@@ -44,12 +46,32 @@ object StreamOps {
       while (p != null) { rm(p.toFile); p = tempRoots.poll() }
     }))
   }
-  private def tempRoot(prefix: String): String = {
-    tempRootHook
-    val p = java.nio.file.Files.createTempDirectory(prefix)
-    tempRoots.add(p)
-    p.toString
-  }
+  /** Scratch root for drains / checkpoints / versioned upsert stores.
+    * Driver-local java.io.tmpdir by DEFAULT — correct under single-JVM
+    * local mode, where executor tasks and the driver share one
+    * filesystem. On a real multi-node cluster the drained parquet is
+    * written BY EXECUTOR TASKS, so the root must live on a filesystem
+    * all nodes share: set `graft.stream.scratchRoot` to any Hadoop-FS
+    * URI (HDFS, s3a://, a mounted shared volume) and every drain,
+    * checkpoint and upsert store lands under it instead (ADVICE r17 —
+    * the local default silently reads back nothing if executors wrote
+    * to their own local disks).
+    */
+  private def tempRoot(s: SparkSession, prefix: String): String =
+    s.conf.getOption("graft.stream.scratchRoot") match {
+      case Some(base) =>
+        val p = new org.apache.hadoop.fs.Path(base,
+          s"${prefix}_${java.util.UUID.randomUUID().toString.take(8)}")
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.mkdirs(p)
+        fs.deleteOnExit(p) // best-effort cleanup when the FS closes
+        p.toString
+      case None =>
+        tempRootHook
+        val p = java.nio.file.Files.createTempDirectory(prefix)
+        tempRoots.add(p)
+        p.toString
+    }
 
   /** Run a bounded streaming DataFrame to completion, return result.
     *
@@ -80,13 +102,13 @@ object StreamOps {
     */
   private def runOnceCheckpointed(s: SparkSession, df: DataFrame,
       mode: OutputMode): (DataFrame, String) = {
-    val ckpt = tempRoot("graft_ckpt")
+    val ckpt = tempRoot(s, "graft_ckpt")
     (drainToParquet(s, df, mode, Some(ckpt)), ckpt)
   }
 
   private def drainToParquet(s: SparkSession, df: DataFrame,
       mode: OutputMode, ckpt: Option[String]): DataFrame = {
-    val root = tempRoot("graft_drain")
+    val root = tempRoot(s, "graft_drain")
     val schema = df.schema
     val isComplete = mode == OutputMode.Complete()
     val w0 = df.writeStream
@@ -357,9 +379,20 @@ object StreamOps {
     * the bench entry runs un-checkpointed, exactly the r16 plan.
     */
   private[graft] def timerSessionsDrain(s: SparkSession, dir: String,
-      checkpointed: Boolean): (DataFrame, Option[String]) = {
-    val gapUs = TimerSessGapUs
-    val root = tempRoot("graft_timer_sess")
+      checkpointed: Boolean): (DataFrame, Option[String]) =
+    timerSessStream(s, timerSessPrep(s, dir), checkpointed)
+
+  /** Source-prep stage of [[timerSessionsDrain]], factored so
+    * TimerSessStages can time prep / stream / read-back independently
+    * (VERDICT r17 #3): write the events as 4 time-ordered bucket
+    * files (sequential appends → increasing mtimes → in-order
+    * file-source batches; each bucket must stay ONE file, because
+    * with maxFilesPerTrigger=1 a bucket split across unordered files
+    * would let the watermark pass an unread file and drop its rows as
+    * late). Returns the bucket-file root.
+    */
+  private[graft] def timerSessPrep(s: SparkSession, dir: String): String = {
+    val root = tempRoot(s, "graft_timer_sess")
     val ev = t(s, dir, "events").select(col("user_id"), col("event_id"),
       unix_micros(col("ts")).as("us"))
     val Array(lo, hi) = ev.agg(min(col("us")), max(col("us")))
@@ -370,6 +403,16 @@ object StreamOps {
           col("us") < lo + span * (i + 1) / 4)
         .coalesce(1).write.mode("append").parquet(root)
     }
+    root
+  }
+
+  /** Stream stage of [[timerSessionsDrain]]: drive the event-time
+    * timer sessionization over the prepared bucket files to
+    * completion; the returned frame is the LAZY drained read-back.
+    */
+  private[graft] def timerSessStream(s: SparkSession, root: String,
+      checkpointed: Boolean): (DataFrame, Option[String]) = {
+    val gapUs = TimerSessGapUs
     import s.implicits._
     // timers keep a second column family → RocksDB provider, like
     // the other transformWithState entries
@@ -864,7 +907,7 @@ object StreamOps {
       // the final store equals the batch latest-per-key regardless of
       // how the drain splits into micro-batches (the oracle).
       (s, dir) => {
-        val root = tempRoot("graft_upsert")
+        val root = tempRoot(s, "graft_upsert")
         val evs = eventStream(s, dir).select(
           col("user_id"), col("event_id"),
           unix_micros(col("ts").cast("timestamp")).as("us"),
@@ -966,7 +1009,7 @@ object StreamOps {
       // equivalent.
       (s, dir) => {
         import org.apache.spark.sql.graft.DatasetBridge
-        val root = tempRoot("graft_stream_topk")
+        val root = tempRoot(s, "graft_stream_topk")
         val perUser = eventStream(s, dir)
           .withWatermark("ts", "1 hour")
           .groupBy(window(col("ts"), "1 day"), col("user_id"))
@@ -1024,7 +1067,7 @@ object StreamOps {
       (s, dir) => {
         SimilarityOps.dumpOracleBase(s, dir)
         val idx = SimilarityOps.ensureIndex(s, dir)
-        val root = tempRoot("graft_stream_knn")
+        val root = tempRoot(s, "graft_stream_knn")
         val emb = s.read.parquet(s"$dir/embeddings.parquet")
         val qs = s.readStream.schema(emb.schema)
           .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
@@ -1063,7 +1106,7 @@ object StreamOps {
       // it anyway.
       (s, dir) => {
         SimilarityOps.dumpOracleBase(s, dir)
-        val root = tempRoot("graft_stream_semdedup")
+        val root = tempRoot(s, "graft_stream_semdedup")
         val emb = s.read.parquet(s"$dir/embeddings.parquet")
         val qs = s.readStream.schema(emb.schema)
           .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
@@ -1096,7 +1139,7 @@ object StreamOps {
       // epoch via overwrite-by-batch dirs). Oracle: the batch as-of
       // (q29's shape) — stream splitting must not change a single row.
       (s, dir) => {
-        val root = tempRoot("graft_stream_asof")
+        val root = tempRoot(s, "graft_stream_asof")
         val ev = t(s, dir, "events")
         val sg = ev.filter(col("event_type") === "signup")
           .select(col("user_id").as("s_user_id"),

@@ -89,11 +89,9 @@ object TextOps {
 
   // one training run per (session, corpus), like the IVF/PQ index
   // caches: the LM is an offline-trained artifact every scoring call
-  // (batch entry, stream entry, bench reps) shares. WEAK session keys
-  // so a discarded session doesn't stay pinned by the cache.
-  private val lmCache =
-    new java.util.WeakHashMap[SparkSession,
-      scala.collection.concurrent.TrieMap[String, DataFrame]]()
+  // (batch entry, stream entry, bench reps) shares. Lives in
+  // graft.IndexCache (weak session keys + size accounting + optional
+  // LRU corpus eviction — VERDICT r17 #5).
 
   /** Add-0.5-smoothed bigram model trained on the batch documents
     * table. `lnp_q` = round(ln p · 1e12) as a LONG: scoring then sums
@@ -103,12 +101,8 @@ object TextOps {
     * dumped integers (the dump is the oracle's model too, like bm25's
     * idf). Persisted + dumped once per (session, corpus).
     */
-  private[graft] def lmModel(s: SparkSession, dir: String): DataFrame = {
-    val perSession = lmCache.synchronized {
-      lmCache.computeIfAbsent(s,
-        _ => scala.collection.concurrent.TrieMap.empty[String, DataFrame])
-    }
-    perSession.getOrElseUpdate(dir, {
+  private[graft] def lmModel(s: SparkSession, dir: String): DataFrame =
+    IndexCache.getOrBuild(s, dir, "lm") {
       val bi = lmBigrams(
         t(s, dir, "documents").select(col("doc_id"), col("text")))
       val c2 = bi.groupBy(col("w1"), col("w2"))
@@ -124,8 +118,7 @@ object TextOps {
       model.coalesce(1).write.mode("overwrite")
         .parquet(s"${OracleDumps.root(s, dir)}/text/lm_bigrams")
       model
-    })
-  }
+    }
 
   /** Mean negative log-likelihood per doc (quantized at 1e-12
     * nats/bigram by the model — see lmModel): equi-join on the (w1,w2)
@@ -183,10 +176,6 @@ object TextOps {
     */
   private[graft] val ClsBuckets = 4096
 
-  private val clsCache =
-    new java.util.WeakHashMap[SparkSession,
-      scala.collection.concurrent.TrieMap[String, Array[Long]]]()
-
   /** fasttext-style linear quality model, trained deterministically
     * from corpus statistics (no RNG, no SGD): pseudo-labels come from
     * the rule gate (≥20 words AND stopword ratio ≥ 1/20 — the
@@ -202,12 +191,8 @@ object TextOps {
     * no DuckDB twin — the dump IS the model contract, like bm25's idf).
     * Cached per (session, corpus) like the IVF/LM artifacts.
     */
-  private[graft] def classifyWeights(s: SparkSession, dir: String): Array[Long] = {
-    val perSession = clsCache.synchronized {
-      clsCache.computeIfAbsent(s,
-        _ => scala.collection.concurrent.TrieMap.empty[String, Array[Long]])
-    }
-    perSession.getOrElseUpdate(dir, {
+  private[graft] def classifyWeights(s: SparkSession, dir: String): Array[Long] =
+    IndexCache.getOrBuild(s, dir, "cls") {
       val toks = t(s, dir, "documents")
         .select(col("doc_id"), words(lower(col("text"))).as("w"))
         .filter(size(col("w")) >= 1)
@@ -251,8 +236,7 @@ object TextOps {
         .coalesce(1).write.mode("overwrite")
         .parquet(s"${OracleDumps.root(s, dir)}/text/classify_vocab")
       w
-    })
-  }
+    }
 
   /** Learned-filter inference as a PURE PROJECTION: the weight vector
     * rides into the plan as a 4096-long literal array (the broadcast-

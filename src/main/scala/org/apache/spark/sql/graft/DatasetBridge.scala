@@ -37,6 +37,27 @@ object DatasetBridge {
     org.apache.spark.sql.catalyst.expressions.ScalarSubquery(
       df.asInstanceOf[classic.Dataset[_]].queryExecution.analyzed)
 
+  /** Materialized storage footprint (memory + disk bytes) of `df`'s
+    * CacheManager entry, if it has one: the size-accounting probe for
+    * graft.IndexCache (CacheManager / InMemoryRelation are
+    * private[sql]). None = not cached; Some(0) = cached but its
+    * buffers not yet built (or already evicted), so callers should
+    * re-probe on later touches.
+    */
+  def cachedBytes(df: org.apache.spark.sql.Dataset[_]): Option[Long] = {
+    val ds = df.asInstanceOf[classic.Dataset[_]]
+    val spark = ds.sparkSession
+    spark.sharedState.cacheManager.lookupCachedData(ds).map { cd =>
+      val b = cd.cachedRepresentation.cacheBuilder
+      if (!b.isCachedColumnBuffersLoaded) 0L
+      else {
+        val id = b.cachedColumnBuffers.id
+        spark.sparkContext.getRDDStorageInfo.find(_.id == id)
+          .map(i => i.memSize + i.diskSize).getOrElse(0L)
+      }
+    }
+  }
+
   /** A fresh session with `ext` installed on an EXISTING SparkContext —
     * `builder().withExtensions(...).getOrCreate()` silently ignores
     * extensions when any session is already active (e.g. a shared test

@@ -184,15 +184,18 @@ class PlanAuditSpec extends SparkSuite {
     }
   }
 
-  test("knn_hybrid: lexical side is an inverted-index probe — no cartesian") {
-    // the query-term set and idf table must BROADCAST into the postings
-    // scan (the corpus never shuffles for lexical scoring), the dense
-    // side keeps knn_brute's broadcast cross (BNLJ is the intentional
-    // broadcast-queries fan-out, not a planning accident), and both
-    // rankings run through the k-bounded TopKAgg
+  test("knn_hybrid: lexical side is JOIN-FREE — plan-literal scoring") {
+    // r18 (VERDICT r17 #4): the per-query (term → idf) maps fold into
+    // plan literals, so the lexical ranking carries NO equi-join at
+    // all — a reappearing BroadcastHashJoin would mean the posting
+    // join crept back. The dense side keeps knn_brute's broadcast
+    // cross (BNLJ is the intentional broadcast-queries fan-out, not a
+    // planning accident), and both rankings run through the k-bounded
+    // TopKAgg.
     val p = plan("knn_hybrid")
     assert(!p.contains("CartesianProduct"), p.take(1000))
-    assert(p.contains("BroadcastHashJoin"), p.take(1000))
+    assert(!p.contains("BroadcastHashJoin"), p.take(1000))
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(1000))
     assert(p.contains("graft_topk"), p.take(1000))
   }
 

@@ -130,17 +130,22 @@ class SpoolTailSpec extends SparkSuite {
   }
 
   test("tail source drains a closed spool via AvailableNow") {
-    val dir = Unified2Fixture.writeSpool(
-      Files.createTempDirectory("graft_tail_closed").toString + "/spool")
+    val root = Files.createTempDirectory("graft_tail_closed").toString
+    val dir = Unified2Fixture.writeSpool(root + "/spool")
+    // executor-side parquet sink, like the engine's own drains — the
+    // memory sink is the driver-collect path the r17 wave removed from
+    // src/main, and this spec must not keep exercising it (ADVICE r17)
+    val out = root + "/out"; val ckpt = root + "/ckpt"
     val q = SpoolTail.streamRecords(spark, Seq(dir), "snort.log", "s1")
-      .writeStream.format("memory").queryName("tail_closed")
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     try q.awaitTermination() finally q.stop()
     // same record count as the batch binaryFile parser
     val batch = graft.sources.Unified2
       .records(spark, Seq(dir), "snort.log", "s1").count()
-    assert(spark.table("tail_closed").count() == batch && batch > 0)
+    assert(spark.read.parquet(out).count() == batch && batch > 0)
   }
 
   test("planner fails loud on a record index past Int range (ADVICE r4)") {

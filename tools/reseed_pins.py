@@ -69,7 +69,7 @@ ISOLATED = {
 PINS = "src/main/resources/graft/bench_pins_sf10.tsv"
 
 def main(log_path, apply_it, pins_path=PINS, isolated=None,
-         ratchet=False):
+         ratchet=False, min_secs=0.0):
     if isolated is None:
         isolated = ISOLATED
     text = open(log_path).read()
@@ -78,13 +78,23 @@ def main(log_path, apply_it, pins_path=PINS, isolated=None,
         q[m.group(1)] = float(m.group(2))
     if not q:
         sys.exit("no BENCHQ lines found")
+    if min_secs > 0:
+        # third-decade seeding (VERDICT r17 #1): pin only entries the
+        # scale actually exercises — sub-10 s walls at sf30 are mostly
+        # fixed per-entry floors whose in-suite noise would make the
+        # >2x gate cry wolf
+        q = {k: v for k, v in q.items() if v >= min_secs}
     total = sum(q.values())
     old = {}
-    for line in open(pins_path):
-        if line.startswith("#") or not line.strip():
-            continue
-        k, v = line.split("\t")
-        old[k] = float(v)
+    import os
+    if os.path.exists(pins_path):
+        for line in open(pins_path):
+            if line.startswith("#") or not line.strip():
+                continue
+            k, v = line.split("\t")
+            old[k] = float(v)
+    # absent pins file (first seeding of a new scale) = no committed
+    # baseline: every pin is new, nothing can "raise"
     header = (
         "# sf10 per-entry serving-time pins (seconds), ratcheted r17 from\n"
         f"# the full-suite min-of-2 run on r17 HEAD (total {total:.1f} s /"
@@ -176,5 +186,10 @@ if __name__ == "__main__":
     if "--pins" in sys.argv:
         pins = sys.argv[sys.argv.index("--pins") + 1]
         args = [a for a in args if a != pins]
+    min_secs = 0.0
+    if "--min-secs" in sys.argv:
+        min_secs = float(sys.argv[sys.argv.index("--min-secs") + 1])
+        args = [a for a in args if a != str(min_secs) and
+                a != sys.argv[sys.argv.index("--min-secs") + 1]]
     sys.exit(main(args[0], "--apply" in sys.argv, pins_path=pins,
-                  ratchet="--ratchet" in sys.argv))
+                  ratchet="--ratchet" in sys.argv, min_secs=min_secs))
