@@ -96,8 +96,8 @@ def main(log_path, apply_it, pins_path=PINS, isolated=None,
     # absent pins file (first seeding of a new scale) = no committed
     # baseline: every pin is new, nothing can "raise"
     header = (
-        "# sf10 per-entry serving-time pins (seconds), ratcheted r17 from\n"
-        f"# the full-suite min-of-2 run on r17 HEAD (total {total:.1f} s /"
+        "# per-entry serving-time pins (seconds), (re)seeded r18 from\n"
+        f"# a full-suite min-of-2 run on r18 HEAD (total {total:.1f} s /"
         f" {len(q)} entries /\n"
         "# 0 errors). Entries whose in-suite numbers are known to inflate\n"
         "# under late-suite memory pressure are pinned at their ISOLATED\n"
