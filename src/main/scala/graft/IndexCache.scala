@@ -71,7 +71,26 @@ object IndexCache {
     new java.util.WeakHashMap[SparkSession,
       scala.collection.concurrent.TrieMap[(String, String), Ent]]()
 
+  /** Drop every registry entry whose session's SparkContext has
+    * STOPPED. The WeakHashMap's weak keys cannot do this alone: Ent
+    * values hold Datasets, and a Dataset strongly references its
+    * SparkSession — a value→key strong path that pins the "weak" key
+    * (and the session's plan graphs) for the JVM's life once the
+    * session is abandoned. Same failure class, same remedy as
+    * [[Scratch]]'s purge: a stopped context's cached blocks died with
+    * its executors, so removing the entries (no unpersist needed)
+    * releases everything that lingered.
+    */
+  private def purgeStoppedLocked(): Unit = {
+    val it = reg.entrySet().iterator()
+    while (it.hasNext) {
+      val s = it.next().getKey
+      if (s != null && s.sparkContext.isStopped) it.remove()
+    }
+  }
+
   private def perSession(s: SparkSession) = reg.synchronized {
+    purgeStoppedLocked()
     reg.computeIfAbsent(s,
       _ => scala.collection.concurrent.TrieMap.empty[(String, String), Ent])
   }
@@ -135,7 +154,11 @@ object IndexCache {
             s"bytes) — session over $BudgetConf=$b")
         lru._2.foreach { case (k, e) => release(e.value); m.remove(k) }
         total -= freed
-        if (freed == 0) return // nothing tracked to free: avoid spinning
+        // freed == 0 (an all-driver-artifact corpus) is fine to loop
+        // past: the victim is already out of the map, so the next
+        // iteration sees strictly fewer candidates and terminates via
+        // victims.isEmpty — an early return here would silently defer
+        // budget enforcement past remaining over-budget corpora.
       }
     }
   }

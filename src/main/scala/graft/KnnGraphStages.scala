@@ -29,14 +29,9 @@ import org.apache.spark.sql.functions._
   */
 object KnnGraphStages {
   def main(args: Array[String]): Unit = {
-    val dirs = args.filterNot(_.startsWith("--")).toSeq match {
-      case Nil => Seq("target/sf10")
-      case ds => ds
-    }
-    val reps = args.sliding(2).collectFirst {
-      case Array("--reps", n) => n.toInt }.getOrElse(3)
-    val forceParts = args.sliding(2).collectFirst {
-      case Array("--parts", n) => n.toInt }
+    val dirs = DiagArgs.dirs(args, default = "target/sf10")
+    val reps = DiagArgs.intFlag(args, "--reps").getOrElse(3)
+    val forceParts = DiagArgs.intFlag(args, "--parts")
     val sortAb = args.contains("--sortagg")
     val selfJoin = args.contains("--selfjoin")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

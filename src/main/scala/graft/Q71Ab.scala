@@ -14,12 +14,8 @@ import org.apache.spark.sql.SparkSession
   */
 object Q71Ab {
   def main(args: Array[String]): Unit = {
-    val dirs = args.filterNot(_.startsWith("--")).toSeq match {
-      case Nil => Seq("target/sf10u")
-      case ds => ds
-    }
-    val reps = args.sliding(2).collectFirst {
-      case Array("--reps", n) => n.toInt }.getOrElse(3)
+    val dirs = DiagArgs.dirs(args, default = "target/sf10u")
+    val reps = DiagArgs.intFlag(args, "--reps").getOrElse(3)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

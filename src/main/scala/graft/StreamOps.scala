@@ -385,11 +385,23 @@ object StreamOps {
   /** Source-prep stage of [[timerSessionsDrain]], factored so
     * TimerSessStages can time prep / stream / read-back independently
     * (VERDICT r17 #3): write the events as 4 time-ordered bucket
-    * files (sequential appends → increasing mtimes → in-order
-    * file-source batches; each bucket must stay ONE file, because
-    * with maxFilesPerTrigger=1 a bucket split across unordered files
-    * would let the watermark pass an unread file and drop its rows as
+    * files (each bucket must stay ONE file, because with
+    * maxFilesPerTrigger=1 a bucket split across unordered files would
+    * let the watermark pass an unread file and drop its rows as
     * late). Returns the bucket-file root.
+    *
+    * The file source orders batches by file MTIME, and the entry's
+    * correctness contract needs that order to be the bucket order —
+    * sequential appends give it for free on millisecond-mtime
+    * filesystems, but `graft.stream.scratchRoot` may point at a store
+    * with coarse (1 s) timestamps (s3a), where tied mtimes could
+    * reorder buckets and silently drop their rows as late (ADVICE
+    * r18). So the order is ENFORCED, not assumed: after each bucket
+    * lands, its part file's mtime is pushed ≥ 2 s past the previous
+    * bucket's via FileSystem.setTimes, and the write-back is VERIFIED
+    * by re-reading the status — a store that ignores setTimes (the
+    * base-FileSystem no-op) and happened to produce a tie fails loud
+    * here, at prep, instead of dropping rows downstream.
     */
   private[graft] def timerSessPrep(s: SparkSession, dir: String): String = {
     val root = tempRoot(s, "graft_timer_sess")
@@ -398,10 +410,37 @@ object StreamOps {
     val Array(lo, hi) = ev.agg(min(col("us")), max(col("us")))
       .head().toSeq.map(_.asInstanceOf[Long]).toArray
     val span = hi - lo + 1
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val seen = scala.collection.mutable.Set[String]()
+    var lastMtime = 0L
     (0 until 4).foreach { i =>
       ev.filter(col("us") >= lo + span * i / 4 &&
           col("us") < lo + span * (i + 1) / 4)
         .coalesce(1).write.mode("append").parquet(root)
+      // the fresh part file(s) of this bucket (coalesce(1) → one;
+      // _SUCCESS/.crc are hidden to the file source and ignored here)
+      val fresh = fs.listStatus(rootPath)
+        .filter(st => st.getPath.getName.startsWith("part-") &&
+          !seen(st.getPath.getName))
+        .sortBy(_.getPath.getName)
+      fresh.foreach { st =>
+        val want = math.max(st.getModificationTime, lastMtime + 2000L)
+        try fs.setTimes(st.getPath, want, -1L)
+        catch { case scala.util.control.NonFatal(_) => () }
+        val actual = fs.getFileStatus(st.getPath).getModificationTime
+        if (i > 0 && actual <= lastMtime)
+          throw new IllegalStateException(
+            s"timerSessPrep: bucket $i part ${st.getPath.getName} has " +
+              s"mtime $actual <= previous bucket's $lastMtime and the " +
+              "filesystem did not honor setTimes — the file source " +
+              "would replay buckets out of order and drop rows as " +
+              "late. Point graft.stream.scratchRoot at a filesystem " +
+              "with millisecond mtimes or working setTimes (local, " +
+              "HDFS).")
+        lastMtime = actual
+        seen += st.getPath.getName
+      }
     }
     root
   }
