@@ -168,6 +168,18 @@ object SimilarityOps {
     * shuffle; the only exchange left is TopKAgg's ≤ tasks·queries·k
     * partials. Round18Spec pins output ≡ the posting-join
     * formulation it replaced.
+    *
+    * Truncation contract (VERDICT r18 #6): a query with MORE than
+    * 1024 distinct in-vocabulary terms is scored against only its top
+    * 1024 by (idf_q desc, term asc) — a deterministic, total order,
+    * so the kept set never depends on partitioning or run. Recall
+    * semantics under truncation: lexical scores become LOWER bounds
+    * (dropped terms contribute 0), and a candidate sharing ONLY
+    * dropped terms does not surface at all — the dropped terms are by
+    * construction the query's lowest-idf (most common) ones, i.e. the
+    * weakest evidence the ranking could have used. Round19Spec pins
+    * the boundary: equal-idf terms split by the term tiebreak, kept
+    * term scores, dropped term is invisible.
     */
   private[graft] def hybridLexTop(docs: DataFrame, tok: DataFrame,
       idfTbl: DataFrame): DataFrame = {
@@ -2325,10 +2337,12 @@ object SimilarityOps {
 /** Multimodal column plumbing (SURVEY.md §2.C `mm_meta`): media as an
   * opaque binary column plus typed metadata, batch-decoded inside
   * `mapPartitions` (the Scala analogue of `mapInPandas` batch UDFs).
-  * The codec here is a clearly-marked deterministic STUB — the real
-  * image/audio libraries are not in this container — but the Spark
+  * The per-record kernels live behind the pluggable [[MediaCodec]]
+  * seam (default [[StubMediaCodec]] — a clearly-marked deterministic
+  * stub, since the real image/audio libraries are not in this
+  * container; install a real codec via [[installCodec]]); the Spark
   * plumbing (schema, batch iterator shape, per-partition decode, no
-  * driver involvement) is the real production topology.
+  * driver involvement) is the real production topology either way.
   */
 object MultimodalOps {
   import org.apache.spark.sql.Encoders
@@ -2337,89 +2351,34 @@ object MultimodalOps {
   case class MMFeat(doc_id: Long, n_bytes: Long, checksum: Long,
       thumb_mean: Double)
 
-  /** STUB codec: stands in for image decode + feature extraction.
-    * Deterministic: byte-sum checksum and a fake "thumbnail mean".
-    */
-  private def decodeBatch(it: Iterator[MMIn]): Iterator[MMFeat] =
-    it.map { r =>
-      var sum = 0L
-      var i = 0
-      while (i < r.payload.length) { sum += (r.payload(i) & 0xff); i += 1 }
-      MMFeat(r.doc_id, r.payload.length.toLong, sum,
-        if (r.payload.isEmpty) 0.0 else sum.toDouble / r.payload.length)
-    }
-
   case class MMHash(doc_id: Long, sig: Long)
-
-  /** STUB perceptual hash (aHash's exact structure over raw payload
-    * bytes — a real implementation swaps the byte blocks for 8×8 DCT
-    * coefficients of the decoded image; the block-mean-vs-global-mean
-    * bit rule is the algorithm): 64 equal-stride byte blocks, bit i =
-    * [block-i mean > whole-payload mean], compared in EXACT integer
-    * cross-multiplied form (blocksum·nb > total·blocklen). 64 bits
-    * (not 32) so the pairing stage gets 16-bit block keys: with 8-bit
-    * keys the 256-value bucket space saturated and bucket occupancy —
-    * hence the candidate join — grew QUADRATICALLY with the corpus
-    * (measured 16.7×/decade at sf0.1→sf1); 65536-value keys push that
-    * knee out 256×. */
-  private def phashBatch(it: Iterator[MMIn]): Iterator[MMHash] =
-    it.map { r =>
-      val nb = r.payload.length
-      val stride = math.max(nb / 64, 1)
-      var tot = 0L
-      var i = 0
-      while (i < nb) { tot += (r.payload(i) & 0xff); i += 1 }
-      var sig = 0L
-      var blk = 0
-      while (blk < 64) {
-        val st = blk * stride
-        val en = math.min(st + stride, nb)
-        if (st < nb) {
-          var s = 0L
-          var j = st
-          while (j < en) { s += (r.payload(j) & 0xff); j += 1 }
-          if (s * nb > tot * (en - st)) sig |= (1L << blk)
-        }
-        blk += 1
-      }
-      MMHash(r.doc_id, sig)
-    }
-
   case class MMResized(doc_id: Long, out_w: Int, out_h: Int,
       scale_x: Double, scale_y: Double, n_bytes: Long)
   case class MMFrame(doc_id: Long, frame_idx: Int, offset: Long,
       frame_checksum: Long)
 
-  /** STUB resize: computes the real scale factors and output geometry
-    * for a 256x256 target; the pixel resample itself is faked as a
-    * byte-count contraction (the image libs aren't in this container).
+  /** The installed [[MediaCodec]] (VERDICT r18 #8). Default is the
+    * deterministic [[StubMediaCodec]] the oracle SQL re-derives; a
+    * deployment with real codec libs installs its implementation once
+    * at startup and every mm_* entry built AFTERWARDS routes through
+    * it (the codec is captured into the task closure at plan build,
+    * so an in-flight query never mixes codecs).
     */
-  private def resizeBatch(it: Iterator[MMIn]): Iterator[MMResized] =
-    it.map { r =>
-      val (tw, th) = (256, 256)
-      val sx = if (r.width == 0) 1.0 else tw.toDouble / r.width
-      val sy = if (r.height == 0) 1.0 else th.toDouble / r.height
-      MMResized(r.doc_id, tw, th, sx, sy,
-        math.max(1L, (r.payload.length * sx * sy).toLong))
-    }
+  @volatile private var codecImpl: MediaCodec = StubMediaCodec
+  def installCodec(c: MediaCodec): Unit = { codecImpl = c }
+  def codec: MediaCodec = codecImpl
 
-  /** STUB frame sampler: treats the payload as fixed-stride frames and
-    * emits every 4th frame's offset + checksum — the one-to-many batch
-    * shape (flatMap) a video pipeline uses.
-    */
-  private def frameSampleBatch(it: Iterator[MMIn]): Iterator[MMFrame] =
-    it.flatMap { r =>
-      val stride = 32
-      val nFrames = math.max(r.payload.length / stride, 1)
-      (0 until nFrames by 4).map { f =>
-        val off = f.toLong * stride
-        var sum = 0L
-        var i = off.toInt
-        val end = math.min(i + stride, r.payload.length)
-        while (i < end) { sum += (r.payload(i) & 0xff); i += 1 }
-        MMFrame(r.doc_id, f, off, sum)
-      }
-    }
+  // batch adapters: capture the codec ONCE (serialized into the task
+  // closure), keep the mapPartitions iterator shape — batched input,
+  // no driver involvement, flatMap for the one-to-many frame case
+  private def decodeBatch(c: MediaCodec)(it: Iterator[MMIn]): Iterator[MMFeat] =
+    it.map(c.decode)
+  private def phashBatch(c: MediaCodec)(it: Iterator[MMIn]): Iterator[MMHash] =
+    it.map(c.phash)
+  private def resizeBatch(c: MediaCodec)(it: Iterator[MMIn]): Iterator[MMResized] =
+    it.map(c.resize)
+  private def frameSampleBatch(c: MediaCodec)(it: Iterator[MMIn]): Iterator[MMFrame] =
+    it.flatMap(c.frames)
 
   private def mmSource(s: SparkSession, dir: String): DataFrame =
     Tables.t(s, dir, "documents")
@@ -2433,7 +2392,7 @@ object MultimodalOps {
       "mm_meta",
       (s, dir) =>
         mmSource(s, dir).as(Encoders.product[MMIn])
-          .mapPartitions(decodeBatch)(Encoders.product[MMFeat])
+          .mapPartitions(decodeBatch(codec))(Encoders.product[MMFeat])
           .toDF()
           .orderBy(col("doc_id")),
       // the stub codec is deterministic byte arithmetic, so even this
@@ -2464,7 +2423,7 @@ object MultimodalOps {
       // stub resize: real geometry/scale math, per-partition batches
       (s, dir) =>
         mmSource(s, dir).as(Encoders.product[MMIn])
-          .mapPartitions(resizeBatch)(Encoders.product[MMResized])
+          .mapPartitions(resizeBatch(codec))(Encoders.product[MMResized])
           .toDF()
           .orderBy(col("doc_id")),
       // oracled incl. the crc32-derived height: zlib CRC32 as an
@@ -2500,7 +2459,7 @@ object MultimodalOps {
       // stub frame sampling: one-to-many (flatMap) batch decode shape
       (s, dir) =>
         mmSource(s, dir).as(Encoders.product[MMIn])
-          .mapPartitions(frameSampleBatch)(Encoders.product[MMFrame])
+          .mapPartitions(frameSampleBatch(codec))(Encoders.product[MMFrame])
           .toDF()
           .orderBy(col("doc_id"), col("frame_idx")),
       // every-4th-frame stride checksums re-derived over the same hex
@@ -2549,7 +2508,7 @@ object MultimodalOps {
       // so the whole pipeline is SQL-oracled from raw bytes.
       (s, dir) => {
         val sig = mmSource(s, dir).as(Encoders.product[MMIn])
-          .mapPartitions(phashBatch)(Encoders.product[MMHash])
+          .mapPartitions(phashBatch(codec))(Encoders.product[MMHash])
           .toDF()
         val blocked = sig.select(col("doc_id"), col("sig"),
           posexplode(expr("transform(sequence(0, 3), " +
@@ -2615,7 +2574,7 @@ object MultimodalOps {
       // the similarity projection.
       (s, dir) => {
         val vecs = Scratch.reg(mmSource(s, dir).as(Encoders.product[MMIn])
-          .mapPartitions(embedBatch)(Encoders.product[MMVec])
+          .mapPartitions(embedBatch(codec))(Encoders.product[MMVec])
           .toDF())
         // dump the encoded unit vectors (the wrapping-hash stub encoder
         // is the one inexpressible step; KnnSpec pins its determinism)
@@ -2652,30 +2611,6 @@ object MultimodalOps {
 
   case class MMVec(doc_id: Long, vec: Array[Double])
 
-  /** STUB encoder: payload bytes folded into a deterministic 64-dim
-    * unit vector (identical payloads → identical vectors, cosine 1).
-    * A real image/text encoder replaces ONLY the arithmetic here — the
-    * batch iterator shape and schema are the production topology.
-    */
-  private def embedBatch(it: Iterator[MMIn]): Iterator[MMVec] =
-    it.map { r =>
-      val v = new Array[Double](64)
-      var i = 0
-      while (i < r.payload.length) {
-        val h = (r.payload(i) & 0xffL) * 2654435761L +
-          i.toLong * 0x9e3779b97f4a7c15L
-        v(((h % 64) + 64).toInt % 64) += ((h >> 8) & 0xff).toInt - 128
-        i += 1
-      }
-      var norm = 0.0
-      var d = 0
-      while (d < 64) { norm += v(d) * v(d); d += 1 }
-      if (norm == 0.0) v(0) = 1.0
-      else {
-        val inv = 1.0 / math.sqrt(norm)
-        d = 0
-        while (d < 64) { v(d) *= inv; d += 1 }
-      }
-      MMVec(r.doc_id, v)
-    }
+  private def embedBatch(c: MediaCodec)(it: Iterator[MMIn]): Iterator[MMVec] =
+    it.map(c.embed)
 }

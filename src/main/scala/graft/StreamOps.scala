@@ -403,7 +403,8 @@ object StreamOps {
     * base-FileSystem no-op) and happened to produce a tie fails loud
     * here, at prep, instead of dropping rows downstream.
     */
-  private[graft] def timerSessPrep(s: SparkSession, dir: String): String = {
+  private[graft] def timerSessPrep(s: SparkSession, dir: String,
+      buckets: Int = 4): String = {
     val root = tempRoot(s, "graft_timer_sess")
     val ev = t(s, dir, "events").select(col("user_id"), col("event_id"),
       unix_micros(col("ts")).as("us"))
@@ -414,9 +415,9 @@ object StreamOps {
     val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
     val seen = scala.collection.mutable.Set[String]()
     var lastMtime = 0L
-    (0 until 4).foreach { i =>
-      ev.filter(col("us") >= lo + span * i / 4 &&
-          col("us") < lo + span * (i + 1) / 4)
+    (0 until buckets).foreach { i =>
+      ev.filter(col("us") >= lo + span * i / buckets &&
+          col("us") < lo + span * (i + 1) / buckets)
         .coalesce(1).write.mode("append").parquet(root)
       // the fresh part file(s) of this bucket (coalesce(1) → one;
       // _SUCCESS/.crc are hidden to the file source and ignored here)

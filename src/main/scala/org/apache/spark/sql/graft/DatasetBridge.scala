@@ -58,6 +58,16 @@ object DatasetBridge {
     }
   }
 
+  /** Unload every loaded state-store provider on this executor
+    * (StateStore.unloadAll is private[sql]): closes RocksDB instances
+    * (native memtables + block cache) a terminated streaming query
+    * leaves loaded until the 60 s maintenance cycle verifies them
+    * inactive. Safe between queries — the next streaming batch
+    * reloads its providers from the checkpoint on demand.
+    */
+  def unloadStateStores(): Unit =
+    org.apache.spark.sql.execution.streaming.state.StateStore.unloadAll()
+
   /** A fresh session with `ext` installed on an EXISTING SparkContext —
     * `builder().withExtensions(...).getOrCreate()` silently ignores
     * extensions when any session is already active (e.g. a shared test

@@ -2,12 +2,59 @@ package graft
 
 import org.apache.spark.storage.StorageLevel
 
+/** A MediaCodec that delegates every kernel to the stub — the
+  * "stub-vs-stub" wiring control: installing it must change nothing.
+  * Top-level (not nested in the spec) so the task closure serializes
+  * without dragging the ScalaTest suite along.
+  */
+object DelegatingTestCodec extends MediaCodec {
+  def decode(r: MultimodalOps.MMIn) = StubMediaCodec.decode(r)
+  def phash(r: MultimodalOps.MMIn) = StubMediaCodec.phash(r)
+  def resize(r: MultimodalOps.MMIn) = StubMediaCodec.resize(r)
+  def frames(r: MultimodalOps.MMIn) = StubMediaCodec.frames(r)
+  def embed(r: MultimodalOps.MMIn) = StubMediaCodec.embed(r)
+}
+
+/** A visibly different codec (checksum + 1) proving the mm_* entries
+  * actually route through whatever is installed.
+  */
+object MarkedTestCodec extends MediaCodec {
+  def decode(r: MultimodalOps.MMIn) = {
+    val f = StubMediaCodec.decode(r)
+    f.copy(checksum = f.checksum + 1)
+  }
+  def phash(r: MultimodalOps.MMIn) = StubMediaCodec.phash(r)
+  def resize(r: MultimodalOps.MMIn) = StubMediaCodec.resize(r)
+  def frames(r: MultimodalOps.MMIn) = StubMediaCodec.frames(r)
+  def embed(r: MultimodalOps.MMIn) = StubMediaCodec.embed(r)
+}
+
 /** Round-19 wave (ADVICE r18 + VERDICT r18): index-cache eviction
   * must not stall on zero-tracked-byte corpora, the diagnostic mains
-  * must not eat a flag's value as a corpus dir, and the knn_hybrid
-  * query-term cap gets its truncation contract pinned.
+  * must not eat a flag's value as a corpus dir, the knn_hybrid
+  * query-term cap gets its truncation contract pinned, and the mm_*
+  * codec seam gets its wiring test.
   */
 class Round19Spec extends SparkSuite {
+
+  test("MediaCodec seam: drop-in codec without touching the plumbing") {
+    def meta() = SparkEntry.queries("mm_meta")(spark, sfDir)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("checksum"))).sortBy(_._1).toSeq
+    val stub = meta()
+    assert(stub.nonEmpty)
+    try {
+      // stub-vs-stub: a delegating implementation is invisible
+      MultimodalOps.installCodec(DelegatingTestCodec)
+      assert(meta() == stub,
+        "a codec delegating to the stub must produce identical output")
+      // and the plumbing really routes through what's installed
+      MultimodalOps.installCodec(MarkedTestCodec)
+      assert(meta() == stub.map { case (id, c) => (id, c + 1) },
+        "an installed codec must be what the entry executes")
+    } finally MultimodalOps.installCodec(StubMediaCodec)
+    assert(meta() == stub, "restoring the stub must restore the output")
+  }
 
   test("IndexCache: eviction continues past a zero-tracked-byte LRU corpus") {
     val s = spark
@@ -38,6 +85,106 @@ class Round19Spec extends SparkSuite {
     } finally {
       s.conf.unset(IndexCache.BudgetConf)
       Seq("zeroC", "bigC", "curC").foreach(IndexCache.evictCorpus(s, _))
+    }
+  }
+
+  test("knn_hybrid: >1024-term query truncates deterministically " +
+      "(top idf, term-asc tiebreak; dropped terms invisible)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // 1023 high-idf terms fill ranks 1..1023; two EQUAL-idf terms
+    // contend for the single remaining slot — the term-asc tiebreak
+    // must keep "tiea" (rank 1024) and drop "tieb" (rank 1025)
+    val hTerms = (1 to 1023).map(i => f"h$i%04d")
+    val terms = hTerms ++ Seq("tiea", "tieb")
+    val idfTbl = (hTerms.zipWithIndex.map { case (t, i) =>
+        (t, 10000L + i) } ++ Seq(("tiea", 2L), ("tieb", 2L)))
+      .toDF("term", "idf_q")
+    val docs = Seq(
+      (0L, terms.mkString(" ")), // the 1025-term query doc
+      (10L, "tiea zz"),          // shares only the KEPT boundary term
+      (11L, "tieb zz")           // shares only the DROPPED term
+    ).toDF("doc_id", "text")
+    val tok = terms.map(t => (0L, t)).toDF("doc_id", "term")
+    val ids = SimilarityOps.hybridLexTop(docs, tok, idfTbl)
+      .filter(col("qid") === 0L).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    assert(ids.contains(10L),
+      "a doc sharing the kept rank-1024 term must be scored")
+    assert(!ids.contains(11L),
+      "a doc sharing only the dropped rank-1025 term must not surface " +
+        "(truncation recall semantics: dropped terms contribute nothing)")
+  }
+
+  test("timer sessions: resident state still tracks OPEN sessions " +
+      "across a 3x longer drain (12 watermark ratchets)") {
+    import org.apache.spark.sql.functions._
+    // Round17Spec pins exact per-batch residency for the entry's
+    // 4-bucket drain; VERDICT r18 #5 asks for the PLATEAU under a 3x
+    // longer drain — same corpus, 12 ratchets. If eviction tracked
+    // batches instead of open sessions, tripling the batch count
+    // would shift residency; the exact per-batch equality below says
+    // it tracks the watermark alone. (SessPlateau is the sf10-scale
+    // measured twin of this test.)
+    val K = 12
+    val root = StreamOps.timerSessPrep(spark, sfDir, K)
+    val (closed, ckptOpt) =
+      StreamOps.timerSessStream(spark, root, checkpointed = true)
+    assert(closed.count() > 0)
+    val ckpt = ckptOpt.get
+
+    val gap = StreamOps.TimerSessGapUs
+    val ev = Tables.t(spark, sfDir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+    val Array(lo, hi) = ev.agg(min(col("us")), max(col("us")))
+      .head().toSeq.map(_.asInstanceOf[Long]).toArray
+    val span = hi - lo + 1
+    val totalUsers = ev.select(col("user_id")).distinct().count()
+
+    def expectedOpen(prefixHiExclusive: Long, wmUs: Option[Long]): Long = {
+      val seen = ev.filter(col("us") < lit(prefixHiExclusive))
+        .groupBy(col("user_id")).agg(max(col("us")).as("end_us"))
+      wmUs match {
+        case None => seen.count()
+        case Some(w) =>
+          seen.filter(expr(s"(end_us + ${gap + 999L}) div 1000")
+            > lit(w / 1000)).count()
+      }
+    }
+    def fileHi(i: Int): Long = lo + span * (i + 1) / K
+    def fileMax(i: Int): Long =
+      ev.filter(col("us") < lit(fileHi(i))).agg(max(col("us")))
+        .head().getLong(0)
+
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provKey)
+    spark.conf.set(provKey, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try {
+      val commits = new java.io.File(s"$ckpt/commits").list()
+        .filter(_.forall(_.isDigit)).map(_.toLong).sorted
+      assert(commits.length >= K,
+        s"expected >=$K committed batches, got ${commits.mkString(",")}")
+      var finalRows = 0L
+      commits.foreach { b =>
+        val rows = StreamOps.timerOpenState(spark, ckpt, Some(b)).count()
+        val dataIdx = math.min(b, (K - 1).toLong).toInt
+        val wm = if (b == 0) None
+          else Some(fileMax(math.min(b - 1, (K - 1).toLong).toInt))
+        val exp = expectedOpen(fileHi(dataIdx), wm)
+        assert(rows == exp,
+          s"batch $b: resident state $rows != expected open $exp")
+        finalRows = rows
+      }
+      // the bounding claim: closed sessions LEFT the store under the
+      // longer drain too (batch 0 legitimately holds every user seen
+      // — no watermark has ratcheted yet — so the plateau is the
+      // per-batch equality above plus history leaving by the end)
+      assert(finalRows < totalUsers,
+        s"final resident $finalRows did not drop below $totalUsers users")
+    } finally prev match {
+      case Some(p) => spark.conf.set(provKey, p)
+      case None => spark.conf.unset(provKey)
     }
   }
 
