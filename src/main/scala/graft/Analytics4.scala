@@ -557,7 +557,7 @@ object Analytics4 {
     */
   private[graft] def q71FuzzyMatch(s: org.apache.spark.sql.SparkSession,
       dir: String, forceParts: Option[Int] = None,
-      lenBucket: Boolean = false)
+      lenBucket: Boolean = false, inlineVerify: Boolean = false)
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.graft.DatasetBridge
     val c = t(s, dir, "customer").select(col("c_nationkey"),
@@ -584,48 +584,92 @@ object Analytics4 {
     // SURVEY §20; the shipped entry keeps lenBucket=false.
     val bkCols = Seq(col("c_nationkey"), col("c_mktsegment"), col("v")) ++
       (if (lenBucket) Seq(floor(length(col("c_name")) / lit(4))) else Nil)
-    val keyed = c
-      .withColumn("v", explode(DatasetBridge.column(
-        graft.functions.DeletionVariants(
-          DatasetBridge.expression(col("c_name")), 2, 16))))
-      .select(col("c_custkey").as("key"),
-        xxhash64(bkCols: _*).as("bk"))
-      .repartition(parts, col("bk"))
-    // shuffle_hash hint: the planner sizes this self-join from the
-    // customer FILE bytes, not the ~137x variant explode, so unhinted
-    // it "broadcasts" a 100 M-row side and dies on
+    // shuffle_hash hint (both paths): the planner sizes this self-join
+    // from the customer FILE bytes, not the ~70x variant explode, so
+    // unhinted it "broadcasts" a 100 M-row side and dies on
     // driver.maxResultSize once the corpus outgrows the estimate
     // (measured at sf10). Both partitioned-join hints hold at any
-    // scale (slim 16-byte rows, shuffled on bk); shuffle-hash skips
-    // the two 100 M-row sorts a merge join pays — measured 101 -> 61 s
-    // at the sf10 decade, identical pairs. AQE's skew split handles a
-    // hot variant bucket.
-    val cand = keyed.toDF("a_key", "bk").hint("shuffle_hash")
-      .join(keyed.toDF("b_key", "bk"), "bk")
-      .filter(col("a_key") < col("b_key"))
-      .select(col("a_key"), col("b_key")).distinct()
-    // name lookups: NO forced broadcast — the lookup side is the whole
-    // customer relation, which stops fitting the driver as the corpus
-    // grows (a forced broadcast() died on spark.driver.maxResultSize
-    // at the sf10 decade). AQE broadcasts it while it is genuinely
-    // small and shuffle-joins on the key — still linear — once it is
-    // not.
-    val an = c.select(col("c_custkey").as("a_key"),
-      col("c_name").as("a_name"), col("c_nationkey").as("a_nat"),
-      col("c_mktsegment").as("a_seg"))
-    val bn = c.select(col("c_custkey").as("b_key"),
-      col("c_name").as("b_name"), col("c_nationkey").as("b_nat"),
-      col("c_mktsegment").as("b_seg"))
-    cand.join(an, "a_key").join(bn, "b_key")
-      .filter(col("a_nat") === col("b_nat") &&
-        col("a_seg") === col("b_seg"))
-      .withColumn("dist", DatasetBridge.column(
-        graft.functions.LevenshteinBand(
-          DatasetBridge.expression(col("a_name")),
-          DatasetBridge.expression(col("b_name")), 2)).cast("long"))
-      .filter(col("dist") <= 2)
-      .select(col("a_key"), col("a_name"), col("b_key"), col("b_name"),
-        col("dist"))
-      .orderBy(col("a_key"), col("b_key"))
+    // scale (slim rows, shuffled on bk); shuffle-hash skips the two
+    // 100 M-row sorts a merge join pays — measured 101 -> 61 s at the
+    // sf10 decade, identical pairs. AQE's skew split handles a hot
+    // variant bucket (Q71Diag r19: max bucket df is 15 at BOTH sf10u
+    // and sf30u — there is no skew to split).
+    if (!inlineVerify) {
+      // Shipped shape (r18, re-adjudicated r19): slim (key, bk)
+      // blocking join → DISTINCT over every bucket co-occurrence →
+      // two name-lookup joins → banded-lev verify. Its super-linear
+      // term is the distinct + lookups paying the FULL co-occurrence
+      // volume (Q71Diag r19: Σ C(df,2) steps at exponent 1.149 while
+      // variant occurrences step at 1.062 — the measured 1.12 wall).
+      val keyed = c
+        .withColumn("v", explode(DatasetBridge.column(
+          graft.functions.DeletionVariants(
+            DatasetBridge.expression(col("c_name")), 2, 16))))
+        .select(col("c_custkey").as("key"),
+          xxhash64(bkCols: _*).as("bk"))
+        .repartition(parts, col("bk"))
+      val cand = keyed.toDF("a_key", "bk").hint("shuffle_hash")
+        .join(keyed.toDF("b_key", "bk"), "bk")
+        .filter(col("a_key") < col("b_key"))
+        .select(col("a_key"), col("b_key")).distinct()
+      // name lookups: NO forced broadcast — the lookup side is the
+      // whole customer relation, which stops fitting the driver as
+      // the corpus grows (a forced broadcast() died on
+      // spark.driver.maxResultSize at the sf10 decade). AQE
+      // broadcasts it while it is genuinely small and shuffle-joins
+      // on the key — still linear — once it is not.
+      val an = c.select(col("c_custkey").as("a_key"),
+        col("c_name").as("a_name"), col("c_nationkey").as("a_nat"),
+        col("c_mktsegment").as("a_seg"))
+      val bn = c.select(col("c_custkey").as("b_key"),
+        col("c_name").as("b_name"), col("c_nationkey").as("b_nat"),
+        col("c_mktsegment").as("b_seg"))
+      cand.join(an, "a_key").join(bn, "b_key")
+        .filter(col("a_nat") === col("b_nat") &&
+          col("a_seg") === col("b_seg"))
+        .withColumn("dist", DatasetBridge.column(
+          graft.functions.LevenshteinBand(
+            DatasetBridge.expression(col("a_name")),
+            DatasetBridge.expression(col("b_name")), 2)).cast("long"))
+        .filter(col("dist") <= 2)
+        .select(col("a_key"), col("a_name"), col("b_key"), col("b_name"),
+          col("dist"))
+        .orderBy(col("a_key"), col("b_key"))
+    } else {
+      // inlineVerify (A/B only, VERDICT r18 #2 — LOST, ledgered in
+      // SURVEY §21): carry the name through the blocking join and
+      // banded-lev verify INLINE before any dedup, so the
+      // co-occurrence volume (the exponent-1.149 term, Q71Diag) never
+      // materializes into a shuffle and both name-lookup joins
+      // disappear. Measured SLOWER: sf10u 80.8 s vs 59.9 s shipped —
+      // widening the 107 M-row keyed exchange (names + block attrs on
+      // every variant occurrence) costs more than the distinct +
+      // lookup joins it removes. Output bit-identical to the shipped
+      // path (Round19Spec + Q71Ab assert equality).
+      val keyed = c
+        .withColumn("v", explode(DatasetBridge.column(
+          graft.functions.DeletionVariants(
+            DatasetBridge.expression(col("c_name")), 2, 16))))
+        .select(col("c_custkey").as("key"), col("c_name").as("name"),
+          col("c_nationkey").as("nat"), col("c_mktsegment").as("seg"),
+          xxhash64(bkCols: _*).as("bk"))
+        .repartition(parts, col("bk"))
+      val a = keyed.toDF("a_key", "a_name", "a_nat", "a_seg", "bk")
+      val b = keyed.toDF("b_key", "b_name", "b_nat", "b_seg", "bk")
+      a.hint("shuffle_hash").join(b, "bk")
+        // nat/seg equality guards xxhash64 collisions across blocks,
+        // exactly as the postLookup path's post-join filter did
+        .filter(col("a_key") < col("b_key") &&
+          col("a_nat") === col("b_nat") && col("a_seg") === col("b_seg"))
+        .withColumn("dist", DatasetBridge.column(
+          graft.functions.LevenshteinBand(
+            DatasetBridge.expression(col("a_name")),
+            DatasetBridge.expression(col("b_name")), 2)).cast("long"))
+        .filter(col("dist") <= 2)
+        .select(col("a_key"), col("a_name"), col("b_key"), col("b_name"),
+          col("dist"))
+        .distinct()
+        .orderBy(col("a_key"), col("b_key"))
+    }
   }
 }

@@ -2,20 +2,23 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** q71_fuzzy_match length-bucket A/B (VERDICT r17 #6): time the
-  * shipped FastSS variant-hash blocking against a variant key with
-  * floor(len(c_name)/4) appended, at each given corpus. Prints both
-  * min-of-reps walls plus the result-pair counts (they must match on
-  * the fixtures — lengths are {18, 24}, so no true pair straddles a
-  * div-4 boundary; see q71FuzzyMatch's lenBucket note for why the
-  * bucketed key is unsound in general and expected inert here).
+/** q71_fuzzy_match A/B harness. Default (r19, VERDICT r18 #2): time
+  * the SHIPPED shape (slim blocking join → distinct over all bucket
+  * co-occurrences → two name-lookup joins → banded-lev) against the
+  * inline-verify variant (names carried through the blocking join,
+  * lev before any dedup — measured SLOWER, ledgered §21), at each
+  * given corpus, asserting identical output pair counts.
+  * `--lenbucket` switches the B side to the r17 length-bucket
+  * variant key instead (the §20 ledger; unsound in general).
   *
   * Usage: java -cp ... graft.Q71Ab <sfDir> [<sfDir2> ...] [--reps N]
+  *        [--lenbucket]
   */
 object Q71Ab {
   def main(args: Array[String]): Unit = {
     val dirs = DiagArgs.dirs(args, default = "target/sf10u")
     val reps = DiagArgs.intFlag(args, "--reps").getOrElse(3)
+    val lenAb = args.contains("--lenbucket")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -37,11 +40,16 @@ object Q71Ab {
       Analytics4.q71FuzzyMatch(spark, dir).count()
       val (tBase, nBase) =
         best(Analytics4.q71FuzzyMatch(spark, dir).count())
-      val (tLen, nLen) = best(
-        Analytics4.q71FuzzyMatch(spark, dir, lenBucket = true).count())
-      println(f"Q71AB $dir reps=$reps base=$tBase%.2f len4=$tLen%.2f " +
-        f"pairs_base=$nBase pairs_len4=$nLen " +
-        f"match=${nBase == nLen}")
+      val (bLabel, (tB, nB)) =
+        if (lenAb) "len4" ->
+          best(Analytics4.q71FuzzyMatch(spark, dir, lenBucket = true)
+            .count())
+        else "inline" ->
+          best(Analytics4.q71FuzzyMatch(spark, dir, inlineVerify = true)
+            .count())
+      println(f"Q71AB $dir reps=$reps shipped=$tBase%.2f " +
+        f"$bLabel=$tB%.2f pairs_shipped=$nBase pairs_b=$nB " +
+        f"match=${nBase == nB}")
     }
     spark.stop()
   }

@@ -46,7 +46,8 @@ object Q71Diag {
         count(lit(1)).as("buckets"),
         sum(col("df")).as("occurrences"),
         max(col("df")).as("max_df"),
-        sum(col("df") * (col("df") - 1) / 2).as("cand_pairs")).head()
+        sum((col("df") * (col("df") - 1) / 2).cast("long"))
+          .as("cand_pairs")).head()
       val hist = df.groupBy(
           when(col("df") === 1, "1")
             .when(col("df") <= 2, "2")
@@ -57,13 +58,13 @@ object Q71Diag {
             .when(col("df") <= 256, "65-256")
             .otherwise(">256").as("band"))
         .agg(count(lit(1)).as("buckets"),
-          sum(col("df") * (col("df") - 1) / 2).as("pairs"))
+          sum((col("df") * (col("df") - 1) / 2).cast("long")).as("pairs"))
         .orderBy(col("band")).collect()
       println(s"Q71DIAG dir=$dir rows=$n buckets=${agg.getLong(0)} " +
         s"occ=${agg.getLong(1)} max_df=${agg.getLong(2)} " +
-        s"cand_pairs=${agg.getDecimal(3)}")
+        s"cand_pairs=${agg.getLong(3)}")
       hist.foreach(r => println(s"Q71DIAG   band=${r.getString(0)} " +
-        s"buckets=${r.getLong(1)} pairs=${r.getDecimal(2)}"))
+        s"buckets=${r.getLong(1)} pairs=${r.getLong(2)}"))
       df.unpersist()
     }
     spark.stop()

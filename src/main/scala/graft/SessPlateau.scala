@@ -42,9 +42,13 @@ object SessPlateau {
         val p = e.progress
         if (p.stateOperators.nonEmpty) {
           val so = p.stateOperators(0)
-          val sst = Option(so.customMetrics
-              .get("rocksdbTotalSstFilesBytes"))
-            .map(_.longValue).getOrElse(-1L)
+          // the on-disk footprint metric's exact key varies by Spark
+          // version — take the first Sst/FileSize-ish custom metric
+          import scala.jdk.CollectionConverters._
+          val sst = so.customMetrics.asScala.collectFirst {
+            case (k, v) if k.contains("SstFile") || k.contains("sstFile")
+              || k == "rocksdbTotalSstFilesBytes" => v.longValue
+          }.getOrElse(-1L)
           batches.synchronized {
             batches += ((p.batchId, so.numRowsTotal, so.numRowsUpdated,
               so.numRowsRemoved, sst))

@@ -188,6 +188,21 @@ class Round19Spec extends SparkSuite {
     }
   }
 
+  test("q71_fuzzy_match: inline-verify variant ≡ shipped shape") {
+    // VERDICT r18 #2 A/B: the inline variant moves the banded-lev
+    // verify INSIDE the blocking join (before dedup) and drops the
+    // name-lookup joins — same candidates, same verify, so the output
+    // must be row-identical to the shipped formulation (the sf0.01
+    // DuckDB quadratic oracle checks both independently). The variant
+    // measured SLOWER at scale (SURVEY §21) and ships behind the
+    // flag; equality stays pinned so the ledger entry is re-runnable.
+    val a = Analytics4.q71FuzzyMatch(spark, sfDir)
+    val b = Analytics4.q71FuzzyMatch(spark, sfDir, inlineVerify = true)
+    assert(a.count() > 0, "fixture must produce fuzzy pairs")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "inline-verify output must equal the shipped formulation")
+  }
+
   test("DiagArgs: value-taking flags do not leak their value into dirs") {
     assert(DiagArgs.dirs(Array("d1", "--reps", "5", "d2"), "def") ==
       Seq("d1", "d2"))
