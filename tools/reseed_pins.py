@@ -71,7 +71,14 @@ PINS = "src/main/resources/graft/bench_pins_sf10.tsv"
 def main(log_path, apply_it, pins_path=PINS, isolated=None,
          ratchet=False, min_secs=0.0):
     if isolated is None:
-        isolated = ISOLATED
+        # The ISOLATED numbers are SF10 solo measurements — applying
+        # them to any other scale's pin file silently writes sf10
+        # walls as that scale's baseline ("isolated wins when
+        # smaller" is always true at a larger scale). That exact bug
+        # seeded 13 sf10 values into bench_pins_sf30.tsv in r18 and
+        # made the r19 sf30 gate flag 6 healthy entries at 2.9-7.4x
+        # (SURVEY §21). Scale-gate them.
+        isolated = ISOLATED if pins_path.endswith("sf10.tsv") else {}
     text = open(log_path).read()
     q = {}
     for m in re.finditer(r"BENCHQ (\S+)\s+([0-9.]+) s", text):
