@@ -44,7 +44,11 @@ object Bench {
     //    are enqueued, i.e. after a driver GC — which a 48 g heap may
     //    not run for the whole suite (Spark's own safety net,
     //    spark.cleaner.periodicGC.interval, defaults to 30 MIN). Every
-    //    16 entries keeps the cleaner fed at ~1 s/GC wall cost.
+    //    16 entries keeps the cleaner fed at ~1 s/GC wall cost. An
+    //    every-8 A/B (full sf10 suite, same pins) measured WORSE
+    //    overall (mpr 1.244 vs 1.169, total 1121 vs 1080 s) with
+    //    movers both directions — at this margin host drift dominates
+    //    cadence; 16 is the measured configuration (SURVEY §21).
     def entryHygiene(i: Int): Unit = {
       try org.apache.spark.sql.graft.DatasetBridge.unloadStateStores()
       catch { case scala.util.control.NonFatal(_) => () }
