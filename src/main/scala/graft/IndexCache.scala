@@ -179,6 +179,14 @@ object IndexCache {
     }.sortBy(st => (st.corpus, st.artifact))
   }
 
+  /** RAW registry membership probe (test hook — IndexCachePurgeSpec):
+    * reads the map without touching it, so it observes whether a
+    * stopped session's entries are still registered WITHOUT triggering
+    * the purge the spec is asserting.
+    */
+  private[graft] def registryHas(s: SparkSession): Boolean =
+    reg.synchronized(reg.containsKey(s))
+
   /** Release + drop every artifact of `corpus` on this session (ops /
     * test hook — e.g. after regenerating a corpus dir in place).
     */

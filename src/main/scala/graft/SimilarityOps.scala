@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.DatasetBridge
@@ -2365,8 +2365,30 @@ object MultimodalOps {
     * so an in-flight query never mixes codecs).
     */
   @volatile private var codecImpl: MediaCodec = StubMediaCodec
-  def installCodec(c: MediaCodec): Unit = { codecImpl = c }
-  def codec: MediaCodec = codecImpl
+
+  /** Guards codec install/read so a SCOPED swap ([[withCodec]]) is
+    * atomic w.r.t. every plan build: a concurrently-building mm_*
+    * entry blocks on the read until the scope restores the previous
+    * codec, so it can never capture a test codec into its closure
+    * (ADVICE r19 — the seam test otherwise mutated process-global
+    * state that a parallel suite's mm_* oracle would silently compute
+    * against).
+    */
+  private[graft] val codecLock = new Object
+  def installCodec(c: MediaCodec): Unit =
+    codecLock.synchronized { codecImpl = c }
+  def codec: MediaCodec = codecLock.synchronized(codecImpl)
+
+  /** Run `f` with `c` installed, restoring the previous codec after —
+    * the whole scope holds [[codecLock]], so plan builds elsewhere
+    * serialize against it instead of racing the global.
+    */
+  private[graft] def withCodec[T](c: MediaCodec)(f: => T): T =
+    codecLock.synchronized {
+      val prev = codecImpl
+      codecImpl = c
+      try f finally codecImpl = prev
+    }
 
   // batch adapters: capture the codec ONCE (serialized into the task
   // closure), keep the mapPartitions iterator shape — batched input,
@@ -2379,6 +2401,48 @@ object MultimodalOps {
     it.map(c.resize)
   private def frameSampleBatch(c: MediaCodec)(it: Iterator[MMIn]): Iterator[MMFrame] =
     it.flatMap(c.frames)
+
+  /** The phash LSH pairing topology (shared by mm_phash and
+    * mm_phash_real — the real codec swaps signatures, never the
+    * plumbing): 4×16-bit block-equality buckets (hamming ≤ 3 ⇒ some
+    * block exact, by pigeonhole over the 64-bit sig), bucket
+    * self-join, bit_count(xor) verify — one bucket shuffle, no n².
+    */
+  private[graft] def phashPairs(sig: DataFrame): DataFrame = {
+    val blocked = sig.select(col("doc_id"), col("sig"),
+      posexplode(expr("transform(sequence(0, 3), " +
+        "b -> (sig >> (b * 16)) & 65535)")).as(Seq("blk", "bkey")))
+    val l = blocked.select(col("blk"), col("bkey"),
+      col("doc_id").as("a"), col("sig").as("sig_a"))
+    val r = blocked.select(col("blk"), col("bkey"),
+      col("doc_id").as("b"), col("sig").as("sig_b"))
+    l.join(r, Seq("blk", "bkey"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b")))
+          .cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+  }
+
+  /** mm_phash_real's source: one REAL 32×32 PNG per document rendered
+    * from its text bytes (row doc_id·2) plus the ±1-pixel near-dup
+    * variant (doc_id·2+1) — see [[ImageGen]]. Executor-side encode in
+    * the same mapPartitions batch shape the decode kernels use.
+    */
+  private[graft] def mmPngSource(s: SparkSession, dir: String)
+      : Dataset[MMIn] =
+    Tables.t(s, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .as(Encoders.product[(Long, String)])
+      .mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          val bytes = text.getBytes("UTF-8")
+          Iterator(
+            MMIn(id * 2, ImageGen.renderPng(bytes, perturb = false), 32, 32),
+            MMIn(id * 2 + 1, ImageGen.renderPng(bytes, perturb = true), 32, 32))
+        }
+      }(Encoders.product[MMIn])
 
   private def mmSource(s: SparkSession, dir: String): DataFrame =
     Tables.t(s, dir, "documents")
@@ -2510,21 +2574,7 @@ object MultimodalOps {
         val sig = mmSource(s, dir).as(Encoders.product[MMIn])
           .mapPartitions(phashBatch(codec))(Encoders.product[MMHash])
           .toDF()
-        val blocked = sig.select(col("doc_id"), col("sig"),
-          posexplode(expr("transform(sequence(0, 3), " +
-            "b -> (sig >> (b * 16)) & 65535)")).as(Seq("blk", "bkey")))
-        val l = blocked.select(col("blk"), col("bkey"),
-          col("doc_id").as("a"), col("sig").as("sig_a"))
-        val r = blocked.select(col("blk"), col("bkey"),
-          col("doc_id").as("b"), col("sig").as("sig_b"))
-        l.join(r, Seq("blk", "bkey"))
-          .filter(col("a") < col("b"))
-          .select(col("a"), col("b"),
-            bit_count(col("sig_a").bitwiseXOR(col("sig_b")))
-              .cast("long").as("hamming"))
-          .distinct()
-          .filter(col("hamming") <= 3)
-          .orderBy(col("a"), col("b"))
+        phashPairs(sig).orderBy(col("a"), col("b"))
       },
       Some("""CREATE OR REPLACE MACRO h2i(h, p, k) AS list_reduce(
           list_transform(range(CAST(p AS INT), CAST(p + k AS INT)),
@@ -2564,6 +2614,33 @@ object MultimodalOps {
             AND l.doc_id < r.doc_id)
         SELECT a, b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
         FROM cand WHERE bit_count(xor(sa, sb)) <= 3 ORDER BY a, b""")),
+
+    Entry(
+      "mm_phash_real",
+      // The REAL-DECODE twin of mm_phash (VERDICT r19 #1): genuine
+      // PNGs (one per document + its ±1-pixel near-dup variant,
+      // ImageGen), decoded by ImageIoCodec — JDK ImageIO, real
+      // pixels — hashed by block-mean-over-decoded-pixels, and paired
+      // by the UNCHANGED oracled LSH plumbing (phashPairs: 4×16-bit
+      // block buckets → self-join → bit_count verify). Every variant
+      // pair (2·id, 2·id+1) must surface at small hamming; distinct
+      // documents' images are LCG-scrambled and stay far (Round20Spec
+      // pins both plus exact-dup cross pairs at fixture scale). The
+      // per-record work here is REAL codec work — PNG encode at the
+      // source, PNG decode + pixel walk in the hash — so this entry
+      // doubles as the decode-throughput measurement (SURVEY §22).
+      // Rows-only check: the pixel pipeline is not SQL-expressible
+      // (ImageIO is the ground truth); determinism comes from PNG
+      // losslessness + integer-exact kernels, and the ImageIoCodec is
+      // passed EXPLICITLY (not via the installable global), so the
+      // entry's output never depends on process state.
+      (s, dir) => {
+        val sig = mmPngSource(s, dir)
+          .mapPartitions(phashBatch(ImageIoCodec))(Encoders.product[MMHash])
+          .toDF()
+        phashPairs(sig).orderBy(col("a"), col("b"))
+      },
+      None),
 
     Entry(
       "mm_embed_knn",

@@ -43,17 +43,21 @@ class Round19Spec extends SparkSuite {
         r.getAs[Long]("checksum"))).sortBy(_._1).toSeq
     val stub = meta()
     assert(stub.nonEmpty)
-    try {
+    // scoped swaps (ADVICE r19): withCodec holds the codec lock for
+    // the whole region, so a concurrently-building mm_* plan in any
+    // other suite blocks on the codec read instead of silently
+    // capturing the test codec
+    MultimodalOps.withCodec(DelegatingTestCodec) {
       // stub-vs-stub: a delegating implementation is invisible
-      MultimodalOps.installCodec(DelegatingTestCodec)
       assert(meta() == stub,
         "a codec delegating to the stub must produce identical output")
+    }
+    MultimodalOps.withCodec(MarkedTestCodec) {
       // and the plumbing really routes through what's installed
-      MultimodalOps.installCodec(MarkedTestCodec)
       assert(meta() == stub.map { case (id, c) => (id, c + 1) },
         "an installed codec must be what the entry executes")
-    } finally MultimodalOps.installCodec(StubMediaCodec)
-    assert(meta() == stub, "restoring the stub must restore the output")
+    }
+    assert(meta() == stub, "leaving the scope must restore the output")
   }
 
   test("IndexCache: eviction continues past a zero-tracked-byte LRU corpus") {
@@ -212,5 +216,23 @@ class Round19Spec extends SparkSuite {
     assert(DiagArgs.dirs(Array.empty[String], "def") == Seq("def"))
     assert(DiagArgs.intFlag(Array("--reps", "5"), "--reps").contains(5))
     assert(DiagArgs.intFlag(Array("d"), "--reps").isEmpty)
+    // ADVICE r19: SessPlateau's --buckets landed without a ValueFlags
+    // entry, so its value parsed as a corpus dir and the run crashed
+    // reading tables from dir "24"
+    assert(DiagArgs.dirs(Array("target/sf10", "--buckets", "24"), "def") ==
+      Seq("target/sf10"))
+    assert(DiagArgs.intFlag(Array("--buckets", "24"), "--buckets")
+      .contains(24))
+    // a non-integer value fails loud, naming the flag (not a bare
+    // NumberFormatException that dirs() silently disagrees with)
+    val e = intercept[RuntimeException](
+      DiagArgs.intFlag(Array("--reps", "foo"), "--reps"))
+    assert(e.getMessage.contains("--reps") &&
+      e.getMessage.contains("foo"))
+    // an UNREGISTERED flag string can't be queried at all — the
+    // require turns the add-a-flag-forget-the-set bug class into an
+    // immediate failure at the new call site
+    intercept[IllegalArgumentException](
+      DiagArgs.intFlag(Array("--novel", "3"), "--novel"))
   }
 }

@@ -111,10 +111,20 @@ def main(log_path, apply_it, pins_path=PINS, isolated=None,
         "# solo min-of-3 instead (marked below) - so decade adjudication is\n"
         "# a mechanical median_pin_ratio read (<= ~1.15 = healthy; see\n"
         "# SURVEY §5), not a per-round re-measure.\n"
-        "# Isolated solo min-of-3 (pin = min(in-suite, isolated)):\n"
     )
-    iso_lines = "#   " + ", ".join(
-        f"{k} {v:.3f}" for k, v in sorted(isolated.items())) + "\n"
+    # ADVICE r19: with no isolated overrides (every non-sf10 scale
+    # after the scale gate) the header must SAY so instead of
+    # advertising a mechanism that no longer applies with a dangling
+    # empty list — future reseeds otherwise re-add cross-scale values.
+    if isolated:
+        iso_lines = (
+            "# Isolated solo min-of-3 (pin = min(in-suite, isolated)):\n"
+            "#   " + ", ".join(
+                f"{k} {v:.3f}" for k, v in sorted(isolated.items())) + "\n")
+    else:
+        iso_lines = (
+            "# Isolated overrides: none - isolated pins are sf10-only\n"
+            "# (scale-gated in tools/reseed_pins.py; SURVEY §21).\n")
     def new_pin(k):
         base = min(q[k], isolated.get(k, float("inf")))
         # ratchet: never above the committed value — a raise needs a
@@ -182,6 +192,31 @@ def selftest():
         f.write("BENCHQ q_ok 1.20 s\nBENCHQ q_reg 6.10 s\n")
     rc = main(log, False, pins_path=pins, isolated={})
     assert rc == 0, f"sub-cap raises must pass, got rc={rc}"
+    # SCALE GATE (VERDICT r19 #4): the ISOLATED overrides are sf10
+    # solo measurements; isolated=None (the CLI path) must apply them
+    # ONLY to the sf10 pins file. r18's seeding wrote 13 sf10 walls
+    # into bench_pins_sf30.tsv ("isolated wins when smaller" is always
+    # true at a larger scale) and the r19 sf30 gate cried wolf on 6
+    # healthy entries at 2.9-7.4x.
+    iso_key = sorted(ISOLATED)[0]
+    def seeded_pin(pins_name):
+        p = os.path.join(d, pins_name)
+        lg = os.path.join(d, "gate.log")
+        with open(lg, "w") as f:
+            f.write(f"BENCHQ {iso_key} 500.00 s\n")
+        rc = main(lg, True, pins_path=p, isolated=None)
+        assert rc == 0, f"fresh seeding must pass, got rc={rc}"
+        return {k: float(v) for k, v in
+                (l.split("\t") for l in open(p)
+                 if not l.startswith("#") and l.strip())}[iso_key]
+    assert seeded_pin("bench_pins_sf30.tsv") == 500.0, \
+        "sf10 isolated override leaked into an sf30 seed"
+    assert seeded_pin("bench_pins_sf10.tsv") == ISOLATED[iso_key], \
+        "sf10 seed must keep min(in-suite, isolated)"
+    # and the empty-override header is explicit, not a dangling list
+    hdr = open(os.path.join(d, "bench_pins_sf30.tsv")).read()
+    assert "Isolated overrides: none" in hdr and "#   " not in hdr, \
+        "non-sf10 seed must state that isolated overrides do not apply"
     print("selftest OK")
 
 if __name__ == "__main__":
