@@ -160,6 +160,91 @@ object Analytics4 {
         ORDER BY a_key, b_key""")),
 
     Entry(
+      "q71_fuzzy_lsh",
+      // The LSH-banded RECALL-TRADEOFF variant of q71 (VERDICT r19
+      // #2): q71's recall-1 deletion blocking pays candidate
+      // co-occurrence volume that is intrinsically ~n^1.15 on dense
+      // name distributions (Q71Diag, SURVEY §21) — a 100 TB user who
+      // can tolerate <1 recall needs the linear path. Blocking here is
+      // dedup_minhash's topology over NAMES: char 3-grams of the
+      // 16-char name SUFFIX (the entropy window q71 established; gram
+      // SETS are alignment-invariant, so prefix edits that would shift
+      // a positional window only perturb a few grams) → 64-perm
+      // MinHash → 32 bands × 2 rows (s-curve threshold ~0.18, well
+      // under the J ≥ ~0.4 a dist-≤2 pair retains) → bucket keys
+      // folded with (nation, segment) so the blocking respects the
+      // match predicate BEFORE the join. Candidates verify with the
+      // same banded-Levenshtein kernel as q71; a 64-bit fold collision
+      // is caught by the post-join nation/segment equality re-check.
+      // The signature relation is 32 rows/customer (vs 137 deletion
+      // variants) and bucket co-occurrence is governed by the banding
+      // s-curve, not name-density — the linear-at-scale path.
+      // ORACLED from the dumped signature store: DuckDB re-derives
+      // candidates from (band, bkey, key) and re-verifies with its own
+      // levenshtein, so blocking and verify are both checked.
+      (s, dir) => q71FuzzyLsh(s, dir),
+      Some(s"""WITH bd AS (SELECT band, bkey, key
+          FROM read_parquet('${OracleDumps.SqlRoot}/q71/bands/*.parquet')),
+        cand AS (SELECT DISTINCT l.key AS a_key, r.key AS b_key
+          FROM bd l JOIN bd r ON l.band = r.band AND l.bkey = r.bkey
+            AND l.key < r.key)
+        SELECT c.a_key, a.c_name AS a_name, c.b_key, b.c_name AS b_name,
+          CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+        FROM cand c JOIN customer a ON a.c_custkey = c.a_key
+          JOIN customer b ON b.c_custkey = c.b_key
+        WHERE a.c_nationkey = b.c_nationkey
+          AND a.c_mktsegment = b.c_mktsegment
+          AND levenshtein(a.c_name, b.c_name) <= 2
+        ORDER BY a_key, b_key""")),
+
+    Entry(
+      "q71_recall_report",
+      // The measured recall contract for q71_fuzzy_lsh
+      // (dedup_recall_report's shape): per exact edit distance, how
+      // many true pairs exist (ground truth = the recall-1 q71 path,
+      // whose equivalence to the full quadratic is its own oracle) vs
+      // how many the LSH buckets surface. At 100 TB this is the
+      // report a pipeline owner reads before choosing the linear
+      // path; here the full truth is affordable at gate scales, and
+      // SURVEY §22 carries the measured table. Recall is one IEEE
+      // division of two exact counts, so the report hash-matches.
+      (s, dir) => {
+        dumpQ71Bands(s, dir)
+        val truth = q71FuzzyMatch(s, dir)
+          .select(col("a_key"), col("b_key"), col("dist"))
+        val cand = q71LshCandidates(s, dir).withColumn("hit", lit(1L))
+        truth.join(cand, Seq("a_key", "b_key"), "left")
+          .groupBy(col("dist"))
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(coalesce(col("hit"), lit(0L))).as("n_recalled"))
+          .withColumn("recall",
+            col("n_recalled").cast("double") / col("n_pairs").cast("double"))
+          .orderBy(col("dist"))
+      },
+      Some(s"""WITH truth AS (SELECT a.c_custkey AS a_key,
+            b.c_custkey AS b_key,
+            CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+          FROM customer a JOIN customer b
+            ON a.c_nationkey = b.c_nationkey
+            AND a.c_mktsegment = b.c_mktsegment
+            AND a.c_custkey < b.c_custkey
+          WHERE levenshtein(a.c_name, b.c_name) <= 2),
+        bd AS (SELECT band, bkey, key
+          FROM read_parquet('${OracleDumps.SqlRoot}/q71/bands/*.parquet')),
+        cand AS (SELECT DISTINCT l.key AS a_key, r.key AS b_key
+          FROM bd l JOIN bd r ON l.band = r.band AND l.bkey = r.bkey
+            AND l.key < r.key),
+        agg AS (SELECT t.dist, COUNT(*) AS n_pairs,
+            CAST(SUM(CASE WHEN c.a_key IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_recalled
+          FROM truth t LEFT JOIN cand c
+            ON t.a_key = c.a_key AND t.b_key = c.b_key
+          GROUP BY t.dist)
+        SELECT dist, n_pairs, n_recalled,
+          CAST(n_recalled AS DOUBLE) / CAST(n_pairs AS DOUBLE) AS recall
+        FROM agg ORDER BY dist""")),
+
+    Entry(
       "q72_higher_order",
       // Higher-order array functions (transform / filter / aggregate /
       // exists / forall) over per-order quantity arrays — all codegen'd
@@ -513,6 +598,97 @@ object Analytics4 {
         FROM r WHERE cum * 2 >= tot
         GROUP BY l_returnflag ORDER BY l_returnflag"""))
   )
+
+  /** Banded MinHash signatures over name-suffix char 3-grams — the
+    * standing signature store q71_fuzzy_lsh blocks on (one per
+    * (session, corpus), IndexCache-managed like dedup's banded store;
+    * build is one corpus scan, 32 rows/customer). Bucket keys fold
+    * (nation, segment) so a bucket never crosses the match predicate's
+    * blocks; the entry re-checks the equality post-join anyway to
+    * guard the 64-bit fold against collisions (q71's own convention).
+    */
+  private def nameBandedSigs(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    IndexCache.getOrBuild(s, dir, "q71_name_bands") {
+      import org.apache.spark.sql.graft.DatasetBridge
+      val sig = t(s, dir, "customer")
+        .select(col("c_custkey").as("key"),
+          col("c_nationkey").as("nat"), col("c_mktsegment").as("seg"),
+          expr("substring(c_name, -16, 16)").as("w"))
+        .withColumn("grams", expr(
+          "array_distinct(transform(sequence(1, greatest(length(w) - 2, 1)), " +
+            "i -> substring(w, i, 3)))"))
+        .withColumn("sig", DatasetBridge.column(
+          graft.functions.MinHashSig(DatasetBridge.expression(col("grams")))))
+      sig.select(col("key"), col("nat"), col("seg"),
+          posexplode(expr("transform(sequence(0, 31), " +
+            "b -> xxhash64(slice(sig, b * 2 + 1, 2)))")).as(Seq("band", "bh")))
+        .select(col("band"),
+          xxhash64(col("nat"), col("seg"), col("bh")).as("bkey"),
+          col("key"))
+        .persist()
+    }
+
+  private val q71DumpDone = new java.util.concurrent.ConcurrentHashMap[
+    (Int, String), java.lang.Boolean]()
+
+  /** Dump the banded name signatures once per (session, corpus) so the
+    * DuckDB oracle re-derives candidates from the same blocking
+    * product (the MinHash permutations are the one inexpressible
+    * step; everything downstream — pairing, verify — is re-run in
+    * SQL). Same scoping discipline as DedupOps.dumpOracleBase.
+    */
+  private[graft] def dumpQ71Bands(s: org.apache.spark.sql.SparkSession,
+      dir: String): Unit =
+    q71DumpDone.computeIfAbsent((System.identityHashCode(s), dir), _ => {
+      nameBandedSigs(s, dir).coalesce(1)
+        .write.mode("overwrite")
+        .parquet(s"${OracleDumps.root(s, dir)}/q71/bands")
+      true
+    })
+
+  /** Distinct LSH candidate pairs (a_key < b_key) from equal
+    * (band, bkey) buckets — one bucket-key shuffle, volume governed by
+    * the banding s-curve.
+    */
+  private[graft] def q71LshCandidates(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val bd = nameBandedSigs(s, dir)
+    val l = bd.select(col("band"), col("bkey"), col("key").as("a_key"))
+    val r = bd.select(col("band"), col("bkey"), col("key").as("b_key"))
+    l.join(r, Seq("band", "bkey"))
+      .filter(col("a_key") < col("b_key"))
+      .select(col("a_key"), col("b_key"))
+      .distinct()
+  }
+
+  /** q71_fuzzy_lsh body: LSH candidates → name lookup → block-equality
+    * re-check → banded-Levenshtein verify (identical verify + output
+    * shape to q71_fuzzy_match; only the blocking differs).
+    */
+  private[graft] def q71FuzzyLsh(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.graft.DatasetBridge
+    dumpQ71Bands(s, dir)
+    val c = t(s, dir, "customer")
+    val an = c.select(col("c_custkey").as("a_key"),
+      col("c_name").as("a_name"), col("c_nationkey").as("a_nat"),
+      col("c_mktsegment").as("a_seg"))
+    val bn = c.select(col("c_custkey").as("b_key"),
+      col("c_name").as("b_name"), col("c_nationkey").as("b_nat"),
+      col("c_mktsegment").as("b_seg"))
+    q71LshCandidates(s, dir).join(an, "a_key").join(bn, "b_key")
+      .filter(col("a_nat") === col("b_nat") &&
+        col("a_seg") === col("b_seg"))
+      .withColumn("dist", DatasetBridge.column(
+        graft.functions.LevenshteinBand(
+          DatasetBridge.expression(col("a_name")),
+          DatasetBridge.expression(col("b_name")), 2)).cast("long"))
+      .filter(col("dist") <= 2)
+      .select(col("a_key"), col("a_name"), col("b_key"), col("b_name"),
+        col("dist"))
+      .orderBy(col("a_key"), col("b_key"))
+  }
 
   /** q71_fuzzy_match body (entry scaladoc above documents the FastSS
     * blocking design; factored out so Round16Spec can pin the scaled

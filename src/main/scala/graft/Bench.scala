@@ -92,6 +92,19 @@ object Bench {
     val all = SparkEntry.queries
     val sel = if (args.isEmpty) all
       else all.view.filterKeys(args.toSet).toMap
+    // Drift sentinels (VERDICT r19 #5): both r19 clean runs read
+    // mpr ~1.17 on a host measured 1.08x over pins on solo entries —
+    // the ≤1.15 health criterion kept being missed by host lottery,
+    // not code. The sentinels run FIRST (suite start = solo: nothing
+    // has polluted the JVM yet), their time/pin ratios' median is the
+    // host's drift factor for this run, and the line carries BOTH the
+    // raw median_pin_ratio and the drift-normalized one. Three
+    // multi-second CPU-bound entries that exist at every pinned scale;
+    // they are ordinary suite entries (their measurements count), so
+    // the sentinel read costs zero extra wall.
+    val sentinels = Seq("bpe_train", "text_entropy", "q07_window_rank")
+    val ordered = sel.toSeq.sortBy { case (name, _) =>
+      (if (sentinels.contains(name)) 0 else 1, name) }
     // Self-denoising: each entry runs k times and reports its MIN —
     // one hot neighbor or GC pause inflated single-shot entries 3–8×
     // in full-suite driver runs (same code measured 86–184 s across
@@ -109,7 +122,7 @@ object Bench {
     // Every failed rep is logged; an entry with zero successful reps is
     // counted in "errors" and EXCLUDED from the total (VERDICT r7 #2).
     var errors = 0
-    val results = sel.toSeq.zipWithIndex.flatMap { case ((name, fn), i) =>
+    val results = ordered.zipWithIndex.flatMap { case ((name, fn), i) =>
       var best = Double.MaxValue
       var ok = false
       var r = 0
@@ -144,14 +157,24 @@ object Bench {
     // — the number a long-lived host watches (and bounds via
     // graft.index.cacheBudgetBytes). Diagnostic line, not the metric.
     println(s"BENCHCACHE index_cache_bytes=${IndexCache.sizeBytes(spark)}")
+    // sentinel drift readout (VERDICT r19 #5): per-sentinel ratios on
+    // their own line for the human log; the median goes into the
+    // metric line as host_drift
+    val pinsMap = loadPins(sfDir)
+    val resMap = results.toMap
+    val drift = hostDrift(resMap, pinsMap, sentinels)
+    sentinels.foreach { k =>
+      for (v <- resMap.get(k); p <- pinsMap.get(k) if p > 0)
+        println(f"BENCHDRIFT $k%-20s ${v / p}%6.2fx of pin ($v%.3f / $p%.3f)")
+    }
     // stop() BEFORE the metric line: any logging Spark emits during
     // shutdown must not land after it (the driver parses the last
     // stdout line; build.sbt suppresses sbt's [success] footer too).
     // try/catch: a shutdown-hook or FS error in stop() must not eat
     // the metric line — that would null the round's bench (ADVICE r6).
     try spark.stop() catch { case _: Throwable => () }
-    println(jsonLine(sfDir, results.toMap, errors = errors,
-      pins = loadPins(sfDir)))
+    println(jsonLine(sfDir, resMap, errors = errors,
+      pins = pinsMap, drift = drift))
     System.out.flush()
     // nonzero rc on any broken entry — a fast failure must not read
     // as a green (let alone faster) bench run
@@ -167,9 +190,28 @@ object Bench {
     * to BASELINE. (r1–r4 lost bench parsing to an uncapped line;
     * BenchLineSpec pins this contract.)
     */
+  /** Median of the sentinels' time/pin ratios — the run's host-drift
+    * factor. None unless ≥2 sentinels were measured AND pinned (a
+    * one-sentinel "median" would let a single noisy entry rescale the
+    * whole gate).
+    */
+  def hostDrift(results: Map[String, Double], pins: Map[String, Double],
+      sentinels: Seq[String]): Option[Double] = {
+    val ratios = sentinels.flatMap(k =>
+      for (v <- results.get(k); p <- pins.get(k) if p > 0) yield v / p)
+      .sorted
+    if (ratios.length < 2) None
+    else {
+      val n = ratios.length
+      Some(if (n % 2 == 1) ratios(n / 2)
+      else (ratios(n / 2 - 1) + ratios(n / 2)) / 2)
+    }
+  }
+
   def jsonLine(sfDir: String, results: Map[String, Double],
       budget: Int = 1400, errors: Int = 0,
-      pins: Map[String, Double] = Map.empty): String = {
+      pins: Map[String, Double] = Map.empty,
+      drift: Option[Double] = None): String = {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val sfNum = raw"sf([0-9.]+)".r.findFirstMatchIn(sfDir)
       .map(_.group(1)).getOrElse("0.1")
@@ -209,7 +251,17 @@ object Bench {
         val n = ratios.length
         val med = if (n % 2 == 1) ratios(n / 2)
           else (ratios(n / 2 - 1) + ratios(n / 2)) / 2
-        f""","median_pin_ratio":$med%.2f"""
+        // drift-normalized twin (VERDICT r19 #5): the raw median
+        // divided by the run's sentinel host-drift factor — the
+        // number the ≤1.15 health criterion reads, so a slow host no
+        // longer fails the gate by lottery (and a FAST host cannot
+        // mask a real regression: both numbers are in the line).
+        // Emitted only when BOTH exist; a drift without pins (or vice
+        // versa) has nothing to normalize.
+        val normStr = drift.filter(_ > 0).map { d =>
+          f""","host_drift":$d%.2f,"median_pin_ratio_norm":${med / d}%.2f"""
+        }.getOrElse("")
+        f""","median_pin_ratio":$med%.2f""" + normStr
       }
     }
     val entries = results.toSeq.sortBy { case (k, v) => (-v, k) }

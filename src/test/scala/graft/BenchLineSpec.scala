@@ -95,6 +95,62 @@ class BenchLineSpec extends AnyFunSuite {
       .contains("median_pin_ratio"))
   }
 
+  test("drift-normalized median: raw and normalized both emitted, " +
+      "absent without drift or without pins") {
+    // VERDICT r19 #5: both r19 clean runs read mpr 1.17 on a host
+    // measured 1.08x over pins — the ≤1.15 criterion was being missed
+    // by host lottery. The line now carries the sentinel-measured
+    // host_drift and the normalized median; the raw median stays so a
+    // fast host can't mask a regression.
+    val pins = many.map { case (k, v) => k -> v / 1.2 } // ratio 1.20
+    val line = Bench.jsonLine("/root/testdata/sf0.1", many, pins = pins,
+      drift = Some(1.2))
+    assert(line.contains(""","median_pin_ratio":1.20"""), line.takeRight(160))
+    assert(line.contains(""","host_drift":1.20"""), line.takeRight(160))
+    assert(line.contains(""","median_pin_ratio_norm":1.00"""),
+      line.takeRight(160))
+    assert(line.length <= 1400 + 2 && line.count(_ == '{') == line.count(_ == '}'))
+    // metric-first prefix the driver parses is untouched
+    assert(line.contains(""","unit":"sec","sf":0.1,"errors":0,"queries":{"""))
+    // no drift → raw only
+    val raw = Bench.jsonLine("/root/testdata/sf0.1", many, pins = pins)
+    assert(raw.contains("median_pin_ratio") && !raw.contains("host_drift"))
+    // no pins → neither (nothing to normalize)
+    val none = Bench.jsonLine("/root/testdata/sf0.1", many,
+      drift = Some(1.2))
+    assert(!none.contains("median_pin_ratio") && !none.contains("host_drift"))
+  }
+
+  test("hostDrift: median of sentinel ratios; None below 2 sentinels") {
+    val res = Map("a" -> 2.0, "b" -> 3.0, "c" -> 10.0)
+    val pins = Map("a" -> 1.0, "b" -> 2.0, "c" -> 5.0)
+    assert(Bench.hostDrift(res, pins, Seq("a", "b", "c")).contains(2.0))
+    // even count averages the middle pair
+    assert(Bench.hostDrift(res, pins, Seq("a", "b")).contains(1.75))
+    // a lone sentinel must not rescale the gate
+    assert(Bench.hostDrift(res, pins, Seq("a")).isEmpty)
+    assert(Bench.hostDrift(res, Map.empty, Seq("a", "b")).isEmpty)
+    // an unmeasured or unpinned sentinel simply drops out
+    assert(Bench.hostDrift(res, pins, Seq("a", "b", "zz")).contains(1.75))
+  }
+
+  test("the sentinel entries exist in the suite and in every pinned scale") {
+    val sentinels = Seq("bpe_train", "text_entropy", "q07_window_rank")
+    sentinels.foreach { s =>
+      assert(SparkEntry.queries.contains(s), s)
+      assert(Bench.loadPins("/root/testdata/sf0.1").contains(s), s"$s sf0.1")
+      assert(Bench.loadPins("target/sf10").contains(s), s"$s sf10")
+      assert(Bench.loadPins("target/sf30u").contains(s), s"$s sf30")
+    }
+    // and Bench runs them first (suite start = solo read)
+    val bench = scala.io.Source.fromFile(
+      "src/main/scala/graft/Bench.scala", "UTF-8").mkString
+    assert(bench.contains(
+      """val sentinels = Seq("bpe_train", "text_entropy", "q07_window_rank")"""))
+    assert(bench.contains("if (sentinels.contains(name)) 0 else 1"),
+      "sentinels must be ordered to the front of the suite")
+  }
+
   test("within-2x entries and unpinned entries produce no regressions field") {
     val pins = many.map { case (k, v) => k -> v / 1.9 } // all under 2x
     val line = Bench.jsonLine("/root/testdata/sf0.1", many, pins = pins)

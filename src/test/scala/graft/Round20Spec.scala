@@ -86,6 +86,31 @@ class Round20Spec extends SparkSuite {
     assert(e.getMessage.contains("42"))
   }
 
+  test("q71_fuzzy_lsh: every emitted pair is a TRUE dist<=2 pair " +
+      "(subset of the recall-1 exact path) and recall is high") {
+    val exact = q("q71_fuzzy_match", sfDir)
+    val lsh = q("q71_fuzzy_lsh", sfDir)
+    assert(lsh.count() > 0, "fixture must produce LSH fuzzy pairs")
+    // verified candidates can never contain a false positive: the LSH
+    // output must be a SUBSET of the exact recall-1 output
+    assert(lsh.exceptAll(exact).isEmpty,
+      "q71_fuzzy_lsh emitted a pair the exact path does not contain")
+    val report = q("q71_recall_report", sfDir).collect()
+    report.foreach(r => info(s"q71 recall: $r"))
+    val (tot, rec) = report.foldLeft((0L, 0L)) { (acc, r) =>
+      (acc._1 + r.getAs[Long]("n_pairs"),
+        acc._2 + r.getAs[Long]("n_recalled")) }
+    assert(tot == exact.count(),
+      "recall-report ground truth must be the exact pair set")
+    assert(rec.toDouble / tot >= 0.9,
+      s"overall LSH recall $rec/$tot below the 0.9 design floor")
+    // the report's recall column is exactly n_recalled / n_pairs
+    report.foreach { r =>
+      assert(r.getAs[Double]("recall") ==
+        r.getAs[Long]("n_recalled").toDouble / r.getAs[Long]("n_pairs"))
+    }
+  }
+
   test("mm_phash_real: near-dup PNGs bucket together through the " +
       "unchanged LSH plumbing (exact pair set at fixture scale)") {
     val pairs = q("mm_phash_real", Fixtures.dir)
