@@ -160,34 +160,45 @@ object Analytics4 {
         ORDER BY a_key, b_key""")),
 
     Entry(
-      "q71_fuzzy_lsh",
-      // The LSH-banded RECALL-TRADEOFF variant of q71 (VERDICT r19
+      "q71_fuzzy_capped",
+      // The df-capped RECALL-TRADEOFF variant of q71 (VERDICT r19
       // #2): q71's recall-1 deletion blocking pays candidate
       // co-occurrence volume that is intrinsically ~n^1.15 on dense
       // name distributions (Q71Diag, SURVEY §21) — a 100 TB user who
-      // can tolerate <1 recall needs the linear path. Blocking here is
-      // dedup_minhash's topology over NAMES: char 3-grams of the
-      // 16-char name SUFFIX (the entropy window q71 established; gram
-      // SETS are alignment-invariant, so prefix edits that would shift
-      // a positional window only perturb a few grams) → 64-perm
-      // MinHash → 32 bands × 2 rows (s-curve threshold ~0.18, well
-      // under the J ≥ ~0.4 a dist-≤2 pair retains) → bucket keys
-      // folded with (nation, segment) so the blocking respects the
-      // match predicate BEFORE the join. Candidates verify with the
-      // same banded-Levenshtein kernel as q71; a 64-bit fold collision
-      // is caught by the post-join nation/segment equality re-check.
-      // The signature relation is 32 rows/customer (vs 137 deletion
-      // variants) and bucket co-occurrence is governed by the banding
-      // s-curve, not name-density — the linear-at-scale path.
-      // ORACLED from the dumped signature store: DuckDB re-derives
-      // candidates from (band, bkey, key) and re-verifies with its own
-      // levenshtein, so blocking and verify are both checked.
-      (s, dir) => q71FuzzyLsh(s, dir),
-      Some(s"""WITH bd AS (SELECT band, bkey, key
-          FROM read_parquet('${OracleDumps.SqlRoot}/q71/bands/*.parquet')),
+      // can tolerate <1 recall needs a path with a LINEAR bound.
+      // An MinHash-LSH blocking (the literal r19 suggestion) was
+      // built first and measured structurally non-discriminative on
+      // key-like strings: within-(nation, segment) FALSE pairs carry
+      // the same gram-Jaccard distribution as true dist-≤2 pairs
+      // (both median J = 0.5 at q ∈ {3,4,5} — the constant
+      // "Customer#" format dominates the gram sets), so the 32×2
+      // banding passed 1.11 B distinct candidates at the sf10 decade
+      // (~50× the exact path); df-FILTERED grams collapse true-pair J
+      // to ~0 as well (edits destroy exactly the rare grams). Both
+      // measurements are ledgered in SURVEY §22; no gram-set
+      // similarity separates edit distance on this distribution.
+      // The shipped escape hatch keeps q71's SOUND alignment-aware
+      // blocking — FastSS ≤2-deletion variants on the 16-char suffix
+      // window, bucket key = hash(nation, segment, variant) — and
+      // adds ONE recall knob: buckets with occupancy > Q71Cap (8) are
+      // dropped. Candidate volume is then ≤ n·137·cap/2 — linear in
+      // the corpus BY CONSTRUCTION, not by distributional luck — and
+      // pairs explode join-free inside each ≤cap-key bucket array.
+      // What the cap costs is measured, not argued: q71_recall_report
+      // reads recall per edit distance against the recall-1 path (a
+      // dist-2 substitution pair shares exactly ONE bucket — its
+      // {i,j} double-deletion — so capping trades exactly the pairs
+      // whose shared bucket is hot). A 64-bit bucket-hash collision
+      // is caught by the post-join nation/segment equality re-check,
+      // q71's own convention.
+      // ORACLED from the dumped kept-bucket store: DuckDB re-derives
+      // candidate pairs from (bk, key) and re-verifies with its own
+      // levenshtein, so pairing and verify are both checked.
+      (s, dir) => q71FuzzyCapped(s, dir),
+      Some(s"""WITH bd AS (SELECT bk, key
+          FROM read_parquet('${OracleDumps.SqlRoot}/q71/buckets/*.parquet')),
         cand AS (SELECT DISTINCT l.key AS a_key, r.key AS b_key
-          FROM bd l JOIN bd r ON l.band = r.band AND l.bkey = r.bkey
-            AND l.key < r.key)
+          FROM bd l JOIN bd r ON l.bk = r.bk AND l.key < r.key)
         SELECT c.a_key, a.c_name AS a_name, c.b_key, b.c_name AS b_name,
           CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
         FROM cand c JOIN customer a ON a.c_custkey = c.a_key
@@ -199,20 +210,20 @@ object Analytics4 {
 
     Entry(
       "q71_recall_report",
-      // The measured recall contract for q71_fuzzy_lsh
+      // The measured recall contract for q71_fuzzy_capped
       // (dedup_recall_report's shape): per exact edit distance, how
       // many true pairs exist (ground truth = the recall-1 q71 path,
       // whose equivalence to the full quadratic is its own oracle) vs
-      // how many the LSH buckets surface. At 100 TB this is the
+      // how many the capped buckets surface. At 100 TB this is the
       // report a pipeline owner reads before choosing the linear
       // path; here the full truth is affordable at gate scales, and
       // SURVEY §22 carries the measured table. Recall is one IEEE
       // division of two exact counts, so the report hash-matches.
       (s, dir) => {
-        dumpQ71Bands(s, dir)
+        dumpQ71Buckets(s, dir)
         val truth = q71FuzzyMatch(s, dir)
           .select(col("a_key"), col("b_key"), col("dist"))
-        val cand = q71LshCandidates(s, dir).withColumn("hit", lit(1L))
+        val cand = q71CappedCandidates(s, dir).withColumn("hit", lit(1L))
         truth.join(cand, Seq("a_key", "b_key"), "left")
           .groupBy(col("dist"))
           .agg(count(lit(1)).as("n_pairs"),
@@ -229,11 +240,10 @@ object Analytics4 {
             AND a.c_mktsegment = b.c_mktsegment
             AND a.c_custkey < b.c_custkey
           WHERE levenshtein(a.c_name, b.c_name) <= 2),
-        bd AS (SELECT band, bkey, key
-          FROM read_parquet('${OracleDumps.SqlRoot}/q71/bands/*.parquet')),
+        bd AS (SELECT bk, key
+          FROM read_parquet('${OracleDumps.SqlRoot}/q71/buckets/*.parquet')),
         cand AS (SELECT DISTINCT l.key AS a_key, r.key AS b_key
-          FROM bd l JOIN bd r ON l.band = r.band AND l.bkey = r.bkey
-            AND l.key < r.key),
+          FROM bd l JOIN bd r ON l.bk = r.bk AND l.key < r.key),
         agg AS (SELECT t.dist, COUNT(*) AS n_pairs,
             CAST(SUM(CASE WHEN c.a_key IS NOT NULL THEN 1 ELSE 0 END)
               AS BIGINT) AS n_recalled
@@ -599,77 +609,104 @@ object Analytics4 {
         GROUP BY l_returnflag ORDER BY l_returnflag"""))
   )
 
-  /** Banded MinHash signatures over name-suffix char 3-grams — the
-    * standing signature store q71_fuzzy_lsh blocks on (one per
-    * (session, corpus), IndexCache-managed like dedup's banded store;
-    * build is one corpus scan, 32 rows/customer). Bucket keys fold
-    * (nation, segment) so a bucket never crosses the match predicate's
-    * blocks; the entry re-checks the equality post-join anyway to
-    * guard the 64-bit fold against collisions (q71's own convention).
+  /** Shipped occupancy cap for q71_fuzzy_capped: buckets holding more
+    * than this many distinct customers are dropped from the blocking.
+    * Candidate volume is then bounded by n·137·Q71Cap/2 (linear in the
+    * corpus); what the cap costs in recall is measured per edit
+    * distance by q71_recall_report, never assumed. 8 sits just above
+    * the measured df median band (Q71Diag r19: df 5-16 buckets carry
+    * ~42% of pair volume at the upsampled decades, max df 15) — a
+    * visible-but-bounded trade the recall table quantifies.
     */
-  private def nameBandedSigs(s: org.apache.spark.sql.SparkSession,
-      dir: String): org.apache.spark.sql.DataFrame =
-    IndexCache.getOrBuild(s, dir, "q71_name_bands") {
+  private[graft] val Q71Cap = 8
+
+  /** Kept-bucket store q71_fuzzy_capped blocks on (one per (session,
+    * corpus, cap), IndexCache-managed like dedup's banded store): the
+    * exact path's FastSS ≤2-deletion variant relation, grouped by
+    * bucket key hash(nation, segment, variant), keeping only buckets
+    * with 2..cap distinct customers. Build is one corpus scan + one
+    * bucket-key shuffle; the stored relation is (bk, sorted key array)
+    * — singleton buckets (the vast majority) and hot buckets are both
+    * gone, so the store is far smaller than the variant relation.
+    */
+  private[graft] def cappedBuckets(s: org.apache.spark.sql.SparkSession,
+      dir: String, cap: Int = Q71Cap): org.apache.spark.sql.DataFrame =
+    IndexCache.getOrBuild(s, dir, s"q71_capped_buckets_$cap") {
       import org.apache.spark.sql.graft.DatasetBridge
-      val sig = t(s, dir, "customer")
-        .select(col("c_custkey").as("key"),
-          col("c_nationkey").as("nat"), col("c_mktsegment").as("seg"),
-          expr("substring(c_name, -16, 16)").as("w"))
-        .withColumn("grams", expr(
-          "array_distinct(transform(sequence(1, greatest(length(w) - 2, 1)), " +
-            "i -> substring(w, i, 3)))"))
-        .withColumn("sig", DatasetBridge.column(
-          graft.functions.MinHashSig(DatasetBridge.expression(col("grams")))))
-      sig.select(col("key"), col("nat"), col("seg"),
-          posexplode(expr("transform(sequence(0, 31), " +
-            "b -> xxhash64(slice(sig, b * 2 + 1, 2)))")).as(Seq("band", "bh")))
-        .select(col("band"),
-          xxhash64(col("nat"), col("seg"), col("bh")).as("bkey"),
-          col("key"))
+      t(s, dir, "customer")
+        // the 137× variant explode is a fanout-heavy per-row stage:
+        // decouple its parallelism from the customer file's split
+        // count (1-2 splits at the decade dirs would serialize 205 M
+        // generated rows through 2 cores — the mmPngSource rule:
+        // explode/codec stages are sized to cores, not input bytes)
+        .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
+        .withColumn("v", explode(DatasetBridge.column(
+          graft.functions.DeletionVariants(
+            DatasetBridge.expression(col("c_name")), 2, 16))))
+        .select(xxhash64(col("c_nationkey"), col("c_mktsegment"),
+            col("v")).as("bk"),
+          col("c_custkey").as("key"))
+        .groupBy(col("bk"))
+        .agg(collect_set(col("key")).as("ks"))
+        .filter(size(col("ks")).between(2, cap))
+        .select(col("bk"), array_sort(col("ks")).as("keys"))
         .persist()
     }
 
   private val q71DumpDone = new java.util.concurrent.ConcurrentHashMap[
     (Int, String), java.lang.Boolean]()
 
-  /** Dump the banded name signatures once per (session, corpus) so the
-    * DuckDB oracle re-derives candidates from the same blocking
-    * product (the MinHash permutations are the one inexpressible
-    * step; everything downstream — pairing, verify — is re-run in
-    * SQL). Same scoping discipline as DedupOps.dumpOracleBase.
+  /** Dump the kept buckets once per (session, corpus) so the DuckDB
+    * oracle re-derives candidate pairs from the same blocking product
+    * (re-pairing + re-verifying in SQL; the variant hashing and the
+    * cap are the Spark-side steps under test via the pair set). Same
+    * scoping discipline as DedupOps.dumpOracleBase.
     */
-  private[graft] def dumpQ71Bands(s: org.apache.spark.sql.SparkSession,
+  private[graft] def dumpQ71Buckets(s: org.apache.spark.sql.SparkSession,
       dir: String): Unit =
     q71DumpDone.computeIfAbsent((System.identityHashCode(s), dir), _ => {
-      nameBandedSigs(s, dir).coalesce(1)
+      // NO single-file collapse: coalesce(1) on the not-yet-
+      // materialized store folds past the groupBy exchange and runs
+      // the whole bucket build as ONE reduce task, and repartition(1)
+      // still serializes the ~50 M-row parquet encode at the decade
+      // dirs (both measured as multi-minute single-core stalls). The
+      // oracle reads a *.parquet glob, so the dump keeps the store's
+      // natural partitioning and writes in parallel.
+      cappedBuckets(s, dir)
+        .select(col("bk"), explode(col("keys")).as("key"))
         .write.mode("overwrite")
-        .parquet(s"${OracleDumps.root(s, dir)}/q71/bands")
+        .parquet(s"${OracleDumps.root(s, dir)}/q71/buckets")
       true
     })
 
-  /** Distinct LSH candidate pairs (a_key < b_key) from equal
-    * (band, bkey) buckets — one bucket-key shuffle, volume governed by
-    * the banding s-curve.
+  /** Distinct candidate pairs (a_key < b_key) from the kept buckets —
+    * pairs explode JOIN-FREE inside each bucket's ≤cap-element key
+    * array (C(cap,2) ≤ 28 struct builds per bucket, all codegen'd), so
+    * the only exchanges are the store's bucket-key shuffle and the
+    * distinct. No self-join exists to mis-plan.
     */
-  private[graft] def q71LshCandidates(s: org.apache.spark.sql.SparkSession,
-      dir: String): org.apache.spark.sql.DataFrame = {
-    val bd = nameBandedSigs(s, dir)
-    val l = bd.select(col("band"), col("bkey"), col("key").as("a_key"))
-    val r = bd.select(col("band"), col("bkey"), col("key").as("b_key"))
-    l.join(r, Seq("band", "bkey"))
-      .filter(col("a_key") < col("b_key"))
-      .select(col("a_key"), col("b_key"))
+  private[graft] def q71CappedCandidates(
+      s: org.apache.spark.sql.SparkSession, dir: String,
+      cap: Int = Q71Cap): org.apache.spark.sql.DataFrame =
+    cappedBuckets(s, dir, cap)
+      .select(explode(expr(
+        "flatten(transform(sequence(0, size(keys) - 2), i -> " +
+          "transform(sequence(i + 1, size(keys) - 1), j -> " +
+          "struct(element_at(keys, i + 1) AS a_key, " +
+          "element_at(keys, j + 1) AS b_key))))")).as("p"))
+      .select(col("p.a_key"), col("p.b_key"))
       .distinct()
-  }
 
-  /** q71_fuzzy_lsh body: LSH candidates → name lookup → block-equality
-    * re-check → banded-Levenshtein verify (identical verify + output
-    * shape to q71_fuzzy_match; only the blocking differs).
+  /** q71_fuzzy_capped body: capped candidates → name lookup →
+    * block-equality re-check → banded-Levenshtein verify (identical
+    * verify + output shape to q71_fuzzy_match; only the blocking's
+    * occupancy cap differs — at cap ≥ the corpus's max bucket df the
+    * output is bit-identical to the exact entry, Round20Spec-pinned).
     */
-  private[graft] def q71FuzzyLsh(s: org.apache.spark.sql.SparkSession,
-      dir: String): org.apache.spark.sql.DataFrame = {
+  private[graft] def q71FuzzyCapped(s: org.apache.spark.sql.SparkSession,
+      dir: String, cap: Int = Q71Cap): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.graft.DatasetBridge
-    dumpQ71Bands(s, dir)
+    if (cap == Q71Cap) dumpQ71Buckets(s, dir)
     val c = t(s, dir, "customer")
     val an = c.select(col("c_custkey").as("a_key"),
       col("c_name").as("a_name"), col("c_nationkey").as("a_nat"),
@@ -677,7 +714,7 @@ object Analytics4 {
     val bn = c.select(col("c_custkey").as("b_key"),
       col("c_name").as("b_name"), col("c_nationkey").as("b_nat"),
       col("c_mktsegment").as("b_seg"))
-    q71LshCandidates(s, dir).join(an, "a_key").join(bn, "b_key")
+    q71CappedCandidates(s, dir, cap).join(an, "a_key").join(bn, "b_key")
       .filter(col("a_nat") === col("b_nat") &&
         col("a_seg") === col("b_seg"))
       .withColumn("dist", DatasetBridge.column(

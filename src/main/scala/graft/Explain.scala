@@ -16,7 +16,8 @@ object Explain {
         "q42_bloom_semijoin", "text_tfidf", "pipeline_corpus",
         "q54_gapfill", "q57_topk_agg", "q58_salted_join",
         "q59_latest_per_key", "dedup_minhash", "mm_embed_knn",
-        "q68_streaks", "q69_funnel", "q71_fuzzy_match", "q76_interval_merge",
+        "q68_streaks", "q69_funnel", "q71_fuzzy_match", "q71_fuzzy_capped",
+        "mm_phash_real", "q76_interval_merge",
         "q77_nearest_event", "text_vocab", "emb_centroid",
         "q82_bom_closure", "q84_bfs_hops", "q86_scd2_join",
         "dedup_decontaminate", "knn_ivf", "u2_bulk_ingest",

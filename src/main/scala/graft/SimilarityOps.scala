@@ -2434,6 +2434,15 @@ object MultimodalOps {
       : Dataset[MMIn] =
     Tables.t(s, dir, "documents")
       .select(col("doc_id"), col("text"))
+      // CPU-heavy per-row stage (PNG encode here, decode downstream):
+      // decouple parallelism from the parquet SPLIT count — a ~150 MB
+      // documents file is 1-2 input splits, which would serialize the
+      // codec work onto 1-2 cores (measured at sf10: the unrepartitioned
+      // entry pegged 2 threads for 25+ min). One cheap shuffle of
+      // (doc_id, text) buys full-width decode; at 100 TB the same rule
+      // holds — partition count for a codec stage is sized to cores,
+      // not to input bytes/128 MB.
+      .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
       .as(Encoders.product[(Long, String)])
       .mapPartitions { it =>
         it.flatMap { case (id, text) =>

@@ -231,6 +231,24 @@ class PlanAuditSpec extends SparkSuite {
       !p.contains("BroadcastNestedLoopJoin"), p.take(1000))
   }
 
+  test("mm_phash_real: real-codec pairing keeps the same bucketed shape") {
+    val p = plan("mm_phash_real")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(1000))
+  }
+
+  test("q71_fuzzy_capped: candidate pairing is join-free; " +
+      "no cartesian anywhere") {
+    // the capped variant's scale contract: candidate pairs explode
+    // inside each ≤cap-element bucket array (a Generate, never a
+    // self-join that could mis-plan); the only joins are the two
+    // key-equi name lookups
+    val p = plan("q71_fuzzy_capped")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(1200))
+    assert(p.contains("Generate explode"), p.take(1200))
+  }
+
   test("dedup_semantic: pairwise stays within cells — one cell join, no cartesian") {
     // the defining scale property: the pairwise self-join must KEY on
     // cell (bounded occupancy blocks), never an all-pairs cross. The

@@ -86,15 +86,22 @@ class Round20Spec extends SparkSuite {
     assert(e.getMessage.contains("42"))
   }
 
-  test("q71_fuzzy_lsh: every emitted pair is a TRUE dist<=2 pair " +
-      "(subset of the recall-1 exact path) and recall is high") {
+  test("q71_fuzzy_capped: every emitted pair is a TRUE dist<=2 pair " +
+      "(subset of the recall-1 exact path); unbounded cap = exact") {
     val exact = q("q71_fuzzy_match", sfDir)
-    val lsh = q("q71_fuzzy_lsh", sfDir)
-    assert(lsh.count() > 0, "fixture must produce LSH fuzzy pairs")
-    // verified candidates can never contain a false positive: the LSH
-    // output must be a SUBSET of the exact recall-1 output
-    assert(lsh.exceptAll(exact).isEmpty,
-      "q71_fuzzy_lsh emitted a pair the exact path does not contain")
+    val capped = q("q71_fuzzy_capped", sfDir)
+    assert(capped.count() > 0, "fixture must produce capped fuzzy pairs")
+    // verified candidates can never contain a false positive: the
+    // capped output must be a SUBSET of the exact recall-1 output
+    assert(capped.exceptAll(exact).isEmpty,
+      "q71_fuzzy_capped emitted a pair the exact path does not contain")
+    // the cap is the ONLY delta vs the sound blocking: with the cap
+    // effectively removed the output is bit-identical to the exact
+    // entry (same pairs, same dists)
+    val unbounded = Analytics4.q71FuzzyCapped(spark, sfDir, cap = 1 << 20)
+    assert(unbounded.exceptAll(exact).isEmpty &&
+      exact.exceptAll(unbounded).isEmpty,
+      "cap >= max df must reproduce the exact recall-1 output")
     val report = q("q71_recall_report", sfDir).collect()
     report.foreach(r => info(s"q71 recall: $r"))
     val (tot, rec) = report.foldLeft((0L, 0L)) { (acc, r) =>
@@ -103,7 +110,7 @@ class Round20Spec extends SparkSuite {
     assert(tot == exact.count(),
       "recall-report ground truth must be the exact pair set")
     assert(rec.toDouble / tot >= 0.9,
-      s"overall LSH recall $rec/$tot below the 0.9 design floor")
+      s"overall capped recall $rec/$tot below the 0.9 design floor")
     // the report's recall column is exactly n_recalled / n_pairs
     report.foreach { r =>
       assert(r.getAs[Double]("recall") ==
