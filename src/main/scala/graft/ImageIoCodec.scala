@@ -53,6 +53,15 @@ import graft.MultimodalOps.{MMFeat, MMFrame, MMHash, MMIn, MMResized, MMVec}
   */
 object ImageIoCodec extends MediaCodec {
 
+  // ImageIO defaults to DISK-cached image streams: every read/write
+  // otherwise creates (and deletes) a temp file under java.io.tmpdir —
+  // measured r20 as the dominant cost of the 10k-image sf0.1 codec
+  // pass (per-record work, guide §1.2 step 2). In-memory payloads
+  // never need the disk cache; this flips the process default to
+  // MemoryCache streams (output unchanged — PNG bytes are written
+  // through the same encoder either way).
+  ImageIO.setUseCache(false)
+
   private def read(r: MMIn): BufferedImage = {
     val img = ImageIO.read(new ByteArrayInputStream(r.payload))
     if (img == null)
@@ -192,6 +201,10 @@ object ImageIoCodec extends MediaCodec {
   * output.
   */
 object ImageGen {
+
+  // same disk-cache opt-out as ImageIoCodec (this object can be the
+  // first ImageIO user on an executor classloader)
+  ImageIO.setUseCache(false)
 
   /** 32×32 RGB pixels from an LCG seeded by the text bytes. */
   private def pixels(text: Array[Byte]): Array[Int] = {

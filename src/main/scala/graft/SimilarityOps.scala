@@ -2407,6 +2407,16 @@ object MultimodalOps {
     * plumbing): 4×16-bit block-equality buckets (hamming ≤ 3 ⇒ some
     * block exact, by pigeonhole over the 64-bit sig), bucket
     * self-join, bit_count(xor) verify — one bucket shuffle, no n².
+    *
+    * r20: the self-join is hinted SHUFFLE_HASH so both sides carry an
+    * IDENTICAL Exchange(hash(blk, bkey)) over the same sig subtree and
+    * ReuseExchange computes it ONCE — under the default broadcast
+    * plan the build side was a BroadcastExchange (no reuse possible)
+    * and the whole upstream subtree (for mm_phash_real: PNG encode +
+    * decode + pixel hash of every image, the entry's dominant cost)
+    * executed TWICE, once per join side (guide §2.4 / §3.1; measured
+    * on the before-plan: two MapPartitions codec chains, ops 1-8 and
+    * 9-16 in plans/r20/mm_phash_real_before.txt).
     */
   private[graft] def phashPairs(sig: DataFrame): DataFrame = {
     val blocked = sig.select(col("doc_id"), col("sig"),
@@ -2416,7 +2426,7 @@ object MultimodalOps {
       col("doc_id").as("a"), col("sig").as("sig_a"))
     val r = blocked.select(col("blk"), col("bkey"),
       col("doc_id").as("b"), col("sig").as("sig_b"))
-    l.join(r, Seq("blk", "bkey"))
+    l.hint("shuffle_hash").join(r.hint("shuffle_hash"), Seq("blk", "bkey"))
       .filter(col("a") < col("b"))
       .select(col("a"), col("b"),
         bit_count(col("sig_a").bitwiseXOR(col("sig_b")))

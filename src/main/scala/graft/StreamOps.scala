@@ -137,6 +137,33 @@ object StreamOps {
     try f finally s.conf.set(key, prev)
   }
 
+  /** Skip the trailing NO-DATA micro-batch for entries whose output is
+    * provably no-data-batch-invariant (r20, guide §1.2 "don't compute
+    * things you throw away"): after the last data batch the engine
+    * otherwise runs one more empty batch purely to ratchet the
+    * watermark and evict state — measured at sf0.1 as a full extra
+    * state-store load/commit cycle (1.2 s of the stream-stream join's
+    * 5.3 s wall; 2 batches → 1 with the flag). Safe ONLY when that
+    * batch cannot add or change output rows:
+    *   - inner stream-stream joins: matches emit eagerly in the data
+    *     batch; the no-data batch only evicts state (no new rows).
+    *   - Complete-mode aggregations: every batch re-emits the FULL
+    *     state snapshot and the drain overwrites — the no-data batch
+    *     re-emits byte-identical state.
+    * NEVER for append-mode watermarked aggregations or event-time
+    * timers (stream_timer_sessions), where the trailing batch is what
+    * FLUSHES results. Scoped set/unset like the provider overrides.
+    */
+  private def withNoDataBatchesDisabled[T](s: SparkSession)(f: => T): T = {
+    val key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "false")
+    try f finally prev match {
+      case Some(p) => s.conf.set(key, p)
+      case None => s.conf.unset(key)
+    }
+  }
+
   /** events table as a stream (same ts-normalization as Tables.t — all
     * physical encodings land on TimestampType, so watermarks analyze).
     */
@@ -519,8 +546,10 @@ object StreamOps {
           .withWatermark("ts", "1 hour")
           .groupBy(window(col("ts"), "1 hour"), col("event_type"))
           .agg(count(lit(1)).as("n"), sum(dec(col("value"))).as("total_dec"))
-        val res = withShufflePartitions(s, 8)(
-          runOnce(s, agg, OutputMode.Complete()))
+        // Complete mode: every batch re-emits the full snapshot, so
+        // the trailing no-data batch is byte-identical — skip it (r20)
+        val res = withShufflePartitions(s, 8)(withNoDataBatchesDisabled(s)(
+          runOnce(s, agg, OutputMode.Complete())))
         res.select(
             date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
             col("event_type"), col("n"),
@@ -654,7 +683,10 @@ object StreamOps {
           col("user_id") === col("s_user_id") &&
             col("s_ts") >= col("ts") - expr("INTERVAL 1 HOUR") &&
             col("s_ts") <= col("ts"))
-        withShufflePartitions(s, 8)(runOnce(s, joined, OutputMode.Append()))
+        // inner join: matches emit in the data batch; the trailing
+        // no-data batch only evicts state — skip it (r20)
+        withShufflePartitions(s, 8)(withNoDataBatchesDisabled(s)(
+          runOnce(s, joined, OutputMode.Append())))
           .select(col("event_id"), col("user_id"),
             unix_micros(col("ts")).as("p_us"),
             col("s_event_id"), unix_micros(col("s_ts")).as("s_us"))
@@ -1066,7 +1098,10 @@ object StreamOps {
           .select(col("day"), posexplode(col("top")).as(Seq("pos", "e")))
           .select(col("day"), (col("pos") + 1).cast("bigint").as("rnk"),
             col("e.key").as("user_id"), col("e.ord").cast("bigint").as("n"))
-        val q = withShufflePartitions(s, 8)(perUser.writeStream
+        // Complete mode: the trailing no-data batch re-emits the same
+        // full snapshot the last data batch already reduced — skip it
+        val q = withShufflePartitions(s, 8)(withNoDataBatchesDisabled(s)(
+          perUser.writeStream
           .outputMode(OutputMode.Complete())
           .trigger(Trigger.AvailableNow())
           .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
@@ -1077,7 +1112,7 @@ object StreamOps {
             reduce(batch.toDF()).coalesce(1)
               .write.mode("overwrite").parquet(root)
             ()
-          }.start())
+          }.start()))
         q.awaitTermination()
         s.read.parquet(root).orderBy(col("day"), col("rnk"))
       },

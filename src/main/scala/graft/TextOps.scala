@@ -1270,12 +1270,18 @@ object TextOps {
       nMerges: Int): Seq[(Int, String, String, String, Long)] = {
     val chars = expr(
       "transform(sequence(1, length(word)), i -> substring(word, i, 1))")
+    // LAZY checkpoints (r20): each round's rewrite is a pure
+    // projection (no exchange), so localCheckpoint(false) truncates
+    // the plan identically but defers materialization into the NEXT
+    // round's argmax job — one job per round instead of two (eager
+    // checkpoint job + argmax job). 21 jobs → 11 for 10 merges; the
+    // blocks still cache on first use, so nothing recomputes.
     var vocab = t(s, dir, "documents")
       .select(explode(words(lower(col("text")))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("wc"))
       .select(col("wc"),
         concat(array_join(chars, " "), lit(" </w>")).as("seq"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val merges = scala.collection.mutable.ArrayBuffer
       .empty[(Int, String, String, String, Long)]
     for (step <- 1 to nMerges) {
@@ -1310,7 +1316,7 @@ object TextOps {
               lit(" "), aL, bL)))
           .otherwise(concat(acc, lit(" "), x)))
       vocab = vocab.select(col("wc"), rewritten.as("seq"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
     }
     merges.toSeq
   }
