@@ -53,13 +53,18 @@ object Analytics5 {
     */
   private def closure(s: SparkSession, dir: String): DataFrame = {
     val e = edges(s, dir).persist()
+    // LAZY checkpoint + explicit count() per level (r20): the count
+    // materializes the full checkpoint AND answers the fixpoint probe
+    // in ONE job, where the eager checkpoint paid a materialization
+    // job plus an isEmpty job per level (guide §1.2 — fewer passes).
     var frontier = e
       .select(col("child").as("part"), col("parent").as("anc"),
         lit(1).as("lvl"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
+    var frontierRows = frontier.count()
     var levels = List(frontier)
     var iter = 0
-    while (!frontier.isEmpty) {
+    while (frontierRows > 0) {
       iter += 1
       // log-depth guarantee: parent has one decimal digit fewer
       if (iter > 20) sys.error(s"closure: no fixpoint after $iter levels")
@@ -67,9 +72,10 @@ object Analytics5 {
         .join(e.alias("e"), col("f.anc") === col("e.child"))
         .select(col("f.part"), col("e.parent").as("anc"),
           (col("f.lvl") + 1).as("lvl"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
+      frontierRows = next.count()
       frontier = next
-      if (!next.isEmpty) levels ::= next
+      if (frontierRows > 0) levels ::= next
     }
     val out = levels.reduce(_ union _)
     e.unpersist()
@@ -167,12 +173,16 @@ object Analytics5 {
         val und = e.select(col("child").as("a"), col("parent").as("b"))
           .union(e.select(col("parent").as("a"), col("child").as("b")))
           .persist()
+        // lazy checkpoint + count() fixpoint probe — one job per hop
+        // instead of eager-materialize + isEmpty (r20, same treatment
+        // as the BOM closure)
         var levels = List(s.range(1)
           .select(lit(1L).as("node"), lit(0).as("d"))
-          .localCheckpoint(true))
+          .localCheckpoint(false))
         var frontier = levels.head
+        var frontierRows = frontier.count()
         var hop = 0
-        while (hop < 4 && !frontier.isEmpty) {
+        while (hop < 4 && frontierRows > 0) {
           hop += 1
           // the visited set is the union of already-materialized level
           // scans — nothing is re-checkpointed as it grows
@@ -182,8 +192,9 @@ object Analytics5 {
             .select(col("u.b").as("node")).distinct()
             .join(visited, Seq("node"), "left_anti")
             .withColumn("d", lit(hop))
-            .localCheckpoint(true)
-          if (!next.isEmpty) levels ::= next
+            .localCheckpoint(false)
+          frontierRows = next.count()
+          if (frontierRows > 0) levels ::= next
           frontier = next
         }
         und.unpersist()
@@ -346,9 +357,13 @@ object Analytics5 {
         val deg = und.groupBy(col("a"))
           .agg(count(lit(1)).as("deg"))
         val und2 = und.join(deg, "a").persist()
+        // lazy checkpoints (r20): each round's plan is still truncated
+        // to a LogicalRDD, but the per-round result-stage job folds
+        // into the next round's shuffle (3 fixed rounds — no probe
+        // needed); the caller's action runs the last stage
         var r = deg.select(col("a").as("node"),
             lit(1000000000000L).as("rank"))
-          .localCheckpoint(true)
+          .localCheckpoint(false)
         for (_ <- 1 to 3) {
           r = und2.join(r, und2("a") === r("node"))
             .select(col("b"), expr("rank div deg").as("c"))
@@ -356,7 +371,7 @@ object Analytics5 {
             .agg((lit(150000000000L) +
               expr("(85 * sum(c)) div 100")).as("rank"))
             .select(col("b").as("node"), col("rank"))
-            .localCheckpoint(true)
+            .localCheckpoint(false)
         }
         und2.unpersist()
         r.select(col("node"),

@@ -87,6 +87,24 @@ object Bench {
     warm("dedup-index")(DedupOps.warmCaches(spark, sfDir))
     warm("lm-model")(TextOps.lmModel(spark, sfDir).count())
     warm("classify-model")(TextOps.classifyWeights(spark, sfDir))
+    // one-time streaming-engine init (state-store coordinator, query
+    // listener bus, offset/commit-log classes): measured ~2 s of pure
+    // first-streaming-query tax that otherwise lands on whichever
+    // stream_* entry runs first (r20; same rationale as the JIT warm)
+    warm("stream-infra") {
+      val root = java.nio.file.Files.createTempDirectory("graft_warm_stream")
+      val src = s"$root/in"
+      spark.range(1).toDF("v").write.parquet(src)
+      val q = spark.readStream
+        .schema("v BIGINT").parquet(src)
+        .writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+              _: Long) => b.write.mode("overwrite").parquet(s"$root/out"); ()
+        }.start()
+      q.awaitTermination()
+    }
     // optional args = query-name subset (local iteration; the driver
     // invokes with no args and gets the full suite)
     val all = SparkEntry.queries

@@ -1281,65 +1281,80 @@ object SimilarityOps {
         val emb = embeddings(s, dir)
         val qv = emb.filter(col("vec_id") < 5)
           .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-        // localCheckpoint truncates lineage (the connectedComponents
-        // pattern): cand (queries·20 rows) and pair (queries·380)
-        // otherwise re-derive the corpus scan in EVERY greedy round's
-        // join — ~15 rescans at step 5. The rerank working set is
-        // per-query bounded, so materializing it is O(queries), not
-        // O(corpus); superseded blocks are ContextCleaner-collected.
+        // candidate generation unchanged: knn_brute's broadcast scan +
+        // TopKAgg — the only corpus-sized stage
         val cand = topkPerQuery(
           emb.crossJoin(broadcast(qv))
             .filter(col("vec_id") =!= col("qid"))
             .withColumn("sim", Vectors.dot(col("embedding"), col("qvec")))
             .select(col("qid"), col("vec_id"), col("sim")), "sim", 20)
           .select(col("qid"), col("vec_id"), col("sim"))
-          // single partition: the greedy's ~20 micro-stages otherwise
-          // each shuffle ≤100 rows into spark.sql.shuffle.partitions
-          // tasks — pure scheduling overhead at any cluster size
-          .coalesce(1)
-          .localCheckpoint(true)
-        val cv = cand.join(emb, "vec_id")
-          .select(col("qid"), col("vec_id"), col("sim"), col("embedding"))
-        val pair = cv.select(col("qid"), col("vec_id").as("a"),
-            col("embedding").as("ea"))
-          .join(cv.select(col("qid"), col("vec_id").as("b"),
-            col("embedding").as("eb")), "qid")
-          .filter(col("a") =!= col("b"))
-          .select(col("qid"), col("a"), col("b"),
-            Vectors.dot(col("ea"), col("eb")).as("d"))
-          .coalesce(1)
-          .localCheckpoint(true)
-        val wSel = Window.partitionBy(col("qid"))
-          .orderBy(col("score").desc, col("vec_id"))
-        val pick1 = cand
-          .withColumn("score", lit(0.5) * col("sim"))
-          .withColumn("rn", row_number().over(wSel))
-          .filter(col("rn") === 1)
-          .select(col("qid"), col("vec_id"), col("score"))
-        var sel = pick1.withColumn("step", lit(1L))
-        for (step <- 2 to 5) {
-          val pen = pair
-            .join(sel.select(col("qid"), col("vec_id").as("a")),
-              Seq("qid", "a"))
-            .groupBy(col("qid"), col("b").as("vec_id"))
-            .agg(max(col("d")).as("pen"))
-          val pick = cand.join(pen, Seq("qid", "vec_id"))
-            .join(sel.select(col("qid"), col("vec_id")),
-              Seq("qid", "vec_id"), "left_anti")
-            .withColumn("score",
-              lit(0.5) * col("sim") - lit(0.5) * col("pen"))
-            .withColumn("rn", row_number().over(wSel))
-            .filter(col("rn") === 1)
-            .select(col("qid"), col("vec_id"), col("score"))
-            // sel feeds BOTH the penalty join and the anti-join next
-            // round — without truncation each round duplicates the
-            // previous round's subtree twice (2^k micro-stages by
-            // step k); a one-row-per-query checkpoint keeps it linear
-            .localCheckpoint(true)
-          sel = sel.unionByName(pick.withColumn("step", lit(step.toLong)))
-        }
-        sel.select(col("qid"), col("step"), col("vec_id"),
-            col("score").as("mmr"))
+        // r20 SINGLE-PASS greedy (guide §1.2 step 1 — the 5-round
+        // dataframe loop was ~10 micro-jobs: per-round pen groupBy,
+        // window, anti-join, eager localCheckpoint; all of it over a
+        // per-query-BOUNDED working set of 20 candidates). Collect the
+        // 20 (vec_id, sim, embedding) per query into one sorted array
+        // and replay the identical greedy as ONE codegen'd aggregate
+        // expression: pen = order-free MAX of the same DotProd kernel
+        // (ascending-index fold; x·y commutes bitwise per element, so
+        // dot(e_c, e_s) ≡ the pair table's dot(e_s, e_c)), score =
+        // 0.5·sim − 0.5·pen in the same op order, argmax by strict
+        // (score desc, vec_id asc) — the same total order row_number
+        // imposed, so the oracle's unrolled SQL replays EXACTLY.
+        // Measured sf0.1 solo min-of-5: 2.09 s → (after) in
+        // OPTIMIZATION_r20.md; plan: ~10 stages → 3 (scan+TopKAgg,
+        // emb lookup join, per-query fold).
+        val perQ = cand.join(emb, "vec_id")
+          .groupBy(col("qid"))
+          .agg(sort_array(collect_list(struct(col("vec_id"), col("sim"),
+            col("embedding")))).as("cands"))
+        val c = col("cands")
+        val idxs = sequence(lit(0), size(c) - 1)
+        def cd(i: Column) = element_at(c, i + 1)
+        def better(sc: Column, vid: Column, b: Column): Column =
+          sc > b.getField("score") ||
+            (sc === b.getField("score") && vid < b.getField("vec_id"))
+        val noBest = struct(lit(-1).as("i"),
+          lit(Double.NegativeInfinity).as("score"),
+          lit(Long.MaxValue).as("vec_id"))
+        val best1 = aggregate(idxs, noBest, (b, i) => {
+          val sc = lit(0.5) * cd(i).getField("sim")
+          val vid = cd(i).getField("vec_id")
+          when(better(sc, vid, b),
+            struct(i.as("i"), sc.as("score"), vid.as("vec_id")))
+            .otherwise(b)
+        })
+        val init = struct(
+          array(struct(lit(1L).as("step"),
+            best1.getField("vec_id").as("vec_id"),
+            best1.getField("score").as("score"))).as("steps"),
+          array(best1.getField("i")).as("selIdx"))
+        val greedy = aggregate(sequence(lit(2), lit(5)), init, (st, k) => {
+          val selIdx = st.getField("selIdx")
+          val best = aggregate(idxs, noBest, (b, i) => {
+            val pen = aggregate(selIdx, lit(Double.NegativeInfinity),
+              (p, j) => greatest(p,
+                Vectors.dot(cd(i).getField("embedding"),
+                  cd(j).getField("embedding"))))
+            val sc = lit(0.5) * cd(i).getField("sim") - lit(0.5) * pen
+            val vid = cd(i).getField("vec_id")
+            when(!array_contains(selIdx, i) && better(sc, vid, b),
+              struct(i.as("i"), sc.as("score"), vid.as("vec_id")))
+              .otherwise(b)
+          })
+          when(best.getField("i") >= 0,
+            struct(
+              concat(st.getField("steps"), array(struct(
+                k.cast("long").as("step"),
+                best.getField("vec_id").as("vec_id"),
+                best.getField("score").as("score")))).as("steps"),
+              concat(st.getField("selIdx"),
+                array(best.getField("i"))).as("selIdx")))
+            .otherwise(st)
+        })
+        perQ.select(col("qid"), explode(greedy.getField("steps")).as("st"))
+          .select(col("qid"), col("st.step").as("step"),
+            col("st.vec_id").as("vec_id"), col("st.score").as("mmr"))
           .orderBy(col("qid"), col("step"))
       },
       Some("""WITH norm AS (SELECT vec_id,
@@ -1442,6 +1457,9 @@ object SimilarityOps {
       // traversal exactly.
       (s, dir) => {
         val emb = embeddings(s, dir)
+        // (r20: a lazy-checkpoint variant was A/B'd and measured WORSE
+        // — the 1-row picks re-materialize under each of their two
+        // consumers; eager stays)
         var sel = emb.filter(col("vec_id") === 0)
           .select(lit(1L).as("step"), col("vec_id"),
             lit(null).cast("double").as("max_dot"), col("embedding"))
