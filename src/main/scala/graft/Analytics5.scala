@@ -364,14 +364,21 @@ object Analytics5 {
         var r = deg.select(col("a").as("node"),
             lit(1000000000000L).as("rank"))
           .localCheckpoint(false)
-        for (_ <- 1 to 3) {
+        for (i <- 1 to 3) {
           r = und2.join(r, und2("a") === r("node"))
             .select(col("b"), expr("rank div deg").as("c"))
             .groupBy(col("b"))
             .agg((lit(150000000000L) +
               expr("(85 * sum(c)) div 100")).as("rank"))
             .select(col("b").as("node"), col("rank"))
-            .localCheckpoint(false)
+            // the LAST round checkpoints EAGERLY so all three rounds
+            // materialize while und2 is still persisted (ADVICE r20:
+            // the all-lazy chain deferred every round past the
+            // unpersist below, so the persist never served its three
+            // consumers and und2 recomputed per round at action time);
+            // earlier rounds stay lazy (r20: fold result stage into
+            // the next round's shuffle)
+            .localCheckpoint(i == 3)
         }
         und2.unpersist()
         r.select(col("node"),

@@ -91,20 +91,32 @@ object Bench {
     // listener bus, offset/commit-log classes): measured ~2 s of pure
     // first-streaming-query tax that otherwise lands on whichever
     // stream_* entry runs first (r20; same rationale as the JIT warm)
-    warm("stream-infra") {
-      val root = java.nio.file.Files.createTempDirectory("graft_warm_stream")
-      val src = s"$root/in"
-      spark.range(1).toDF("v").write.parquet(src)
-      val q = spark.readStream
-        .schema("v BIGINT").parquet(src)
-        .writeStream
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .foreachBatch {
-          (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-              _: Long) => b.write.mode("overwrite").parquet(s"$root/out"); ()
-        }.start()
-      q.awaitTermination()
-    }
+    // (skipped when an explicit subset selects no stream_* entry —
+    // local iteration shouldn't pay the ~2 s drain for batch work —
+    // and the temp root is deleted after the drain; ADVICE r20)
+    if (args.isEmpty || args.exists(_.startsWith("stream_")))
+      warm("stream-infra") {
+        val root = java.nio.file.Files.createTempDirectory("graft_warm_stream")
+        try {
+          val src = s"$root/in"
+          spark.range(1).toDF("v").write.parquet(src)
+          val q = spark.readStream
+            .schema("v BIGINT").parquet(src)
+            .writeStream
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .foreachBatch {
+              (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                  _: Long) => b.write.mode("overwrite").parquet(s"$root/out"); ()
+            }.start()
+          q.awaitTermination()
+        } finally {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(root).iterator().asScala.toSeq
+            .sortBy(-_.getNameCount)
+            .foreach(p => try java.nio.file.Files.deleteIfExists(p)
+              catch { case scala.util.control.NonFatal(_) => () })
+        }
+      }
     // optional args = query-name subset (local iteration; the driver
     // invokes with no args and gets the full suite)
     val all = SparkEntry.queries
@@ -184,6 +196,24 @@ object Bench {
     sentinels.foreach { k =>
       for (v <- resMap.get(k); p <- pinsMap.get(k) if p > 0)
         println(f"BENCHDRIFT $k%-20s ${v / p}%6.2fx of pin ($v%.3f / $p%.3f)")
+    }
+    // Full UNCAPPED per-query map to a side file (VERDICT r20 #2): the
+    // one-line JSON's query map is char-budgeted, so round-over-round
+    // diffs of it see phantom "dropped"/"new" entries whenever the
+    // slowest-N window churns. Same JSON schema as the metric line,
+    // every entry included. Best-effort: an FS error here must not
+    // cost the metric line.
+    try {
+      val detailPath = sys.env.getOrElse(
+        "SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(detailPath),
+        (jsonLine(sfDir, resMap, budget = 1 << 20, errors = errors,
+          pins = pinsMap, drift = drift) + "\n")
+          .getBytes("UTF-8"))
+      System.err.println(s"BENCHDETAIL wrote $detailPath (${resMap.size} entries)")
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"BENCHWARN detail file write failed: ${e.getMessage}")
     }
     // stop() BEFORE the metric line: any logging Spark emits during
     // shutdown must not land after it (the driver parses the last

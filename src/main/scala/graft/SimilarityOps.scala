@@ -2667,18 +2667,39 @@ object MultimodalOps {
       // per-record work here is REAL codec work — PNG encode at the
       // source, PNG decode + pixel walk in the hash — so this entry
       // doubles as the decode-throughput measurement (SURVEY §22).
-      // Rows-only check: the pixel pipeline is not SQL-expressible
-      // (ImageIO is the ground truth); determinism comes from PNG
+      // Oracled from the dumped signature table (VERDICT r20 #4, the
+      // q71_fuzzy_capped pattern): the decoded pixel-hash signatures —
+      // the post-codec, pre-LSH (doc_id, sig) relation — are dumped
+      // per execution, and DuckDB re-derives the bucket pairs and
+      // hamming verify from them in SQL (the same bk/cand/verify the
+      // mm_phash oracle runs). The DECODE itself stays JVM ground
+      // truth (ImageIO pixels are not SQL-expressible) — Round20Spec's
+      // golden-PNG fixtures pin it; determinism comes from PNG
       // losslessness + integer-exact kernels, and the ImageIoCodec is
       // passed EXPLICITLY (not via the installable global), so the
-      // entry's output never depends on process state.
+      // entry's output never depends on process state. The sig table
+      // is entry-scratch persisted: codec runs ONCE, serving both the
+      // dump and the pairing (previously exchange reuse played this
+      // role for the pairing's two sides).
       (s, dir) => {
-        val sig = mmPngSource(s, dir)
+        val sig = Scratch.reg(mmPngSource(s, dir)
           .mapPartitions(phashBatch(ImageIoCodec))(Encoders.product[MMHash])
-          .toDF()
+          .toDF())
+        sig.coalesce(1).write.mode("overwrite")
+          .parquet(s"${OracleDumps.root(s, dir)}/mm/phash_real_sig")
         phashPairs(sig).orderBy(col("a"), col("b"))
       },
-      None),
+      Some(s"""WITH s AS (SELECT doc_id, sig FROM read_parquet(
+            '${OracleDumps.SqlRoot}/mm/phash_real_sig/*.parquet')),
+        bk AS (SELECT doc_id, sig, blk,
+            (sig >> CAST(blk*16 AS INT)) & 65535 AS bkey
+          FROM (SELECT doc_id, sig, unnest(range(0, 4)) AS blk FROM s)),
+        cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
+            l.sig AS sa, r.sig AS sb
+          FROM bk l JOIN bk r ON l.blk = r.blk AND l.bkey = r.bkey
+            AND l.doc_id < r.doc_id)
+        SELECT a, b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+        FROM cand WHERE bit_count(xor(sa, sb)) <= 3 ORDER BY a, b""")),
 
     Entry(
       "mm_embed_knn",

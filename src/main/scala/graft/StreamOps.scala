@@ -440,26 +440,55 @@ object StreamOps {
     val span = hi - lo + 1
     val rootPath = new org.apache.hadoop.fs.Path(root)
     val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val seen = scala.collection.mutable.Set[String]()
+    // r21 (guide §1.2: one pass, not K): the K sequential
+    // filter+coalesce(1) writes each rescanned events (K+1 scans of
+    // the table per prep). Now ONE scan assigns the bucket index via
+    // the SAME literal boundaries (CASE over lo + span·i/buckets —
+    // bitwise-identical bucket membership), one hash exchange lands
+    // each bucket in exactly one task (hash partitioning puts every
+    // bucket VALUE in one partition, so partitionBy still writes one
+    // file per bucket; a collision just makes one task write two
+    // files), and the part files are then MOVED up under the root in
+    // bucket order under the unchanged enforced-mtime contract
+    // (rename preserves content; the setTimes push + verify below is
+    // the same loud check as before).
+    val bounds = (0 to buckets).map(i => lo + span * i / buckets)
+    // reduceRight: each .otherwise() lands on a bare when() column
+    // (left-assoc reduce would re-otherwise a completed CASE and throw)
+    val bucketCol = (0 until buckets).map { i =>
+        when(col("us") >= bounds(i) && col("us") < bounds(i + 1), lit(i))
+      }.reduceRight((a, b) => a.otherwise(b))
+    val staged = s"$root/_staged"
+    ev.withColumn("bucket", bucketCol)
+      .repartition(buckets, col("bucket"))
+      .write.partitionBy("bucket").parquet(staged)
     var lastMtime = 0L
     (0 until buckets).foreach { i =>
-      ev.filter(col("us") >= lo + span * i / buckets &&
-          col("us") < lo + span * (i + 1) / buckets)
-        .coalesce(1).write.mode("append").parquet(root)
-      // the fresh part file(s) of this bucket (coalesce(1) → one;
-      // _SUCCESS/.crc are hidden to the file source and ignored here)
-      val fresh = fs.listStatus(rootPath)
-        .filter(st => st.getPath.getName.startsWith("part-") &&
-          !seen(st.getPath.getName))
+      val bdir = new org.apache.hadoop.fs.Path(s"$staged/bucket=$i")
+      // an EMPTY bucket gets no staged dir — write its empty (but
+      // present) file the old way so the drain sees the same K files
+      if (!fs.exists(bdir))
+        ev.filter(lit(false)).coalesce(1)
+          .write.mode("overwrite").parquet(bdir.toString)
+      val parts = fs.listStatus(bdir)
+        .filter(_.getPath.getName.startsWith("part-"))
         .sortBy(_.getPath.getName)
-      fresh.foreach { st =>
-        val want = math.max(st.getModificationTime, lastMtime + 2000L)
-        try fs.setTimes(st.getPath, want, -1L)
+      parts.foreach { st =>
+        // bucket-prefixed target name: one write job reuses part
+        // numbers across partition dirs, so flat names could collide
+        val dst = new org.apache.hadoop.fs.Path(root,
+          s"b$i-${st.getPath.getName}")
+        if (!fs.rename(st.getPath, dst))
+          throw new IllegalStateException(
+            s"timerSessPrep: rename ${st.getPath} -> $dst failed")
+        val want = math.max(fs.getFileStatus(dst).getModificationTime,
+          lastMtime + 2000L)
+        try fs.setTimes(dst, want, -1L)
         catch { case scala.util.control.NonFatal(_) => () }
-        val actual = fs.getFileStatus(st.getPath).getModificationTime
+        val actual = fs.getFileStatus(dst).getModificationTime
         if (i > 0 && actual <= lastMtime)
           throw new IllegalStateException(
-            s"timerSessPrep: bucket $i part ${st.getPath.getName} has " +
+            s"timerSessPrep: bucket $i part ${dst.getName} has " +
               s"mtime $actual <= previous bucket's $lastMtime and the " +
               "filesystem did not honor setTimes — the file source " +
               "would replay buckets out of order and drop rows as " +
@@ -467,9 +496,9 @@ object StreamOps {
               "with millisecond mtimes or working setTimes (local, " +
               "HDFS).")
         lastMtime = actual
-        seen += st.getPath.getName
       }
     }
+    fs.delete(new org.apache.hadoop.fs.Path(staged), true)
     root
   }
 
@@ -577,8 +606,10 @@ object StreamOps {
         val cnt = eventStream(s, dir)
           .filter(col("event_id") % 2 === 1)
           .groupBy(col("event_type")).agg(count(lit(1)).as("cb"))
-        val drained = withShufflePartitions(s, 8)(
-          runOnce(s, cnt, OutputMode.Complete()))
+        // Complete mode re-emits the identical snapshot in the trailing
+        // no-data batch — skip it (r21; same rule as stream_window_agg)
+        val drained = withShufflePartitions(s, 8)(withNoDataBatchesDisabled(s)(
+          runOnce(s, cnt, OutputMode.Complete())))
         val base = t(s, dir, "events")
           .filter(col("event_id") % 2 === 0)
           .groupBy(col("event_type")).agg(count(lit(1)).as("ca"))
@@ -719,8 +750,16 @@ object StreamOps {
           .option("pathGlobFilter", "documents.parquet").parquet(dir)
           .select(col("doc_id"), col("text"))
         val scored = TextOps.lmScore(TextOps.lmBigrams(docs), model)
-        withShufflePartitions(s, 8)(
-          runOnce(s, scored, OutputMode.Complete()))
+        // Complete mode re-emits the identical snapshot in the trailing
+        // no-data batch — skip it (r21; same rule as stream_window_agg).
+        // Complete→Update was considered (VERDICT r20 #5) and REJECTED:
+        // with the no-data batch skipped and a single-file AvailableNow
+        // drain (one data batch), Update does identical work, and its
+        // generality under batch splits would require a latest-per-key
+        // readback (a doc's row re-emits in every batch that changes
+        // it, and the drain reads back ALL per-batch dirs).
+        withShufflePartitions(s, 8)(withNoDataBatchesDisabled(s)(
+          runOnce(s, scored, OutputMode.Complete())))
           .orderBy(col("doc_id"))
       },
       Some(TextOps.lmOracleSql)),

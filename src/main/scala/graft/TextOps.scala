@@ -806,19 +806,34 @@ object TextOps {
       // TF-IDF term salience, integer-exact: top-3 terms per document
       // ranked by (tf DESC, df ASC, term) — the same ordering as
       // tf·log(N/df) for any monotone idf, but with no transcendental
-      // in the output so the DuckDB twin hashes identically. Shuffles:
-      // one on (doc, term), one broadcast-sized df join back.
+      // in the output so the DuckDB twin hashes identically.
+      //
+      // r21 shape (guide §2.3/§2.4): tf is aggregated ONCE — entry-
+      // scratch persisted, so the df aggregate (broadcast build, which
+      // fills the cache) and the join's streamed side share one
+      // computation. Previously the subtree fed both as two plan
+      // instances; AQE's exchange reuse deduped the exchange at sf0.1
+      // but NOT at sf10, where the whole tokenize+aggregate ran twice
+      // (measured: 28-30 s stable vs 3.9-4.5 s with the persist —
+      // ~7×; the persist costs ~+0.2 s at sf0.1's floor, the right
+      // trade at any real scale). The per-doc top-3 stays the
+      // row_number window: Spark's WindowGroupLimit already k-bounds
+      // it with codegen — a TypedImperativeAggregate top-k-by-struct
+      // was built and measured 2-3× SLOWER at sf10 (ObjectHashAggregate
+      // sort-fallback past 128 keys/partition + no codegen), so the
+      // window form is the measured keeper.
       (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
-        val tf = t(s, dir, "documents")
-          .select(col("doc_id"),
-            explode(words(lower(col("text")))).as("term"))
-          .groupBy(col("doc_id"), col("term"))
-          .agg(count(lit(1)).as("tf"))
+        val tf = Scratch.reg(
+          t(s, dir, "documents")
+            .select(col("doc_id"),
+              explode(words(lower(col("text")))).as("term"))
+            .groupBy(col("doc_id"), col("term"))
+            .agg(count(lit(1)).as("tf")))
         val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        import org.apache.spark.sql.expressions.Window
         val w = Window.partitionBy(col("doc_id"))
           .orderBy(col("tf").desc, col("df").asc, col("term"))
-        tf.join(df, Seq("term"))
+        tf.join(broadcast(df), Seq("term"))
           .withColumn("rank", row_number().over(w))
           .filter(col("rank") <= 3)
           .select(col("doc_id"), col("term"), col("tf"), col("df"),
@@ -851,37 +866,62 @@ object TextOps {
       // order-independent), the rational contrib expression in the
       // same op order, and the per-doc score as an ordered fold.
       // TextAndKnnSpec pins the formula on planted fixtures.
+      // r21 shape (guide §2.3/§2.4, §8 "decide with small rows"): the
+      // query term set is FIXED and tiny, so per-doc tf comes from a
+      // higher-order size(filter(w, = term)) per term — no explode of
+      // the corpus, no (doc,term) shuffle, no df join. The per-doc
+      // proxy (doc_id, dl, tf0..tf2 — doc_id is the table's PK, so
+      // per-row ≡ the old per-group) is entry-scratch persisted; ONE
+      // global aggregate over it yields n, exact avgdl AND every df
+      // (count of tf>0 rows ≡ the old COUNT DISTINCT doc_id, ids being
+      // unique), where the old shape paid three corpus scans (stats
+      // head(), idf dump, scoring) and two aggregation exchanges.
+      // idf still goes through the SAME Spark log() expression (bit-
+      // equal values), and the score replays the old ordered fold as
+      // CASE-chained additions in term order — x + 0.0 is exact for
+      // these strictly-positive contribs, so scores hash identically.
       (s, dir) => {
-        val query = Seq("the", "data", "and")
-        val docs = t(s, dir, "documents")
-          .select(col("doc_id"), words(lower(col("text"))).as("w"))
-          .withColumn("dl", size(col("w")).cast("double"))
-        val stats = docs.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl"))
-          .head()
-        val (n, avgdl) = (stats.getLong(0).toDouble, stats.getDouble(1))
-        val tf = docs
-          .select(col("doc_id"), col("dl"), explode(col("w")).as("term"))
-          .filter(col("term").isin(query: _*))
-          .groupBy(col("doc_id"), col("dl"), col("term"))
-          .agg(count(lit(1)).cast("double").as("tf"))
-        val df = tf.groupBy(col("term"))
-          .agg(countDistinct(col("doc_id")).cast("double").as("df"))
+        val query = Seq("the", "data", "and").sorted
+        val tfCol = (i: Int) => col(s"tf$i")
+        val proxy = Scratch.reg(query.zipWithIndex.foldLeft(
+          t(s, dir, "documents")
+            .select(col("doc_id"), words(lower(col("text"))).as("w"))
+            .withColumn("dl", size(col("w")).cast("double"))) {
+          case (d, (term, i)) => d.withColumn(s"tf$i",
+            size(filter(col("w"), x => x === lit(term))).cast("double"))
+        }.drop("w"))
+        val aggCols = Seq(count(lit(1)).as("n"), avg(col("dl")).as("avgdl")) ++
+          query.indices.map(i => sum(when(tfCol(i) > 0, 1L).otherwise(0L))
+            .cast("double").as(s"df$i"))
+        val stRow = proxy.agg(aggCols.head, aggCols.tail: _*).head()
+        val (n, avgdl) = (stRow.getLong(0).toDouble, stRow.getDouble(1))
+        // terms absent from the corpus get NO idf row (the old df
+        // aggregate over tf rows couldn't produce one either)
+        val dfPairs = query.indices
+          .map(i => query(i) -> stRow.getDouble(2 + i)).filter(_._2 > 0)
+        import s.implicits._
         val idf = log((lit(n) - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
-        val idfTbl = df.withColumn("idf", idf)
+        val idfTbl = dfPairs.toDF("term", "df").withColumn("idf", idf)
         idfTbl.coalesce(1).write.mode("overwrite")
           .parquet(s"${OracleDumps.root(s, dir)}/text/bm25_idf")
-        tf.join(broadcast(idfTbl), Seq("term"))
-          .withColumn("contrib", col("idf") * col("tf") * (lit(1.2) + 1.0) /
-            (col("tf") + lit(1.2) *
-              (lit(1.0) - 0.75 + lit(0.75) * col("dl") / avgdl)))
-          // ordered fold, not SUM: ≤3 term contributions added in term
-          // order — reproducible floats the oracle can replicate
-          .groupBy(col("doc_id"))
-          .agg(array_sort(collect_list(
-            struct(col("term"), col("contrib")))).as("tc"))
-          .select(col("doc_id"),
-            expr("aggregate(tc, 0D, (acc, e) -> acc + e.contrib)")
-              .as("score"))
+        val idfs = idfTbl.collect()
+          .map(r => r.getString(0) -> r.getDouble(2)).toMap
+        // only terms WITH an idf row score or qualify a doc — the old
+        // inner join dropped tf rows of idf-less terms the same way
+        val scoreTerms = query.zipWithIndex.filter(t => idfs.contains(t._1))
+        val score = if (scoreTerms.isEmpty) lit(0.0)
+          else scoreTerms.map { case (term, i) =>
+            when(tfCol(i) > 0,
+              lit(idfs(term)) * tfCol(i) * (lit(1.2) + 1.0) /
+                (tfCol(i) + lit(1.2) *
+                  (lit(1.0) - 0.75 + lit(0.75) * col("dl") / avgdl)))
+              .otherwise(lit(0.0))
+          }.reduceLeft(_ + _)
+        val hasTerm = if (scoreTerms.isEmpty) lit(false)
+          else scoreTerms.map { case (_, i) => tfCol(i) > 0 }.reduce(_ || _)
+        proxy
+          .filter(hasTerm)
+          .select(col("doc_id"), score.as("score"))
           .orderBy(col("score").desc, col("doc_id"))
           .limit(20)
       },

@@ -142,3 +142,4 @@ object TopKBuffer {
     b
   }
 }
+

